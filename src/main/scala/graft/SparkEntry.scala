@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+import graft.ops.Relational
+import graft.formula.Formula
+import graft.tree.Hierarchy
+
+/** Driver contract — one `queries` entry (plus a DuckDB `oracleSql` twin)
+  * per implemented operator from SURVEY.md §2. Every query orders its
+  * output deterministically (explicit total-order tiebreaks) and avoids
+  * cross-engine float-summation ambiguity (decimal casts for money sums;
+  * min/max/count for everything aggregated from doubles).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Event-type → attribute_id mapping used to model the reference's tall
+    * EAV `archive` on the harness `events` table (alphabetical, 1-based). */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** The reference's `element` tree (site → unit) modeled from
+    * region (level 0, roots) ∪ nation (level 1, element_id offset +100). */
+  private def elementDim(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).select(
+      lit(0).as("level"), col("r_regionkey").as("element_id"),
+      col("r_name").as("name"), lit(null).cast("int").as("parent_id"))
+    val nation = Tables.nation(s, dir).select(
+      lit(1).as("level"), (col("n_nationkey") + 100).cast("int").as("element_id"),
+      col("n_name").as("name"), col("n_regionkey").as("parent_id"))
+    region.unionByName(nation)
+  }
+
+  /** Tall archive analog: events on an hourly grid, event_type as
+    * attribute_id (SURVEY.md §1.3: archive(attribute_id, timestamp, value)). */
+  private def archiveDim(s: SparkSession, dir: String): DataFrame = {
+    val attrId = eventTypes.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (t, i)) => when(col("event_type") === t, lit(i + 1)).otherwise(acc)
+    }
+    Tables.events(s, dir).select(
+      date_trunc("hour", col("ts")).as("timestamp"),
+      attrId.as("attribute_id"),
+      col("value"))
+  }
+
+  private val elementSqlCte =
+    """element AS (
+      |  SELECT 0 AS level, r_regionkey AS element_id, r_name AS name, CAST(NULL AS INTEGER) AS parent_id FROM region
+      |  UNION ALL
+      |  SELECT 1, CAST(n_nationkey + 100 AS INTEGER), n_name, n_regionkey FROM nation
+      |)""".stripMargin
+
+  private val archiveSqlCte =
+    """archive AS (
+      |  SELECT date_trunc('hour', ts) AS timestamp,
+      |         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |              WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END AS attribute_id,
+      |         value
+      |  FROM events
+      |)""".stripMargin
+
+  /** Flagship: the reference's export query (SURVEY.md §3.1) — archive
+    * filtered to selected attributes + time range, pivoted wide, one column
+    * per attribute, ordered by timestamp. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val archive = archiveDim(spark, dir)
+    Relational.pivotWide(
+      Relational.timeRange(archive, "timestamp", Some("2024-01-01 00:00:00"), None),
+      Seq("timestamp"), "attribute_id", (1 to 5).map(_.toString), "value")
+      .orderBy("timestamp")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 projections / filters ------------------------------------
+    "p1_projection" -> ((s, d) =>
+      Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")),
+
+    "p2_p3_in_time_filter" -> ((s, d) =>
+      Relational.timeRange(
+        Relational.inList(Tables.events(s, d), "event_type", Seq("click", "purchase")),
+        "ts", Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "p4_exact_lookup" -> ((s, d) =>
+      Relational.lookupFirst(Tables.nation(s, d), col("n_name") === "NATION_7",
+        Seq("n_nationkey"))
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    "p5_ilike" -> ((s, d) =>
+      Relational.ilike(Tables.part(s, d), "p_name", "%GEAR%")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    "p6_leaves_reference" -> ((s, d) =>
+      Hierarchy.leavesReferenceSemantics(elementDim(s, d))
+        .select("element_id", "name", "level")
+        .orderBy("element_id")),
+
+    "p6_leaves_true" -> ((s, d) =>
+      Hierarchy.leavesTrue(elementDim(s, d))
+        .select("element_id", "name", "level")
+        .orderBy("element_id")),
+
+    "p8_notnull_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull && col("value") > 99.5)
+        .select("event_id", "value")
+        .orderBy("event_id")),
+
+    "p11_anti_orphans" -> ((s, d) =>
+      Relational.notIn(Tables.customer(s, d), Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey")), "c_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ---- §2.3 joins ------------------------------------------------------
+    "j1_dim_join" -> ((s, d) =>
+      Relational.dimJoin(
+        Tables.customer(s, d).withColumnRenamed("c_nationkey", "n_nationkey"),
+        Tables.nation(s, d).select("n_nationkey", "n_name"), "n_nationkey")
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey")),
+
+    "j2_export_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    }),
+
+    "j8_semi_exists" -> ((s, d) =>
+      Relational.existsIn(Tables.customer(s, d),
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), "c_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "j5_recursive_paths" -> ((s, d) =>
+      Hierarchy.closure(elementDim(s, d))
+        .select("element_id", "level", "path")
+        .orderBy("element_id")),
+
+    "j6_path_remap" -> ((s, d) => {
+      val mapping = Hierarchy.pathIdMapping(elementDim(s, d))
+      val newIds = mapping.select(col("path"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("path")) + 200)
+          .as("element_id"))
+      Hierarchy.remapIds(mapping, newIds)
+        .select("path", "old_id", "new_id")
+        .orderBy("path")
+    }),
+
+    // ---- §2.4 aggregations ----------------------------------------------
+    "a1_minmax_range" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_type") === "click")
+        .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))),
+
+    "a2_watermark" -> ((s, d) =>
+      Tables.events(s, d).agg(max(col("ts")).as("watermark"))),
+
+    "a3_scalar_subquery" -> ((s, d) =>
+      Relational.whereEqualsGlobalAgg(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity", max(col("l_quantity")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "a4_group_count" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")),
+
+    "a5_distinct" -> ((s, d) =>
+      Tables.events(s, d).select("event_type").distinct()
+        .orderBy("event_type")),
+
+    "a7_dedup_first" -> ((s, d) =>
+      Relational.dedupFirst(Tables.events(s, d),
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")),
+
+    // ---- §2.5 pivot -------------------------------------------------------
+    "v1_pivot_export" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .orderBy("day")),
+
+    "v2_pivot_labeled" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), (col("user_id") % 10).as("cohort"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .orderBy("day", "cohort")),
+
+    // ---- §2.11 formula engine (flagship reference-specific op) ------------
+    "formula_backfill" -> ((s, d) =>
+      Formula.backfill(archiveDim(s, d), "($1 + $3) / 2", derivedId = 99)
+        .orderBy("timestamp")),
+
+    "formula_precedence" -> ((s, d) =>
+      Formula.backfill(archiveDim(s, d), "$1 + $5 * 2 - ($2 - 0.5) / 4", derivedId = 98)
+        .orderBy("timestamp")),
+
+    // ---- §2.6 sorts / limits / set ops ------------------------------------
+    "o_topk" -> ((s, d) =>
+      Relational.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        10, col("o_totalprice").desc, col("o_orderkey"))),
+
+    "u1_union_all" -> ((s, d) =>
+      Tables.region(s, d).select(lit("region").as("kind"), col("r_name").as("name"))
+        .unionByName(
+          Tables.nation(s, d).select(lit("nation").as("kind"), col("n_name").as("name")))
+        .orderBy("kind", "name")),
+
+    // ---- §2.7 scalar functions --------------------------------------------
+    "f_string_funcs" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_u"),
+        substring(col("text"), 1, 20).as("prefix"),
+        length(col("text")).as("n"),
+        concat_ws("|", col("source"), col("lang")).as("path"))
+        .withColumn("src_back", element_at(split(col("path"), "\\|"), 1))
+        .orderBy("doc_id")),
+
+    "f7_tz_shift" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        (col("ts") + expr("INTERVAL 7 HOURS")).as("local_ts"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("ts_min"))
+        .orderBy("event_id")),
+
+    "f8_coerce" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"),
+        expr("try_cast(props AS double)").as("bad"))
+        .orderBy("event_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_projection" ->
+      "SELECT p_partkey, p_name, p_brand FROM part ORDER BY p_partkey",
+
+    "p2_p3_in_time_filter" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE event_type IN ('click','purchase') " +
+        "AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' " +
+        "ORDER BY event_id"),
+
+    "p4_exact_lookup" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = 'NATION_7' ORDER BY n_nationkey LIMIT 1",
+
+    "p5_ilike" ->
+      "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE lower('%GEAR%') ORDER BY p_partkey",
+
+    "p6_leaves_reference" ->
+      (s"WITH $elementSqlCte " +
+        "SELECT element_id, name, level FROM element " +
+        "WHERE parent_id IS NULL OR level = (SELECT max(level) FROM element) ORDER BY element_id"),
+
+    "p6_leaves_true" ->
+      (s"WITH $elementSqlCte " +
+        "SELECT element_id, name, level FROM element e " +
+        "WHERE NOT EXISTS (SELECT 1 FROM element c WHERE c.parent_id = e.element_id) ORDER BY element_id"),
+
+    "p8_notnull_filter" ->
+      "SELECT event_id, value FROM events WHERE value IS NOT NULL AND value > 99.5 ORDER BY event_id",
+
+    "p11_anti_orphans" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+
+    "j1_dim_join" ->
+      ("SELECT c_custkey, c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "ORDER BY c_custkey"),
+
+    "j2_export_join" ->
+      ("SELECT n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_rows " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "j8_semi_exists" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+
+    "j5_recursive_paths" ->
+      (s"WITH RECURSIVE $elementSqlCte, paths AS (" +
+        "SELECT element_id, level, name AS path FROM element WHERE parent_id IS NULL " +
+        "UNION ALL " +
+        "SELECT e.element_id, e.level, p.path || '|' || e.name FROM element e " +
+        "JOIN paths p ON e.parent_id = p.element_id) " +
+        "SELECT element_id, level, path FROM paths ORDER BY element_id"),
+
+    "j6_path_remap" ->
+      (s"WITH RECURSIVE $elementSqlCte, paths AS (" +
+        "SELECT element_id, level, name AS path FROM element WHERE parent_id IS NULL " +
+        "UNION ALL " +
+        "SELECT e.element_id, e.level, p.path || '|' || e.name FROM element e " +
+        "JOIN paths p ON e.parent_id = p.element_id), " +
+        "mapping AS (SELECT path, element_id FROM paths), " +
+        "new_ids AS (SELECT path, CAST(row_number() OVER (ORDER BY path) + 200 AS INTEGER) AS element_id FROM mapping) " +
+        "SELECT m.path AS path, m.element_id AS old_id, n.element_id AS new_id " +
+        "FROM mapping m JOIN new_ids n ON m.path = n.path WHERE m.element_id <> n.element_id " +
+        "ORDER BY m.path"),
+
+    "a1_minmax_range" ->
+      "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events WHERE event_type = 'click'",
+
+    "a2_watermark" ->
+      "SELECT max(ts) AS watermark FROM events",
+
+    "a3_scalar_subquery" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem) ORDER BY l_orderkey, l_linenumber"),
+
+    "a4_group_count" ->
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+
+    "a5_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "a7_dedup_first" ->
+      ("SELECT user_id, event_type, event_id, value FROM (" +
+        "SELECT user_id, event_type, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id, event_type"),
+
+    "v1_pivot_export" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    "v2_pivot_labeled" ->
+      ("SELECT CAST(ts AS DATE) AS day, user_id % 10 AS cohort, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY 1, 2 ORDER BY day, cohort"),
+
+    "formula_backfill" ->
+      (s"WITH $archiveSqlCte, wide AS (" +
+        "SELECT timestamp, max(CASE WHEN attribute_id=1 THEN value END) AS attr_1, " +
+        "max(CASE WHEN attribute_id=3 THEN value END) AS attr_3 " +
+        "FROM archive GROUP BY timestamp) " +
+        "SELECT 99 AS attribute_id, timestamp, (attr_1 + attr_3) / 2 AS value FROM wide " +
+        "WHERE (attr_1 + attr_3) / 2 IS NOT NULL ORDER BY timestamp"),
+
+    "formula_precedence" ->
+      (s"WITH $archiveSqlCte, wide AS (" +
+        "SELECT timestamp, max(CASE WHEN attribute_id=1 THEN value END) AS attr_1, " +
+        "max(CASE WHEN attribute_id=2 THEN value END) AS attr_2, " +
+        "max(CASE WHEN attribute_id=5 THEN value END) AS attr_5 " +
+        "FROM archive GROUP BY timestamp) " +
+        "SELECT 98 AS attribute_id, timestamp, attr_1 + attr_5 * 2 - (attr_2 - 0.5) / 4 AS value FROM wide " +
+        "WHERE attr_1 + attr_5 * 2 - (attr_2 - 0.5) / 4 IS NOT NULL ORDER BY timestamp"),
+
+    "o_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "u1_union_all" ->
+      ("SELECT kind, name FROM (" +
+        "SELECT 'region' AS kind, r_name AS name FROM region " +
+        "UNION ALL SELECT 'nation', n_name FROM nation) ORDER BY kind, name"),
+
+    "f_string_funcs" ->
+      ("SELECT doc_id, upper(lang) AS lang_u, substr(text, 1, 20) AS prefix, " +
+        "CAST(length(text) AS INTEGER) AS n, source || '|' || lang AS path, " +
+        "string_split(source || '|' || lang, '|')[1] AS src_back " +
+        "FROM documents ORDER BY doc_id"),
+
+    "f7_tz_shift" ->
+      ("SELECT event_id, ts + INTERVAL 7 HOUR AS local_ts, " +
+        "strftime(ts, '%Y-%m-%d %H:%M') AS ts_min FROM events ORDER BY event_id"),
+
+    "f8_coerce" ->
+      ("SELECT event_id, CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k, " +
+        "TRY_CAST(props AS DOUBLE) AS bad FROM events ORDER BY event_id")
+  )
 }

@@ -1,0 +1,89 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Core data model (SURVEY.md §1).
+  *
+  * The reference's storage is three PostgreSQL tables (reference
+  * `src/database/populate.py:86-110`): an `element` equipment tree
+  * (adjacency list), an `attribute` sensor catalog, and a tall EAV
+  * `archive` of (attribute_id, timestamp, value). We carry the same
+  * logical schema; `formula` is promoted to a first-class nullable
+  * column on `attribute` instead of the reference's pg_proc sniffing
+  * (reference `database/database.py:991-1005`).
+  */
+case class Element(level: Int, element_id: Int, name: String, parent_id: Option[Int])
+
+case class Attribute(
+    element_id: Int,
+    attribute_id: Int,
+    name: String,
+    kks: Option[String] = None,
+    formula: Option[String] = None)
+
+case class ArchiveRecord(
+    attribute_id: Int,
+    timestamp: java.sql.Timestamp,
+    value: Option[Double])
+
+object Schemas {
+  val element: StructType = StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("element_id", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("parent_id", IntegerType, nullable = true)))
+
+  val attribute: StructType = StructType(Seq(
+    StructField("element_id", IntegerType, nullable = false),
+    StructField("attribute_id", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("kks", StringType, nullable = true),
+    StructField("formula", StringType, nullable = true)))
+
+  val archive: StructType = StructType(Seq(
+    StructField("attribute_id", IntegerType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("value", DoubleType, nullable = true)))
+
+  /** PI tree-cache node (reference `src/pi/tree_generator.py:86-92`):
+    * recursion is unrolled to a bounded depth at read time (JSON schemas
+    * cannot be recursive); see [[graft.tree.TreeCache]]. */
+  def treeAttribute: StructType = StructType(Seq(
+    StructField("name", StringType), StructField("webid", StringType),
+    StructField("type", StringType), StructField("path", StringType),
+    StructField("kks", StringType)))
+}
+
+/** Loaders for the harness parquet tables (TESTDATA.md). Filters and
+  * projections composed on top of these reach the parquet scan via
+  * Catalyst pushdown — never pre-materialize. */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
+    * natively: read the raw int64 nanos (legacy conf) and truncate to
+    * microseconds with integer `div` — Column `/` goes through double and
+    * loses precision (epoch nanos ~1.7e18 >> 2^53). `timestamp_ntz`
+    * matches DuckDB's naive reading of the same file. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))
+        .cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

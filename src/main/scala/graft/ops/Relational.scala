@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators from the reference's query surface (SURVEY.md §2.2-§2.6).
+  *
+  * Each helper is a thin, composable declaration over the DataFrame API so
+  * Catalyst keeps full visibility (pushdown, pruning, join selection). Nothing
+  * here collects to the driver; every operator is partition-parallel.
+  */
+object Relational {
+
+  /** P2 — dynamic IN-list filter (reference `database/database.py:381-384`).
+    * For id-lists large enough to blow the IN-list (>~10k) prefer
+    * [[semiJoinFilter]] which becomes a broadcast semi-join. */
+  def inList(df: DataFrame, col: String, values: Seq[Any]): DataFrame =
+    df.filter(new Column(col).isin(values: _*))
+
+  /** P2 at scale: the id-set as a broadcast left-semi join instead of a
+    * literal IN-list — same semantics, bounded plan size. */
+  def semiJoinFilter(df: DataFrame, keys: DataFrame, col: String): DataFrame =
+    df.join(broadcast(keys), Seq(col), "left_semi")
+
+  /** P3 — inclusive-both-ends time range (reference `database.py:386-391`).
+    * Bounds are optional exactly as in the reference API. On a
+    * date-partitioned archive this prunes partitions at planning time. */
+  def timeRange(df: DataFrame, tsCol: String,
+      start: Option[String], end: Option[String]): DataFrame = {
+    val c = new Column(tsCol)
+    // cast literals to the column's own type (TIMESTAMP vs TIMESTAMP_NTZ —
+    // parquet files without UTC-adjustment read as NTZ) so the predicate
+    // stays a pushable comparison, not a cast around the column
+    val t = df.schema(tsCol).dataType
+    val withStart = start.fold(df)(s => df.filter(c >= lit(s).cast(t)))
+    end.fold(withStart)(e => withStart.filter(c <= lit(e).cast(t)))
+  }
+
+  /** P4 — exact-name lookup, first match (reference `database.py:120-124`).
+    * The reference's LIMIT 1 is order-undefined; we pin determinism by
+    * ordering on the key columns before limiting. */
+  def lookupFirst(df: DataFrame, filterExpr: Column, orderCols: Seq[String]): DataFrame =
+    df.filter(filterExpr).orderBy(orderCols.map(new Column(_)): _*).limit(1)
+
+  /** P5 — case-insensitive LIKE with caller-supplied wildcards
+    * (reference `database.py:256-262`). */
+  def ilike(df: DataFrame, col: String, pattern: String): DataFrame =
+    df.filter(lower(new Column(col)).like(pattern.toLowerCase))
+
+  /** J1/J2 — dimension joins. Dimensions (element/attribute analogs) are
+    * thousands of rows → always broadcast; the fact side never shuffles for
+    * the join itself (reference `database.py:394-406` pushes this to PG). */
+  def dimJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key))
+
+  /** J8 — existence semi-join (reference `src/database/populate.py:500-506`). */
+  def existsIn(df: DataFrame, other: DataFrame, key: String): DataFrame =
+    df.join(other, Seq(key), "left_semi")
+
+  /** P11/J9 — anti-join (orphan cleanup, reference `populate.py:410-413`). */
+  def notIn(df: DataFrame, other: DataFrame, key: String): DataFrame =
+    df.join(other, Seq(key), "left_anti")
+
+  /** A7 — deterministic keep-first dedup (reference `ingest.py:155-159`
+    * `drop_duplicates(keep='first')`). pandas "first" means input order; we
+    * pin an explicit tiebreak ordering so the result is reproducible on any
+    * cluster layout. One shuffle on the key columns.
+    */
+  def dedupFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(new Column(_)): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A6/A8 — "first value per group" with deterministic ordering
+    * (reference pandas `aggfunc='first'`, `database.py:416-427`). */
+  def firstByGroup(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      valueCols: Seq[String]): DataFrame =
+    dedupFirst(df, keyCols, orderCols).select((keyCols ++ valueCols).map(new Column(_)): _*)
+
+  /** V1 — the signature long→wide pivot (reference `database.py:415-421`).
+    * `values` MUST be the pre-resolved, sorted pivot domain: pandas sorts
+    * pivot columns lexicographically and an explicit list keeps the Spark
+    * schema deterministic AND skips the extra distinct-collect job.
+    * `cellAgg` defaults to max (deterministic); the reference's 'first' is
+    * only reproducible when (key, pivotCol) is unique — which its unique
+    * archive constraint guarantees. */
+  def pivotWide(df: DataFrame, keyCols: Seq[String], pivotCol: String,
+      values: Seq[String], valueCol: String,
+      cellAgg: Column => Column = max): DataFrame =
+    df.groupBy(keyCols.map(new Column(_)): _*)
+      .pivot(pivotCol, values)
+      .agg(cellAgg(new Column(valueCol)))
+
+  /** A3 — scalar-subquery comparison (reference `database.py:95`): rows whose
+    * column equals the global aggregate. Implemented as a broadcast
+    * cross-join with the 1-row aggregate, not a driver collect. */
+  def whereEqualsGlobalAgg(df: DataFrame, valueCol: String, agg: Column): DataFrame = {
+    val scalar = df.agg(agg.as("__agg"))
+    df.join(broadcast(scalar), new Column(valueCol) === col("__agg")).drop("__agg")
+  }
+
+  /** O-family — deterministic top-k: total order via explicit tiebreak. */
+  def topK(df: DataFrame, k: Int, orderCols: Column*): DataFrame =
+    df.orderBy(orderCols: _*).limit(k)
+}
