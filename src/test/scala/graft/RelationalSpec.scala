@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("timeRange is inclusive on both ends") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"))
+    val got = Relational.timeRange(df, "ts",
+      Some("2024-01-01 00:00:00"), Some("2024-01-02 00:00:00")).count()
+    assert(got === 2)
+    assert(Relational.timeRange(df, "ts", None, None).count() === 3)
+    assert(Relational.timeRange(df, "ts", Some("2024-01-03 00:00:00"), None).count() === 1)
+  }
+
+  test("dedupFirst keeps exactly one row per key, deterministically") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, "b", 2.0), (1, "a", 1.0), (2, "c", 3.0)).toDF("k", "ord", "v")
+    val out = Relational.dedupFirst(df, Seq("k"), Seq(col("ord"))).orderBy("k").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "c"))
+  }
+
+  test("pivotWide produces one column per pivot value with NULL fill") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(("t1", "a", 1.0), ("t1", "b", 2.0), ("t2", "a", 3.0))
+      .toDF("ts", "attr", "value")
+    val out = Relational.pivotWide(df, Seq("ts"), "attr", Seq("a", "b"), "value")
+      .orderBy("ts").collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(1) === 1.0 && out(0).getDouble(2) === 2.0)
+    assert(out(1).getDouble(1) === 3.0 && out(1).isNullAt(2))
+  }
+
+  test("semiJoinFilter equals inList on the same key set") {
+    val part = Tables.part(spark, sfDir)
+    val keys = part.select("p_partkey").limit(10)
+    val a = Relational.semiJoinFilter(part, keys, "p_partkey").count()
+    val ids = keys.collect().map(_.getLong(0)).toSeq
+    val b = Relational.inList(part, "p_partkey", ids).count()
+    assert(a === b)
+  }
+
+  test("whereEqualsGlobalAgg matches driver-side computation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val mx = li.agg(max("l_quantity")).head().getDouble(0)
+    val got = Relational.whereEqualsGlobalAgg(li, "l_quantity", max(col("l_quantity")))
+    assert(got.count() === li.filter(col("l_quantity") === mx).count())
+  }
+
+  test("topK returns k rows in total order") {
+    val o = Tables.orders(spark, sfDir)
+    val got = Relational.topK(o.select("o_orderkey", "o_totalprice"), 5,
+      col("o_totalprice").desc, col("o_orderkey")).collect()
+    assert(got.length === 5)
+    val prices = got.map(_.getDouble(1)).toSeq
+    assert(prices === prices.sorted.reverse)
+  }
+
+  test("broadcast dim join plans a BroadcastHashJoin (no fact shuffle)") {
+    val c = Tables.customer(spark, sfDir).withColumnRenamed("c_nationkey", "n_nationkey")
+    val plan = Relational.dimJoin(c, Tables.nation(spark, sfDir), "n_nationkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
