@@ -4,9 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.model.Tables
-import graft.ops.Relational
+import graft.dedup.Dedup
 import graft.formula.Formula
+import graft.model.Tables
+import graft.multimodal.Multimodal
+import graft.ops.Relational
+import graft.sim.Similarity
+import graft.text.TextOps
 import graft.tree.Hierarchy
 
 /** Driver contract — one `queries` entry (plus a DuckDB `oracleSql` twin)
@@ -249,7 +253,83 @@ object SparkEntry {
         col("event_id"),
         regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"),
         expr("try_cast(props AS double)").as("bad"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // ---- §7.1.8 text analysis ---------------------------------------------
+    "t_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "t_quality" -> ((s, d) => {
+      val feats = TextOps.qualityFeatures(col("text"))
+        .map { case (n, c) => c.as(n) }
+      Tables.documents(s, d)
+        .select(col("doc_id") +: feats :+ TextOps.qualityScore(col("text")).as("score"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "t_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "t_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextOps.fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- §7.1.8 dedup ----------------------------------------------------
+    "d_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    "d_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 0.9)
+        .orderBy("id_a", "id_b")),
+
+    "d_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")),
+
+    "d_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshCandidates(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")),
+
+    "d_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "d_embed_near" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
+        .orderBy("id_a", "id_b")),
+
+    // ---- §7.1.8 similarity search -----------------------------------------
+    "s_knn_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
+    // ANN path: probabilistic recall — no SQL oracle (driver rows-only
+    // check); recall floor asserted in SimilaritySpec.
+    "s_knn_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
+    // ---- §7.1.8 multimodal -------------------------------------------------
+    "m_media_meta" -> ((s, d) =>
+      Multimodal.metaQuery(Tables.documents(s, d))
+        .orderBy("media_id")),
+
+    "m_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
+        .orderBy("media_id", "frame_offset"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +476,80 @@ object SparkEntry {
 
     "f8_coerce" ->
       ("SELECT event_id, CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k, " +
-        "TRY_CAST(props AS DOUBLE) AS bad FROM events ORDER BY event_id")
+        "TRY_CAST(props AS DOUBLE) AS bad FROM events ORDER BY event_id"),
+
+    "t_token_count" ->
+      (s"SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS INTEGER) AS ws_tokens, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.BpeRe}')) AS INTEGER) AS bpe_tokens " +
+        "FROM documents ORDER BY doc_id"),
+
+    "t_quality" -> {
+      val f = TextOps.qualityFeaturesSql("text")
+      val cols = Seq("n_chars", "n_tokens", "stop_ratio", "punct_ratio", "mean_tok_len")
+        .map(n => s"${f(n)} AS $n").mkString(", ")
+      s"SELECT doc_id, $cols, ${TextOps.qualityScoreSql("text")} AS score " +
+        "FROM documents ORDER BY doc_id"
+    },
+
+    "t_langid" ->
+      (s"SELECT doc_id, lang, ${TextOps.langIdSql("text")} AS lang_pred " +
+        "FROM documents ORDER BY doc_id"),
+
+    "t_fingerprint" ->
+      (s"SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"),
+
+    "d_exact" ->
+      ("SELECT doc_id, n_chars FROM (" +
+        "SELECT doc_id, n_chars, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+
+    "d_jaccard" -> {
+      val toks = TextOps.tokensSql("text")
+      s"WITH uniq AS (SELECT DISTINCT doc_id, lang, source, unnest($toks) AS tok FROM documents), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM uniq GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.9 " +
+        "ORDER BY id_a, id_b"
+    },
+
+    "d_minhash_sig" ->
+      (s"SELECT * FROM (${Dedup.minhashSignaturesSql("documents", "doc_id", "text", 3)}) ORDER BY doc_id"),
+
+    "d_minhash_lsh" ->
+      (s"SELECT * FROM (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}) ORDER BY id_a, id_b"),
+
+    "d_simhash" ->
+      (s"SELECT * FROM (${Dedup.simhashSql("documents", "doc_id", "text")}) ORDER BY doc_id"),
+
+    "d_embed_near" ->
+      (s"SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${Similarity.cosineSql("a.embedding", "b.embedding", 64)} AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        s"WHERE ${Similarity.cosineSql("a.embedding", "b.embedding", 64)} >= 0.4 " +
+        "ORDER BY id_a, id_b"),
+
+    "s_knn_brute" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        s"${Similarity.cosineSql("q_vec", "e.embedding", 64)} AS cos " +
+        "FROM embeddings e JOIN q ON query_id <> e.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, cos, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "m_media_meta" ->
+      ("SELECT doc_id AS media_id, 'text' AS kind, " +
+        "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, source AS tag, " +
+        "CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte " +
+        "FROM documents ORDER BY media_id"),
+
+    "m_frame_sample" ->
+      ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
+        "FROM documents ORDER BY media_id, frame_offset")
   )
 }

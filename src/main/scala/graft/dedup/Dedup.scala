@@ -1,0 +1,193 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design (the 100 TB shapes):
+  *  - exact: one hash-shuffle on the key — the cheapest possible dedup.
+  *  - jaccardPairs: inverted-index join (explode shingle → equi-join on
+  *    shingle) — NEVER a cross join; optional block columns bound the
+  *    candidate space the way sharding keys do in production dedup.
+  *  - minhashLsh: constant-size signatures (K hashes) per doc, band
+  *    equi-join on (band, band-signature) buckets — candidate generation
+  *    is linear in docs + bucket collisions, the textbook MinHash-LSH plan.
+  *  - simhash: one 32-bit int per doc from one explode+sum aggregation;
+  *    near-dup = small hamming distance.
+  *  - embeddingNearDup: block-keyed self-join; the unblocked scale path
+  *    is [[graft.sim.Similarity.lshBuckets]] hyperplane prefiltering.
+  *
+  * Hash arithmetic is shared with [[TextOps]] so every operator has a
+  * bit-identical DuckDB oracle twin.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized text key.
+    * One shuffle; at 100 TB prefer hashing the key first (`xxhash64`)
+    * so the shuffle key is 8 bytes, not the document. */
+  def exact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct (doc, token) pairs — the inverted-index input. */
+  def docTokens(df: DataFrame, idCol: String, textCol: String, extraCols: Seq[String]): DataFrame =
+    df.select((idCol +: extraCols).map(col) :+
+        explode(TextOps.tokens(col(textCol))).as("tok"): _*)
+      .distinct()
+
+  /** N-gram (token shingle) array, n consecutive tokens joined by ' '. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = TextOps.tokens(textCol)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array())
+  }
+  def shinglesSql(text: String, n: Int): String = {
+    val toks = TextOps.tokensSql(text)
+    val parts = (0 until n).map(k => s"($toks)[i + $k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $n THEN " +
+      s"list_transform(range(1, len($toks) - ${n - 1} + 1), i -> $parts) " +
+      s"ELSE [] END"
+  }
+
+  /** Unigram-Jaccard near-dup pairs via inverted index, optionally
+    * blocked. Output: (id_a, id_b, common, n_a, n_b, jaccard >= threshold).
+    * Jaccard is a single double division of exact ints — engine-exact. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val dt = docTokens(df, idCol, textCol, blockCols).cache()
+    val sizes = dt.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val common = dt.as("a").join(dt.as("b"), joinKeys)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("n").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("n").as("n_b"))), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** K permutation-hash parameters (a, b): h_i(x) = (a_i*x + b_i) mod P.
+    * Fixed small primes — shared verbatim with the SQL oracle. */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (2L, 7L), (3L, 13L), (5L, 29L), (7L, 41L),
+    (11L, 59L), (13L, 73L), (17L, 97L), (19L, 113L))
+  val BandSize = 2 // 4 bands of 2 rows each
+
+  /** Per-doc MinHash signature over n-gram shingles: columns m0..m{K-1}.
+    * One explode + one hash-aggregate — linear, no pairwise work. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh")).distinct()
+      .withColumn("h", TextOps.tokenHash("sh"))
+    val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % TextOps.P).as(s"m$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * Spark plan: explode signatures into (band, k1..kB) rows, self-join on
+    * the band bucket — candidates scale with bucket collisions, not n². */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n)
+    val nBands = MinhashParams.size / BandSize
+    val bands = (0 until nBands).map { b =>
+      val keys = (0 until BandSize).map(k => col(s"m${b * BandSize + k}"))
+      sig.select(Seq(col(idCol), lit(b).as("band")) ++ keys: _*)
+        .toDF(Seq(idCol, "band") ++ (0 until BandSize).map(k => s"k$k"): _*)
+    }.reduce(_ unionByName _)
+    val joinCond = col(s"a.band") === col(s"b.band") &&
+      (0 until BandSize).map(k => col(s"a.k$k") === col(s"b.k$k")).reduce(_ && _) &&
+      col(s"a.$idCol") < col(s"b.$idCol")
+    bands.as("a").join(bands.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Oracle twin for [[minhashSignatures]]: same arithmetic as SQL. */
+  def minhashSignaturesSql(table: String, idCol: String, textCol: String, n: Int): String = {
+    val mins = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${TextOps.P}) AS m$i"
+    }.mkString(", ")
+    s"""WITH __sh AS (
+       |  SELECT DISTINCT $idCol, unnest(${shinglesSql(textCol, n)}) AS sh FROM $table
+       |), __h AS (
+       |  SELECT $idCol, ${TextOps.tokenHashSql("sh")} AS h FROM __sh
+       |)
+       |SELECT $idCol, $mins FROM __h GROUP BY $idCol""".stripMargin
+  }
+
+  /** Oracle twin for [[minhashLshCandidates]]: O(n²) band-equality
+    * formulation (fine at oracle scale; the Spark plan is the LSH one). */
+  def minhashLshCandidatesSql(table: String, idCol: String, textCol: String, n: Int): String = {
+    val nBands = MinhashParams.size / BandSize
+    val bandEq = (0 until nBands).map { b =>
+      (0 until BandSize).map(k => s"sa.m${b * BandSize + k} = sb.m${b * BandSize + k}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH __sig AS (${minhashSignaturesSql(table, idCol, textCol, n)})
+       |SELECT sa.$idCol AS id_a, sb.$idCol AS id_b
+       |FROM __sig sa JOIN __sig sb ON sa.$idCol < sb.$idCol AND ($bandEq)""".stripMargin
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per doc over distinct tokens: bit b of the result is
+    * 1 iff more token-hashes have bit b set than cleared. One explode +
+    * one aggregation with 32 conditional sums — linear and codegen'd. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .distinct()
+      .withColumn("h", TextOps.tokenHash("tok"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    dt.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until SimhashBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  def simhashSql(table: String, idCol: String, textCol: String): String = {
+    val bitSums = (0 until SimhashBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val recombine = (0 until SimhashBits).map { b =>
+      s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH __dt AS (
+       |  SELECT DISTINCT $idCol, unnest(${TextOps.tokensSql(textCol)}) AS tok FROM $table
+       |), __h AS (
+       |  SELECT $idCol, ${TextOps.tokenHashSql("tok")} AS h FROM __dt
+       |), __s AS (
+       |  SELECT $idCol, $bitSums FROM __h GROUP BY $idCol
+       |)
+       |SELECT $idCol, $recombine AS simhash FROM __s""".stripMargin
+  }
+
+  /** Near-dup pairs by SimHash hamming distance within blocks. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    sh.as("a").join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
+  }
+}

