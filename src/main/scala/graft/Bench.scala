@@ -10,11 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // absorb JVM/codegen/parquet-reader init outside the timed region —
+    // otherwise whichever query runs first is charged ~30s of warmup
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val n = try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"BENCHFAIL $name: $e"); -1L
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"BENCHQ $name rows=$n%d sec=$dt%.2f")
+      // queries are independent measurements: drop any cache/persist the
+      // operator pinned so it doesn't distort later queries' memory
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

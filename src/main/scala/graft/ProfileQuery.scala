@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time individual SparkEntry queries in a warm JVM.
+  *
+  * {{{ sbt "runMain graft.ProfileQuery /root/testdata/sf0.1 s_knn_lsh d_minhash_sig" }}}
+  *
+  * Pass `--explain` as a query name to also print each plan
+  * (`explain("formatted")`) before timing it.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val rest = args.drop(1)
+    val explain = rest.contains("--explain")
+    val names = rest.filterNot(_ == "--explain") match {
+      case Array() => SparkEntry.queries.keys.toSeq.sorted
+      case qs      => qs.toSeq
+    }
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup: JVM + codegen + parquet reader init
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (explain) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = try df.count() catch {
+        case e: Throwable => println(s"ERR $name ${e.getMessage.take(120)}"); -1L
+      }
+      println(f"PROF $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

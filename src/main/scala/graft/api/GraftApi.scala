@@ -1,0 +1,142 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.ops.Relational
+import graft.tree.Hierarchy
+
+/** Engine facade mirroring the reference's HTTP API surface — the 16
+  * routes of `database/web_app.py:47-488` plus the vestigial generic
+  * table export of `database/routes.py:32-96` (whose backing functions
+  * never existed in the reference; the intended semantics come from
+  * `database/templates/export.html:24-76`). The HTTP layer itself is a
+  * serving concern; each method here returns the DataFrame/result the
+  * route would serialize.
+  */
+final class GraftApi(spark: SparkSession, root: String) {
+
+  def catalog(database: String): Catalog = new Catalog(spark, root, database)
+
+  // GET /api/databases (web_app.py:57-67): config sections -> namespaces
+  def databases(): Seq[String] = {
+    val dirs = new java.io.File(root).listFiles()
+    if (dirs == null) Seq.empty
+    else dirs.filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  // GET /api/elements/<db> (web_app.py:70-84): leaf elements, name-sorted
+  // (reference-P6 semantics, database.py:92-97)
+  def leafElements(db: String): DataFrame =
+    Hierarchy.leavesReferenceSemantics(catalog(db).elements).orderBy("name")
+
+  // GET /api/elements/all/<db> (web_app.py:225-239): full hierarchy listing
+  def allElements(db: String): DataFrame =
+    catalog(db).elements.orderBy("level", "element_id")
+
+  // GET /api/attributes/<db>/<element_id> (web_app.py:87-112): one
+  // element's attributes + archive time range (database.py:335-354,435-450)
+  def elementAttributes(db: String, elementId: Int): DataFrame =
+    catalog(db).attributes.filter(col("element_id") === elementId).orderBy("name")
+
+  def attributeTimeRange(db: String, attributeIds: Seq[Int]): DataFrame =
+    catalog(db).archive.filter(col("attribute_id").isin(attributeIds: _*))
+      .agg(min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
+
+  // GET /api/attributes/all/<db> (web_app.py:242-257): attributes joined
+  // with their element (J1, database.py:288-306)
+  def allAttributes(db: String): DataFrame = {
+    val c = catalog(db)
+    c.attributes.join(broadcast(c.elements.select(col("element_id"),
+        col("name").as("element_name"))), Seq("element_id"))
+      .orderBy("element_name", "name")
+  }
+
+  // POST /api/download (web_app.py:115-186): THE export query (§3.1).
+  // Multi-element export groups by (element_name, timestamp) — the
+  // intended semantics, not the reference's arbitrary-label bug (§2.8 V2).
+  def export(db: String, elementIds: Seq[Int],
+      start: Option[String], end: Option[String]): DataFrame = {
+    val c = catalog(db)
+    val attrs = c.attributes.filter(col("element_id").isin(elementIds: _*))
+      .join(broadcast(c.elements.select(col("element_id"), col("name").as("element_name"))),
+        Seq("element_id"))
+      .select(col("attribute_id"), col("name").as("attribute_name"), col("element_name"))
+    val attrNames = attrs.select("attribute_name").distinct()
+      .collect().map(_.getString(0)).sorted // deterministic pivot schema (§7.4-1)
+    val scan = Relational.timeRange(c.archive, "timestamp", start, end)
+      .join(broadcast(attrs), Seq("attribute_id"))
+    val keys = if (elementIds.sizeIs > 1) Seq("element_name", "timestamp") else Seq("timestamp")
+    Relational.pivotWide(scan, keys, "attribute_name", attrNames, "value",
+        cellAgg = c => first(c, ignoreNulls = true))
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Export sinks (S5/S6): CSV/parquet with the reference's timestamped
+    * naming (`web_app.py:167-175`). */
+  def writeExport(df: DataFrame, outDir: String, baseName: String, format: String): String = {
+    val fname = s"$outDir/$baseName.$format"
+    format match {
+      case "csv" => df.coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(fname)
+      case "parquet" => df.write.mode("overwrite").parquet(fname)
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+    fname
+  }
+
+  // POST /api/lookup (web_app.py:423-488): exact when no wildcard,
+  // ILIKE pattern otherwise (database.py:218-306)
+  def lookup(db: String, kind: String, name: String): DataFrame = {
+    val c = catalog(db)
+    val (df, nameCol) = kind match {
+      case "element" => (c.elements, "name")
+      case "attribute" => (allAttributes(db), "name")
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+    if (name.contains("%")) Relational.ilike(df, nameCol, name).orderBy(nameCol)
+    else df.filter(col(nameCol) === name)
+  }
+
+  // POST /api/element/insert, /api/attribute/insert, deletes, update
+  // (web_app.py:260-313, 335-420) — thin passthroughs to the catalog DML
+  def insertElement(db: String, name: String, level: Int, parentId: Option[Int]): Int =
+    catalog(db).insertElement(name, level, parentId)
+  def insertAttribute(db: String, elementId: Int, name: String,
+      kks: Option[String], formula: Option[String]): Int =
+    catalog(db).insertAttribute(elementId, name, kks, formula)
+  def deleteElement(db: String, id: Int): (Long, Long) = catalog(db).deleteElement(id)
+  def deleteAttribute(db: String, id: Int): Long = catalog(db).deleteAttribute(id)
+  def updateAttribute(db: String, id: Int, name: Option[String],
+      kks: Option[String], formula: Option[String]): Unit =
+    catalog(db).updateAttribute(id, name, kks, formula)
+
+  // POST /api/update-cache/<db> (web_app.py:316-332): rebuild path->id
+  // mapping artifacts (M7)
+  def updateCacheMappings(db: String): (DataFrame, DataFrame) =
+    (catalog(db).elementPathMapping, catalog(db).attributePathMapping())
+
+  // routes.py /export (routes.py:32-96 + export.html:24-76): generic
+  // table export with none | BETWEEN time-range | exact-match filters
+  def exportTable(db: String, table: String,
+      filterCol: Option[String] = None,
+      between: Option[(String, String)] = None,
+      exact: Option[String] = None): DataFrame = {
+    val c = catalog(db)
+    val df = table match {
+      case "element" => c.elements
+      case "attribute" => c.attributes
+      case "archive" => c.archive
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
+    (filterCol, between, exact) match {
+      case (Some(fc), Some((lo, hi)), _) =>
+        val t = df.schema(fc).dataType
+        df.filter(col(fc).between(lit(lo).cast(t), lit(hi).cast(t)))
+      case (Some(fc), _, Some(v)) =>
+        df.filter(col(fc) === lit(v).cast(df.schema(fc).dataType))
+      case _ => df
+    }
+  }
+}

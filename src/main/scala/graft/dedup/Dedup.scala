@@ -99,22 +99,26 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature.
-    * Spark plan: explode signatures into (band, k1..kB) rows, self-join on
-    * the band bucket — candidates scale with bucket collisions, not n². */
+    * Spark plan: ONE signature computation (persisted — a self-join over
+    * the unpersisted pipeline would re-run the shingle explode + hash agg
+    * once per band per side), exploded to (band, k0..kB) rows in a single
+    * pass, then an equi-join on the band bucket — candidates scale with
+    * bucket collisions, not n². */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n)
     val nBands = MinhashParams.size / BandSize
-    val bands = (0 until nBands).map { b =>
-      val keys = (0 until BandSize).map(k => col(s"m${b * BandSize + k}"))
-      sig.select(Seq(col(idCol), lit(b).as("band")) ++ keys: _*)
-        .toDF(Seq(idCol, "band") ++ (0 until BandSize).map(k => s"k$k"): _*)
-    }.reduce(_ unionByName _)
-    val joinCond = col(s"a.band") === col(s"b.band") &&
-      (0 until BandSize).map(k => col(s"a.k$k") === col(s"b.k$k")).reduce(_ && _) &&
-      col(s"a.$idCol") < col(s"b.$idCol")
-    bands.as("a").join(bands.as("b"), joinCond)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until BandSize).map(k => col(s"m${b * BandSize + k}").as(s"k$k")): _*)
+    }: _*)
+    val keyCols = Seq("band") ++ (0 until BandSize).map(k => s"k$k")
+    val bands = sig.select(col(idCol), explode(bandStructs).as("bs"))
+      .select(col(idCol) +: keyCols.map(k => col(s"bs.$k")): _*)
+      .persist()
+    val a = bands.select(col(idCol).as("id_a") +: keyCols.map(col): _*)
+    val b = bands.select(col(idCol).as("id_b") +: keyCols.map(col): _*)
+    a.join(b, keyCols).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** Oracle twin for [[minhashSignatures]]: same arithmetic as SQL. */

@@ -42,9 +42,13 @@ object Similarity {
     * tie-break on vec_id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are per-VECTOR, not per-pair: compute once on each side (the
+    // result is bit-identical to per-pair sqrt(dot(v,v)) — same fold)
+    val c = corpus.withColumn("c_norm", sqrt(dot(vecCol, vecCol, dim)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus.join(broadcast(q), col("query_id") =!= col(idCol))
-      .withColumn("cos", cosine("q_vec", vecCol, dim))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+    val scored = c.join(broadcast(q), col("query_id") =!= col(idCol))
+      .withColumn("cos", dot("q_vec", vecCol, dim) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -79,16 +83,25 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nPlanes: Int = 4, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // all tables' buckets + the norm in ONE persisted pass over each side:
+    // without this, every table's join would re-evaluate the projection
+    // (and recompile its 256-term bucket expression) from scratch
+    def withBuckets(df: DataFrame, vc: String): DataFrame =
+      (0 until nTables).foldLeft(df) { (d, t) =>
+        d.withColumn(s"bucket$t", lshBucket(vc, hyperplanes(nPlanes, dim, seed = 42L + t)))
+      }.persist()
+    val cb = withBuckets(corpus.withColumn("c_norm", sqrt(dot(vecCol, vecCol, dim))), vecCol)
+    val qb = withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim))), "q_vec")
     val candidates = (0 until nTables).map { t =>
-      val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
-      val cb = corpus.withColumn("bucket", lshBucket(vecCol, planes))
-      val qb = q.withColumn("bucket", lshBucket("q_vec", planes))
       cb.join(broadcast(qb),
-          cb("bucket") === qb("bucket") && qb("query_id") =!= cb(idCol))
-        .select(col("query_id"), cb(idCol).as("neighbor_id"), col("q_vec"), col(vecCol).as("c_vec"))
+          cb(s"bucket$t") === qb(s"bucket$t") && qb("query_id") =!= cb(idCol))
+        .select(col("query_id"), cb(idCol).as("neighbor_id"),
+          col("q_vec"), col(vecCol).as("c_vec"), col("q_norm"), col("c_norm"))
     }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cos", cosine("q_vec", "c_vec", dim))
+    val scored = candidates.withColumn("cos",
+      dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -99,10 +112,13 @@ object Similarity {
     * [[graft.dedup.Dedup]] scale notes): cosine >= threshold. */
   def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // precompute per-vector norms before the pair join (see bruteForceTopK)
+    val n = df.select(col(blockCol), col(idCol), col(vecCol))
+      .withColumn("norm", sqrt(dot(vecCol, vecCol, dim)))
+    val a = n.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("va"), col("norm").as("na"))
+    val b = n.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vb"), col("norm").as("nb"))
     a.join(b, Seq(blockCol)).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine("va", "vb", dim))
+      .withColumn("cos", dot("va", "vb", dim) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.formula.Formula
+import graft.ingest.Ingest
+
+/** Streaming ingest + trigger-equivalent derived-attribute maintenance
+  * (SURVEY.md §2.9 T1-T5).
+  *
+  * The reference computes derived attributes with a generated PostgreSQL
+  * AFTER-INSERT trigger per formula (reference `database/database.py:
+  * 644-743`): on each archive row, if all source values for that
+  * timestamp exist, upsert the derived row. Spark-first replacement: a
+  * Structured Streaming query whose `foreachBatch` (a) appends the
+  * coerced batch to the archive and (b) recomputes every formula at
+  * exactly the timestamps the batch touched — same incremental-view
+  * semantics, but set-at-a-time (one pivot per formula per batch)
+  * instead of row-at-a-time trigger firings.
+  *
+  * Late data / re-delivery (T5): recompute-then-overwrite of the
+  * affected (derived_id, timestamp) keys = the reference's ON CONFLICT
+  * DO UPDATE last-write-wins.
+  */
+object DerivedStream {
+
+  /** One formula registration — the derived "trigger" catalog row
+    * (replaces pg_proc sniffing, `database.py:991-1005`). */
+  final case class DerivedDef(attributeId: Int, formula: String)
+
+  /** T4 set-at-a-time recompute: derived rows for exactly the
+    * timestamps present in `batch`, evaluated over `archive` (which must
+    * already include the batch). NULL gate = trigger's all-sources
+    * check; one scan-filter + pivot per formula, no per-row work. */
+  def derivedForBatch(archive: DataFrame, batch: DataFrame, d: DerivedDef): DataFrame = {
+    val ids = Formula.refs(d.formula)
+    val touched = batch
+      .filter(col("attribute_id").isin(ids: _*))
+      .select("timestamp").distinct()
+    Formula.backfill(
+      archive.join(broadcast(touched), Seq("timestamp"), "left_semi"),
+      d.formula, d.attributeId)
+  }
+
+  /** Upsert semantics without a transactional store: drop the affected
+    * keys from `existing`, union the recomputed rows (last write wins —
+    * T5). Returns the new full derived table for those attributes. */
+  def upsert(existing: DataFrame, recomputed: DataFrame): DataFrame = {
+    val keys = recomputed.select("attribute_id", "timestamp")
+    existing.join(keys, Seq("attribute_id", "timestamp"), "left_anti")
+      .unionByName(recomputed)
+  }
+
+  /** Wire a streaming source of raw points into an archive directory,
+    * maintaining derived attributes per micro-batch. The sink layout is
+    * a date-partitioned parquet append — idempotency comes from T3 dedup
+    * inside [[Ingest.coerceBatch]] plus checkpointed offsets.
+    *
+    * At deployment scale the source would be a DataSourceV2
+    * MicroBatchStream over the PI Web API (`/streamsets/.../interpolated`
+    * batches); here any streaming DataFrame with the raw schema
+    * (lookup_key, timestamp, value — all strings) plugs in.
+    */
+  def start(
+      raw: DataFrame,
+      mapping: DataFrame,
+      derived: Seq[DerivedDef],
+      archivePath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = raw.sparkSession
+    raw.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batchRaw: DataFrame, _: Long) =>
+        val batch = Ingest.coerceBatch(batchRaw, mapping).cache()
+        batch.write.mode("append").parquet(archivePath)
+        if (derived.nonEmpty) {
+          val archive = spark.read.parquet(archivePath)
+          val recomputed = derived.map(d => derivedForBatch(archive, batch, d))
+            .reduce(_ unionByName _)
+          recomputed.write.mode("append").parquet(archivePath)
+        }
+        batch.unpersist()
+        ()
+      }
+      .start()
+  }
+}

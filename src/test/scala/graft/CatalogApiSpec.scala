@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftApi
+import graft.catalog.Catalog
+
+class CatalogApiSpec extends SparkSpec {
+
+  private def freshApi(): (GraftApi, Catalog) = {
+    val root = Files.createTempDirectory("graft_cat").toString
+    val api = new GraftApi(spark, root)
+    (api, api.catalog("site1"))
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("full DML lifecycle: insert elements/attributes, archive, derived, update, delete") {
+    val (_, cat) = freshApi()
+
+    // M1: ids are assigned monotonically
+    val plant = cat.insertElement("Plant", level = 0)
+    val unit = cat.insertElement("Unit1", level = 1, parentId = Some(plant))
+    assert(plant === 1 && unit === 2)
+
+    // M2: source attributes
+    val temp = cat.insertAttribute(unit, "temp", kks = Some("10ABC"))
+    val press = cat.insertAttribute(unit, "press")
+    assert(Seq(temp, press) === Seq(1, 2))
+
+    val sess = spark
+    import sess.implicits._
+    cat.appendArchive(Seq(
+      (temp, ts("2024-01-01 00:00:00"), 10.0),
+      (temp, ts("2024-01-01 00:01:00"), 20.0),
+      (press, ts("2024-01-01 00:00:00"), 2.0)
+    ).toDF("attribute_id", "timestamp", "value"))
+
+    // M2 derived: backfill on insert, NULL gate at 00:01
+    val mean = cat.insertAttribute(unit, "mean", formula = Some(s"($$$temp + $$$press) / 2"))
+    val derived = cat.archive.filter(col("attribute_id") === mean).collect()
+    assert(derived.length === 1 && derived(0).getDouble(2) === 6.0)
+
+    // M3: guarded update + recompute
+    intercept[IllegalArgumentException](cat.updateAttribute(temp, formula = Some("$1")))
+    cat.updateAttribute(mean, formula = Some(s"$$$temp * 2"))
+    val recomputed = cat.archive.filter(col("attribute_id") === mean)
+      .orderBy("timestamp").collect().map(_.getDouble(2)).toSeq
+    assert(recomputed === Seq(20.0, 40.0))
+
+    // M5: delete attribute cascades archive rows
+    val removed = cat.deleteAttribute(mean)
+    assert(removed === 2)
+    assert(cat.archive.filter(col("attribute_id") === mean).isEmpty)
+
+    // M4: delete element cascades attributes + archive
+    val (nAttrs, nArch) = cat.deleteElement(unit)
+    assert(nAttrs === 2 && nArch === 3)
+    assert(cat.attributes.isEmpty)
+  }
+
+  test("M6 repopulate preserves archive across id changes and cleans orphans") {
+    val (_, cat) = freshApi()
+    val root = cat.insertElement("Root")
+    val a = cat.insertElement("A", 1, Some(root))
+    val attrA = cat.insertAttribute(a, "t1")
+    val sess = spark
+    import sess.implicits._
+    cat.appendArchive(Seq((attrA, ts("2024-01-01 00:00:00"), 1.5))
+      .toDF("attribute_id", "timestamp", "value"))
+
+    // new tree: same paths but different ids, plus A's attr id shifts 1->7
+    val newElems = Seq((0, 5, "Root", None: Option[Int]), (1, 6, "A", Some(5)))
+      .toDF("level", "element_id", "name", "parent_id")
+    val newAttrs = Seq((6, 7, "t1", None: Option[String], None: Option[String]))
+      .toDF("element_id", "attribute_id", "name", "kks", "formula")
+    cat.repopulate(newElems, newAttrs)
+
+    val arch = cat.archive.collect()
+    assert(arch.length === 1)
+    assert(arch(0).getInt(0) === 7) // remapped via path equality
+    assert(arch(0).getDouble(2) === 1.5)
+  }
+
+  test("api: export pivots selected elements with deterministic columns") {
+    val (api, cat) = freshApi()
+    val e1 = cat.insertElement("E1")
+    val t1 = cat.insertAttribute(e1, "b_attr")
+    val t2 = cat.insertAttribute(e1, "a_attr")
+    val sess = spark
+    import sess.implicits._
+    cat.appendArchive(Seq(
+      (t1, ts("2024-01-01 00:00:00"), 1.0),
+      (t2, ts("2024-01-01 00:00:00"), 2.0),
+      (t1, ts("2024-01-01 00:01:00"), 3.0)
+    ).toDF("attribute_id", "timestamp", "value"))
+
+    val out = api.export("site1", Seq(e1), None, None)
+    assert(out.columns.toSeq === Seq("timestamp", "a_attr", "b_attr")) // sorted pivot
+    val rows = out.collect()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(2) === 1.0 && rows(0).getDouble(1) === 2.0)
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) === 3.0)
+
+    // time-ranged export prunes
+    assert(api.export("site1", Seq(e1), Some("2024-01-01 00:01:00"), None).count() === 1)
+  }
+
+  test("api: lookup exact vs wildcard, generic table export filters") {
+    val (api, cat) = freshApi()
+    cat.insertElement("Boiler")
+    cat.insertElement("Turbine")
+    assert(api.lookup("site1", "element", "Boiler").count() === 1)
+    assert(api.lookup("site1", "element", "%i%").count() === 2)
+
+    val sess = spark
+    import sess.implicits._
+    cat.appendArchive(Seq(
+      (1, ts("2024-01-01 00:00:00"), 1.0),
+      (1, ts("2024-01-02 00:00:00"), 2.0)).toDF("attribute_id", "timestamp", "value"))
+    assert(api.exportTable("site1", "archive").count() === 2)
+    assert(api.exportTable("site1", "archive", Some("timestamp"),
+      between = Some(("2024-01-01 00:00:00", "2024-01-01 12:00:00"))).count() === 1)
+    assert(api.exportTable("site1", "archive", Some("attribute_id"),
+      exact = Some("1")).count() === 2)
+    assert(api.databases() === Seq("site1"))
+  }
+}

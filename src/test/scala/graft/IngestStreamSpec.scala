@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+import graft.streaming.DerivedStream
+import graft.streaming.DerivedStream.DerivedDef
+
+class IngestStreamSpec extends SparkSpec {
+
+  private def mapping = {
+    val sess = spark
+    import sess.implicits._
+    Seq(("\\\\AF\\Plant\\U1|temp", 1), ("\\\\AF\\Plant\\U1|press", 2))
+      .toDF("lookup_key", "attribute_id")
+  }
+
+  test("coerceBatch: +7h shift, bool/numeric coercion, unmapped drop, dedup") {
+    val sess = spark
+    import sess.implicits._
+    val raw = Seq(
+      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "12.5"),
+      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "99.9"), // dup key: first (12.5) wins
+      ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:00:00", "true"), // bool -> 1.0
+      ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:01:00", "Bad Input"), // coerce -> null
+      ("\\\\AF\\Plant\\Unknown|x", "2024-01-01T00:00:00", "5.0") // unmapped -> dropped
+    ).toDF("lookup_key", "timestamp", "value")
+    val out = Ingest.coerceBatch(raw, mapping)
+      .orderBy("attribute_id", "timestamp").collect()
+    assert(out.length === 3)
+    assert(out(0).getDouble(2) === 12.5)
+    assert(out(0).getAs[java.time.LocalDateTime](1).getHour === 7) // +7h
+    assert(out(1).getDouble(2) === 1.0)
+    assert(out(2).isNullAt(2))
+  }
+
+  test("incrementalStart is max+interval; None on empty archive") {
+    val sess = spark
+    import sess.implicits._
+    val archive = Seq((1, Timestamp.valueOf("2024-01-01 10:30:00"), 1.0))
+      .toDF("attribute_id", "timestamp", "value")
+    assert(Ingest.incrementalStart(archive, 1) ===
+      Some(Timestamp.valueOf("2024-01-01 10:31:00")))
+    assert(Ingest.incrementalStart(archive.filter(lit(false))) === None)
+  }
+
+  test("densityOk and hourlyChunks match reference constants") {
+    assert(Ingest.densityOk(5000, 1))
+    assert(!Ingest.densityOk(4999, 1))
+    val chunks = Ingest.hourlyChunks(
+      Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-01 02:30:00"))
+    assert(chunks.length === 3)
+    assert(chunks(0) === (Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 00:59:00")))
+    assert(chunks(2)._2 === Timestamp.valueOf("2024-01-01 02:30:00"))
+  }
+
+  test("derivedForBatch recomputes only batch-touched timestamps with NULL gate") {
+    val sess = spark
+    import sess.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val archive = Seq(
+      (1, ts("2024-01-01 00:00:00"), 10.0), (2, ts("2024-01-01 00:00:00"), 1.0),
+      (1, ts("2024-01-01 00:01:00"), 20.0), (2, ts("2024-01-01 00:01:00"), 2.0),
+      (1, ts("2024-01-01 00:02:00"), 30.0) // attr 2 missing at 00:02
+    ).toDF("attribute_id", "timestamp", "value")
+    val batch = Seq(
+      (1, ts("2024-01-01 00:01:00"), 20.0),
+      (1, ts("2024-01-01 00:02:00"), 30.0)).toDF("attribute_id", "timestamp", "value")
+    val out = DerivedStream.derivedForBatch(archive, batch, DerivedDef(9, "$1 + $2"))
+      .collect()
+    // 00:00 untouched by batch; 00:02 gated (missing source); only 00:01 emitted
+    assert(out.length === 1)
+    assert(out(0).getInt(0) === 9 && out(0).getDouble(2) === 22.0)
+  }
+
+  test("upsert is last-write-wins on (attribute_id, timestamp)") {
+    val sess = spark
+    import sess.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val existing = Seq((9, ts("2024-01-01 00:00:00"), 5.0), (9, ts("2024-01-01 00:01:00"), 6.0))
+      .toDF("attribute_id", "timestamp", "value")
+    val recomputed = Seq((9, ts("2024-01-01 00:01:00"), 66.0))
+      .toDF("attribute_id", "timestamp", "value")
+    val out = DerivedStream.upsert(existing, recomputed)
+      .orderBy("timestamp").collect().map(_.getDouble(2)).toSeq
+    assert(out === Seq(5.0, 66.0))
+  }
+
+  test("end-to-end stream: micro-batches maintain archive + derived rows") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[(String, String, String)]
+    val raw = mem.toDF.toDF("lookup_key", "timestamp", "value")
+
+    mem.addData(
+      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "10.0"),
+      ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:00:00", "2.0"))
+    val q = DerivedStream.start(raw, mapping, Seq(DerivedDef(9, "$1 * $2")),
+      s"$dir/archive", s"$dir/ckpt")
+    q.awaitTermination(120000)
+
+    val afterBatch1 = spark.read.parquet(s"$dir/archive")
+    assert(afterBatch1.filter(col("attribute_id") === 9).head().getDouble(2) === 20.0)
+
+    // second micro-batch: completes a new timestamp
+    mem.addData(
+      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:01:00", "3.0"),
+      ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:01:00", "4.0"))
+    val q2 = DerivedStream.start(raw, mapping, Seq(DerivedDef(9, "$1 * $2")),
+      s"$dir/archive", s"$dir/ckpt")
+    q2.awaitTermination(120000)
+
+    val derived = spark.read.parquet(s"$dir/archive")
+      .filter(col("attribute_id") === 9).orderBy("timestamp").collect()
+    assert(derived.map(_.getDouble(2)).toSeq === Seq(20.0, 12.0))
+    assert(spark.read.parquet(s"$dir/archive").count() === 6) // 4 source + 2 derived
+  }
+}
