@@ -41,14 +41,23 @@ object Dedup {
         explode(TextOps.tokens(col(textCol))).as("tok"): _*)
       .distinct()
 
-  /** N-gram (token shingle) array, n consecutive tokens joined by ' '. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = TextOps.tokens(textCol)
+  /** N-gram shingle array from an ALREADY-MATERIALIZED token-array
+    * column. `toks` must be a plain column reference, never an inline
+    * `split(...)` expression: every `element_at(toks, i+k)` inside the
+    * transform lambda re-evaluates its subtree, so an inline split makes
+    * shingling O(tokens²) regex work per document (observed as a 10-50×
+    * slowdown on real documents). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array())
-  }
+
+  /** N-gram (token shingle) array, n consecutive tokens joined by ' '.
+    * Only safe on a pre-projected token column — see
+    * [[shinglesFromTokens]]; prefer that entry point. */
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesFromTokens(TextOps.tokens(textCol), n)
   def shinglesSql(text: String, n: Int): String = {
     val toks = TextOps.tokensSql(text)
     val parts = (0 until n).map(k => s"($toks)[i + $k]").mkString(" || ' ' || ")
@@ -90,7 +99,12 @@ object Dedup {
   /** Per-doc MinHash signature over n-gram shingles: columns m0..m{K-1}.
     * One explode + one hash-aggregate — linear, no pairwise work. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh")).distinct()
+    // tokenize in its own projection so the shingle lambda reads a bound
+    // array (CollapseProject keeps the non-cheap multi-referenced split
+    // in a separate project — verified via .explain)
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val sh = toks.select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("sh"))
+      .distinct()
       .withColumn("h", TextOps.tokenHash("sh"))
     val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % TextOps.P).as(s"m$i")

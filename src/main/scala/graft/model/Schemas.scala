@@ -65,6 +65,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Respread a scan whose split count is below the cluster parallelism.
+    *
+    * Per-row-expensive consumers (shingle explodes, char-fold hashes,
+    * 64-dim dot products) serialize on the scan's task count, and a small
+    * parquet file is one split no matter how many cores exist. The rows
+    * being respread are the compact pre-fan-out ones, so the shuffle is
+    * tiny relative to the work it parallelizes. At real scale the scan
+    * already has >= defaultParallelism splits and this is a no-op.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -84,6 +98,6 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000"))
         .cast("timestamp_ntz"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))
 }

@@ -64,15 +64,21 @@ object Similarity {
 
   /** Sign-bucket key: bit p = (v · plane_p) >= 0. 16 planes → 65536
     * buckets; bucket key is a small int, so candidate gen is a plain
-    * equi-join. */
-  def lshBucket(vecCol: String, planes: Array[Array[Double]]): Column = {
-    val dim = planes(0).length
+    * equi-join.
+    *
+    * The per-plane dot is a `zip_with`+`aggregate` fold over a flat
+    * literal array — NOT dim nested `+` nodes. The nested form builds a
+    * plan tree Catalyst re-walks per optimizer pass and codegens into
+    * kilolines; with planes × tables that multiplied into minutes of
+    * pure planning/compilation. Identical arithmetic: the fold seeds
+    * with 0.0 and adds terms in index order, and 0.0 + x == x. */
+  def lshBucket(vecCol: String, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val d = (1 to dim).map(i =>
-        expr(s"double(element_at($vecCol, $i))") * lit(plane(i - 1))).reduce(_ + _)
+      val planeLit = array(plane.map(lit): _*)
+      val prods = zip_with(col(vecCol), planeLit, (x, y) => x.cast("double") * y)
+      val d = aggregate(prods, lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** ANN top-k with L independent hash tables: a corpus vector is a
     * candidate if it shares a bucket with the query in ANY table (the
