@@ -151,6 +151,15 @@ object SparkEntry {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // J9: ids referenced by a formula that don't exist in the archive —
+    // set-difference validation (reference database.py:567-577)
+    "j9_formula_refs" -> ((s, d) => {
+      import s.implicits._
+      Formula.refs("$1 + $7 * $9 - $2").distinct.toDF("attribute_id")
+        .except(archiveDim(s, d).select("attribute_id").distinct())
+        .orderBy("attribute_id")
+    }),
+
     "j5_recursive_paths" -> ((s, d) =>
       Hierarchy.closure(elementDim(s, d))
         .select("element_id", "level", "path")
@@ -195,6 +204,16 @@ object SparkEntry {
         .select("user_id", "event_type", "event_id", "value")
         .orderBy("user_id", "event_type")),
 
+    // A9: ingest density gate — rows-per-window count vs an expectation
+    // (reference ingest.py:232-239: expected = minutes × 5000)
+    "a9_density_gate" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("expected", lit(250L))
+        .withColumn("ok", col("n_rows") >= col("expected"))
+        .orderBy("day")),
+
     // ---- §2.5 pivot -------------------------------------------------------
     "v1_pivot_export" -> ((s, d) =>
       Tables.events(s, d)
@@ -223,6 +242,11 @@ object SparkEntry {
     "o_topk" -> ((s, d) =>
       Relational.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
         10, col("o_totalprice").desc, col("o_orderkey"))),
+
+    // O1/O3: catalog listing sort — by name, then by (level, id)
+    "o1_order_listing" -> ((s, d) =>
+      elementDim(s, d).select("element_id", "name", "level")
+        .orderBy("name", "element_id")),
 
     "u1_union_all" -> ((s, d) =>
       Tables.region(s, d).select(lit("region").as("kind"), col("r_name").as("name"))
@@ -305,6 +329,10 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
@@ -379,6 +407,11 @@ object SparkEntry {
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
 
+    "j9_formula_refs" ->
+      (s"WITH $archiveSqlCte " +
+        "SELECT attribute_id FROM (VALUES (1), (7), (9), (2)) t(attribute_id) " +
+        "EXCEPT SELECT DISTINCT attribute_id FROM archive ORDER BY attribute_id"),
+
     "j5_recursive_paths" ->
       (s"WITH RECURSIVE $elementSqlCte, paths AS (" +
         "SELECT element_id, level, name AS path FROM element WHERE parent_id IS NULL " +
@@ -421,6 +454,10 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
 
+    "a9_density_gate" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows, CAST(250 AS BIGINT) AS expected, " +
+        "count(*) >= 250 AS ok FROM events GROUP BY 1 ORDER BY day"),
+
     "v1_pivot_export" ->
       ("SELECT CAST(ts AS DATE) AS day, " +
         "CAST(sum(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click, " +
@@ -458,6 +495,10 @@ object SparkEntry {
 
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "o1_order_listing" ->
+      (s"WITH $elementSqlCte " +
+        "SELECT element_id, name, level FROM element ORDER BY name, element_id"),
 
     "u1_union_all" ->
       ("SELECT kind, name FROM (" +
@@ -525,6 +566,9 @@ object SparkEntry {
 
     "d_simhash" ->
       (s"SELECT * FROM (${Dedup.simhashSql("documents", "doc_id", "text")}) ORDER BY doc_id"),
+
+    "d_simhash_pairs" ->
+      (s"SELECT * FROM (${Dedup.simhashPairsSql("documents", "doc_id", "text", 3)}) ORDER BY id_a, id_b"),
 
     "d_embed_near" ->
       (s"SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +

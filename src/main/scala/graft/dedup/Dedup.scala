@@ -199,13 +199,26 @@ object Dedup {
        |SELECT $idCol, $recombine AS simhash FROM __s""".stripMargin
   }
 
-  /** Near-dup pairs by SimHash hamming distance within blocks. */
+  /** Near-dup pairs by SimHash hamming distance. The signature table is
+    * persisted (one explode+agg, not one per join side). The id< pair
+    * join is quadratic in docs — the scale path partitions candidates by
+    * signature bands first (same trick as [[minhashLshCandidates]]);
+    * this direct form is the exact-answer baseline. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    val sh = simhash(df, idCol, textCol).persist()
     sh.as("a").join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
   }
+
+  /** Oracle twin for [[simhashPairs]]. */
+  def simhashPairsSql(table: String, idCol: String, textCol: String,
+      maxHamming: Int): String =
+    s"""WITH __sh AS (${simhashSql(table, idCol, textCol)})
+       |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM __sh a JOIN __sh b ON a.$idCol < b.$idCol
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 }
