@@ -84,9 +84,9 @@ object SparkEntry {
         .orderBy("p_partkey")),
 
     "p2_p3_in_time_filter" -> ((s, d) =>
-      Relational.timeRange(
-        Relational.inList(Tables.events(s, d), "event_type", Seq("click", "purchase")),
-        "ts", Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00"))
+      Relational.inList(
+        Tables.eventsInRange(s, d, Some("2024-01-05 00:00:00"), Some("2024-01-20 00:00:00")),
+        "event_type", Seq("click", "purchase"))
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")),
 

@@ -98,6 +98,27 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000"))
         .cast("timestamp_ntz"))
   }
+  /** Time-range scan over events with the range pushed to the PARQUET
+    * level. A filter on the derived timestamp column cannot push through
+    * the nanos→micros conversion, so the bounds are translated to raw
+    * nanos (exactly: micros(n) = n div 1000, so `micros >= S ⟺ n >=
+    * S*1000` and `micros <= E ⟺ n <= E*1000 + 999`) and applied to the
+    * int64 column BEFORE conversion — `.explain` shows them under
+    * PushedFilters, which is what makes a bounded scan of a 100 TB
+    * archive read only the matching row groups / partitions. */
+  def eventsInRange(s: SparkSession, d: String,
+      start: Option[String], end: Option[String]): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    val bounded = Seq(
+      start.map(t => col("ts") >= unix_micros(to_timestamp(lit(t))) * 1000L),
+      end.map(t => col("ts") <= unix_micros(to_timestamp(lit(t))) * 1000L + 999L)
+    ).flatten.foldLeft(raw)(_ filter _)
+    bounded.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))
 }

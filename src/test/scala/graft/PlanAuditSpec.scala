@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan invariants for scale design (SURVEY.md §4): these are
+  * the properties that keep the operators viable at 100 TB — filters
+  * reaching the parquet scan, projection pruning, dimension joins
+  * broadcast (never shuffled), and no accidental cartesian products in
+  * the pair-generation operators. They are asserted on the optimized
+  * physical plan string so a regression in plan shape fails CI, not
+  * just a benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    // formatted mode: the simple plan string truncates PushedFilters at
+    // spark.sql.maxMetadataStringLength and would hide pushed predicates
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("P2 IN-list filter is pushed to the parquet scan") {
+    val p = plan("p2_p3_in_time_filter")
+    assert(p.contains("PushedFilters:") && p.contains("In(event_type"),
+      s"IN filter not pushed:\n$p")
+  }
+
+  test("P3 time-range bounds are pushed to the events scan as raw nanos") {
+    val p = plan("p2_p3_in_time_filter")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"),
+      s"time range not pushed to scan:\n$p")
+  }
+
+  test("P1 projection prunes the scan to selected columns only") {
+    val p = plan("p1_projection")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string>"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("J1 dimension join is a broadcast hash join, not a shuffle join") {
+    val p = plan("j1_dim_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join shuffled:\n$p")
+  }
+
+  test("J2 export join broadcasts all dimensions") {
+    val p = plan("j2_export_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("LSH candidate generation is an equi-join, never a cartesian product") {
+    for (q <- Seq("d_minhash_lsh", "d_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a cross join:\n$p")
+    }
+  }
+
+  test("P5 case-insensitive LIKE pushes the StringContains residual to the scan") {
+    val p = plan("p5_ilike")
+    // lower(name) LIKE lower(pattern) with a %x% pattern should still
+    // prune columns; pushdown of the lowered predicate is not expected
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"),
+      s"ilike scan reads extra columns:\n$p")
+  }
+}
