@@ -89,25 +89,31 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nPlanes: Int = 4, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // all tables' buckets + the norm in ONE persisted pass over each side:
-    // without this, every table's join would re-evaluate the projection
-    // (and recompile its 256-term bucket expression) from scratch
-    def withBuckets(df: DataFrame, vc: String): DataFrame =
-      (0 until nTables).foldLeft(df) { (d, t) =>
-        d.withColumn(s"bucket$t", lshBucket(vc, hyperplanes(nPlanes, dim, seed = 42L + t)))
-      }.persist()
-    val cb = withBuckets(corpus.withColumn("c_norm", sqrt(dot(vecCol, vecCol, dim))), vecCol)
-    val qb = withBuckets(
+    // (table, bucket) membership exploded to rows on BOTH sides, then ONE
+    // equi-join on the compound key — candidate ∈ any shared bucket. One
+    // pass computes all tables' buckets + the norm per vector (no
+    // persist, no per-table join fan: L tables cost L rows per vector,
+    // not L plan stages); at scale the corpus side shuffles 8-byte keys,
+    // and the query side stays broadcast.
+    def addBuckets(df: DataFrame, vc: String): DataFrame = {
+      val tb = array((0 until nTables).map { t =>
+        struct(lit(t).as("ht"),
+          lshBucket(vc, hyperplanes(nPlanes, dim, seed = 42L + t)).as("hb"))
+      }: _*)
+      df.withColumn("__tb", explode(tb))
+        .withColumn("ht", col("__tb.ht")).withColumn("hb", col("__tb.hb"))
+        .drop("__tb")
+    }
+    val cb = addBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))), "c_vec")
+    val qb = addBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
         .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim))), "q_vec")
-    val candidates = (0 until nTables).map { t =>
-      cb.join(broadcast(qb),
-          cb(s"bucket$t") === qb(s"bucket$t") && qb("query_id") =!= cb(idCol))
-        .select(col("query_id"), cb(idCol).as("neighbor_id"),
-          col("q_vec"), col(vecCol).as("c_vec"), col("q_norm"), col("c_norm"))
-    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cos",
-      dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+    val scored = cb.join(broadcast(qb), Seq("ht", "hb"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
