@@ -350,6 +350,13 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // IVF-flat ANN scale path: probabilistic recall like s_knn_lsh —
+    // rows-only driver check; recall floor asserted in SimilaritySpec.
+    "s_knn_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
     // ---- §7.1.8 multimodal -------------------------------------------------
     "m_media_meta" -> ((s, d) =>
       Multimodal.metaQuery(Tables.documents(s, d))

@@ -64,6 +64,28 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Resize stub: keep every `factor`-th byte of the payload — the
+    * deterministic stand-in for an image downscale. Same mapPartitions
+    * batch shape as [[decodeStub]]: per-partition codec init point,
+    * streaming iterator, binary-in/binary-out typed rows. */
+  def resizeStub(media: DataFrame, factor: Int): Dataset[ResizedMedia] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          ResizedMedia(id, kind, out)
+        }
+      }
+  }
+
   /** Frame-sample stub: byte offsets of every `stride`-th "frame" — the
     * plumbing (explode to one row per frame, bounded by payload size)
     * is what matters; a real impl yields decoded frames instead. */

@@ -120,6 +120,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** IVF coarse index: deterministic k-means-lite centroids.
+    * Seed clusters by `vec_id % nCentroids`, then `iters` Lloyd rounds —
+    * assignment is a broadcast-centroid argmax projection (no shuffle of
+    * the corpus), the mean recompute is one posexplode + two grouped
+    * aggregations. Returns (cluster INT, centroid ARRAY<DOUBLE>). */
+  def ivfCentroids(corpus: DataFrame, dim: Int, nCentroids: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), x => x("m")).as("centroid"))
+    val seeded = corpus.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
+    (1 to iters).foldLeft(recompute(seeded)) { (cents, _) =>
+      recompute(assignClusters(corpus, cents, dim, vecCol)
+        .select(col("cluster"), col(vecCol)))
+    }
+  }
+
+  /** Nearest-centroid assignment as a pure projection against broadcast
+    * centroids: per row, a score ARRAY (one dot per centroid, each a
+    * compact fold), then argmax via array_max/array_position over the
+    * bound array column. NEVER a `reduce(when(a >= b, a, b))` over score
+    * structs — that duplicates every dot subtree at each reduction level
+    * (2^centroids evaluations; the same trap as SURVEY §2.12's shingle
+    * note). Ties resolve to the lowest-index (first) centroid. */
+  def assignClusters(df: DataFrame, centroids: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select("cluster", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val scores = array(cents.map { case (_, c) =>
+      val prods = zip_with(col(vecCol), array(c.map(lit): _*), (x, y) => x.cast("double") * y)
+      aggregate(prods, lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val cidArr = array(cents.map(c => lit(c._1)): _*)
+    df.withColumn("__scores", scores)
+      .withColumn("cluster",
+        element_at(cidArr, array_position(col("__scores"), array_max(col("__scores"))).cast("int")))
+      .drop("__scores")
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` centroids nearest each query,
+    * take the corpus vectors of those clusters as candidates (equi-join
+    * on the cluster id), re-rank by exact cosine. The scale shape:
+    * cluster assignment is an embarrassingly-parallel projection, the
+    * candidate join shuffles only cluster-bucketed rows, and recall is
+    * tuned by nProbe/nCentroids — the standard IVF-flat trade. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, dim, nCentroids, 2, idCol, vecCol)
+    val cb = assignClusters(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
+      cents, dim, "c_vec")
+    // per query: nProbe nearest centroids -> one row per probed cluster
+    val centsLocal = cents.select("cluster", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val scoredCents = array(centsLocal.map { case (cid, c) =>
+      val prods = zip_with(col("q_vec"), array(c.map(lit): _*), (x, y) => x.cast("double") * y)
+      struct((-aggregate(prods, lit(0.0), (acc, x) => acc + x)).as("neg"), lit(cid).as("cid"))
+    }: _*)
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+      .withColumn("cluster",
+        explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe)))
+    val scored = cb.join(broadcast(qb), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs within a block key (see
     * [[graft.dedup.Dedup]] scale notes): cosine >= threshold. */
   def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double, dim: Int,

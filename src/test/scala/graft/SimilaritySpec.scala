@@ -43,6 +43,28 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q1, n) => q1 != n })
   }
 
+  test("ivfTopK achieves >= 40% recall@10 vs brute force on fixtures") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, q, 10, 64, nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    assert(approx.forall { case (q1, n) => q1 != n })
+  }
+
+  test("ivfCentroids partitions every vector into a probed cluster") {
+    val cents = Similarity.ivfCentroids(emb, 64, nCentroids = 8)
+    val clusters = cents.select("cluster").collect().map(_.getInt(0)).toSet
+    assert(clusters.nonEmpty && clusters.subsetOf((0 until 8).toSet))
+    cents.collect().foreach(r => assert(r.getSeq[Double](1).length === 64))
+    val assigned = Similarity.assignClusters(emb, cents, 64)
+    assert(assigned.filter(!col("cluster").isin(clusters.toSeq: _*)).isEmpty)
+  }
+
   test("nearDupPairs respects the block column") {
     val pairs = Similarity.nearDupPairs(emb, "label", -2.0, 64) // threshold -2: all in-block pairs
       .select("label", "id_a", "id_b").limit(100).collect()
@@ -65,6 +87,19 @@ class SimilaritySpec extends SparkSpec {
       assert(f.n_bytes === bytes.length)
       assert(f.checksum === bytes.map(_ & 0xff).map(_.toLong).sum)
       assert(f.width === (bytes(0) & 0xff))
+    }
+  }
+
+  test("resizeStub downsamples payloads deterministically") {
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    val media = Multimodal.fromDocuments(docs)
+    val resized = Multimodal.resizeStub(media, 4).collect().map(r => r.media_id -> r.bytes).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    raw.foreach { case (id, bytes) =>
+      val out = resized(id)
+      assert(out.length === (bytes.length + 3) / 4)
+      out.indices.foreach(i => assert(out(i) === bytes(i * 4)))
     }
   }
 
