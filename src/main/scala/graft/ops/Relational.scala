@@ -105,4 +105,20 @@ object Relational {
   /** O-family — deterministic top-k: total order via explicit tiebreak. */
   def topK(df: DataFrame, k: Int, orderCols: Column*): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
+
+  /** Skew-safe equi-join (the 100 TB tool for hot keys, e.g. one sensor
+    * producing most archive rows): the big side's hot partitions are split
+    * by a salt derived from a per-row expression, the small side is
+    * replicated `saltFactor`× so every (key, salt) pair still matches.
+    * Result set is EXACTLY the plain inner join's; only the shuffle
+    * layout changes — max partition size drops by ~saltFactor. Use when
+    * AQE's skew-join split can't help (e.g. pre-bucketed layouts).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      bigSaltSource: Column, saltFactor: Int): DataFrame = {
+    val b = big.withColumn("__salt", pmod(xxhash64(bigSaltSource), lit(saltFactor)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }
