@@ -296,9 +296,8 @@ object SparkEntry {
     }),
 
     "t_langid" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        TextOps.langId(col("text")).as("lang_pred"))
+      TextOps.withLangId(Tables.documents(s, d), "text")
+        .select("doc_id", "lang", "lang_pred")
         .orderBy("doc_id")),
 
     "t_fingerprint" -> ((s, d) =>

@@ -124,6 +124,27 @@ object TextOps {
     } // foldRight keeps first-profile-wins order via otherwise chaining
   }
 
+  /** [[langId]] with the intermediate token array and count vector bound
+    * as real columns: the single-Column form re-evaluates the tokenize +
+    * 5 marker scans inside every `when` branch (~25 splits per row);
+    * staged columns make each stage evaluate exactly once. Semantics are
+    * identical (array_position ties resolve to the first profile, same
+    * as the foldRight chain). Prefer this on any real data path. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String = "lang_pred"): org.apache.spark.sql.DataFrame = {
+    val langs = array(LangProfiles.map(p => lit(p._1)): _*)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__counts", array(LangProfiles.map { case (_, markers) =>
+        size(filter(col("__toks"), t => array_contains(lit(markers.toArray), t)))
+      }: _*))
+      .withColumn(out,
+        when(array_max(col("__counts")) > 0,
+          element_at(langs,
+            array_position(col("__counts"), array_max(col("__counts"))).cast("int")))
+          .otherwise(lit("und")))
+      .drop("__toks", "__counts")
+  }
+
   def langIdSql(text: String): String = {
     val toks = tokensSql(text)
     def cnt(markers: Seq[String]) =

@@ -40,6 +40,10 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1) === "de")
     assert(got(2) === "en")
     assert(got(3) === "und")
+    // staged variant must agree with the single-Column form everywhere
+    val staged = TextOps.withLangId(df, "text", "l")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(staged === got)
   }
 
   test("shingles produces n-grams; short docs produce none") {
