@@ -287,13 +287,11 @@ object SparkEntry {
         TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
 
-    "t_quality" -> ((s, d) => {
-      val feats = TextOps.qualityFeatures(col("text"))
-        .map { case (n, c) => c.as(n) }
-      Tables.documents(s, d)
-        .select(col("doc_id") +: feats :+ TextOps.qualityScore(col("text")).as("score"): _*)
-        .orderBy("doc_id")
-    }),
+    "t_quality" -> ((s, d) =>
+      TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+        .select("doc_id", "n_chars", "n_tokens", "stop_ratio", "punct_ratio",
+          "mean_tok_len", "score")
+        .orderBy("doc_id")),
 
     "t_langid" -> ((s, d) =>
       TextOps.withLangId(Tables.documents(s, d), "text")

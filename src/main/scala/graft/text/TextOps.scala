@@ -84,6 +84,29 @@ object TextOps {
     f("stop_ratio") * lit(2.0) + f("mean_tok_len") / lit(10.0) - f("punct_ratio") * lit(5.0)
   }
 
+  /** [[qualityFeatures]] + [[qualityScore]] with the token array staged
+    * as a bound column (each feature otherwise re-tokenizes; same
+    * rationale as [[withLangId]]). Adds columns n_chars, n_tokens,
+    * stop_ratio, punct_ratio, mean_tok_len, score. */
+  def withQualityFeatures(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_chars", length(col(textCol)))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("stop_ratio",
+        d(size(filter(col("__toks"), t => array_contains(lit(Stopwords.toArray), t)))) /
+          d(col("n_tokens")))
+      .withColumn("punct_ratio",
+        d(size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))) /
+          d(col("n_chars")))
+      .withColumn("mean_tok_len", d(col("n_chars")) / d(col("n_tokens")))
+      .withColumn("score",
+        col("stop_ratio") * lit(2.0) + col("mean_tok_len") / lit(10.0) -
+          col("punct_ratio") * lit(5.0))
+      .drop("__toks")
+  }
+
   def qualityFeaturesSql(text: String): Map[String, String] = {
     val toks = tokensSql(text)
     val inList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
