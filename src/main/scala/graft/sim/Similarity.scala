@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-fold dot product of two float-array columns, computed in
-    * double. Expression shape mirrored exactly by [[dotSql]]. */
-  def dot(a: String, b: String, dim: Int): Column = expr(
-    s"aggregate(transform(sequence(1, $dim), " +
-      s"i -> double(element_at($a, i)) * double(element_at($b, i))), " +
-      s"cast(0.0 as double), (acc, x) -> acc + x)")
+    * double — the native codegen'd [[graft.functions.FloatVecDot]]
+    * (identical accumulation order and casts to the HOF fold mirrored by
+    * [[dotSql]]; `dim` documents the expected width, which on our
+    * equal-length vectors makes the two forms bit-identical). */
+  def dot(a: String, b: String, dim: Int): Column =
+    graft.functions.NativeExprs.floatVecDot(col(a), col(b))
 
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +

@@ -42,15 +42,22 @@ object TextOps {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($tok) + 1), " +
       s"i -> CAST(ascii(substr($tok, i, 1)) AS BIGINT))), (a, c) -> (a * $CharMul + c) % $P)"
 
-  /** Hash one token column value (used by dedup minhash/simhash too). */
-  def tokenHash(tokCol: String): Column = expr(charFoldExpr(tokCol))
+  /** Hash one token column value (used by dedup minhash/simhash too).
+    * Native codegen'd expression ([[graft.functions.PolyHash]]); the
+    * interpreted HOF char-fold form it replaces is kept as
+    * [[charFoldExpr]] for the SQL twin and documentation. */
+  def tokenHash(tokCol: String): Column =
+    graft.functions.NativeExprs.polyHash(col(tokCol), CharMul, P)
   def tokenHashSql(tokCol: String): String = charFoldSql(tokCol)
 
   /** Document fingerprint: rolling polynomial hash over the token stream
-    * (order-sensitive — reordered words change the fingerprint). */
-  def fingerprint(textCol: String): Column = expr(
-    s"aggregate(split(trim($textCol), '\\\\s+'), 0L, " +
-      s"(acc, t) -> (acc * $TokenMul + ${charFoldExpr("t")}) % $P)")
+    * (order-sensitive — reordered words change the fingerprint). The
+    * per-token char-fold is the native [[graft.functions.PolyHash]];
+    * only the outer token fold stays a HOF (token counts are small). */
+  def fingerprint(textCol: String): Column =
+    aggregate(tokens(col(textCol)), lit(0L),
+      (acc, t) => (acc * TokenMul +
+        graft.functions.NativeExprs.polyHash(t, CharMul, P)) % P)
   def fingerprintSql(textCol: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(${tokensSql(textCol)}, t -> ${charFoldSql("t")})), " +
