@@ -174,7 +174,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCentroids: Int = 8, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, dim, nCentroids, 2, idCol, vecCol)
+    val cents = ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol)
     val cb = assignClusters(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
