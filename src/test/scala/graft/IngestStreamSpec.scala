@@ -91,6 +91,26 @@ class IngestStreamSpec extends SparkSpec {
     assert(out === Seq(5.0, 66.0))
   }
 
+  test("T6: independent per-namespace streams run concurrently") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dirs = Seq("siteA", "siteB").map(s =>
+      s -> Files.createTempDirectory(s"graft_$s").toString).toMap
+    val mems = dirs.map { case (site, _) => site -> MemoryStream[(String, String, String)] }
+    mems("siteA").addData(("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "10.0"))
+    mems("siteB").addData(("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "77.0"))
+    // one streaming query per namespace (reference: one thread per site DB)
+    val queries = dirs.map { case (site, dir) =>
+      DerivedStream.start(
+        mems(site).toDF.toDF("lookup_key", "timestamp", "value"),
+        mapping, Nil, s"$dir/archive", s"$dir/ckpt")
+    }
+    queries.foreach(_.awaitTermination(120000))
+    assert(spark.read.parquet(s"${dirs("siteA")}/archive").head().getDouble(2) === 10.0)
+    assert(spark.read.parquet(s"${dirs("siteB")}/archive").head().getDouble(2) === 77.0)
+  }
+
   test("end-to-end stream: micro-batches maintain archive + derived rows") {
     val sess = spark
     import sess.implicits._
