@@ -53,6 +53,20 @@ object DerivedStream {
       .unionByName(recomputed)
   }
 
+  /** T3 streaming-native dedup: watermarked
+    * `dropDuplicatesWithinWatermark` on the archive key. The batch
+    * pipeline dedups within a micro-batch ([[Ingest.coerceBatch]]);
+    * this drops RE-DELIVERIES ACROSS micro-batches too, holding key
+    * state only until the watermark passes — the bounded-state
+    * equivalent of the reference's unique-constraint
+    * `ON CONFLICT DO NOTHING` (reference `database/database.py:608-641`).
+    * Input must already be coerced archive rows with an event-time
+    * `timestamp`. */
+  def dedupAcrossBatches(coerced: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    coerced
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("attribute_id", "timestamp")
+
   /** Wire a streaming source of raw points into an archive directory,
     * maintaining derived attributes per micro-batch. The sink layout is
     * a date-partitioned parquet append — idempotency comes from T3 dedup

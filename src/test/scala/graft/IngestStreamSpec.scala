@@ -91,6 +91,33 @@ class IngestStreamSpec extends SparkSpec {
     assert(out === Seq(5.0, 66.0))
   }
 
+  test("T3: dropDuplicatesWithinWatermark drops re-deliveries across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val coerced = mem.toDF.toDF("attribute_id", "timestamp", "value")
+    def run(): Unit = {
+      val q = DerivedStream.dedupAcrossBatches(coerced, "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def ts(s: String) = Timestamp.valueOf(s)
+    mem.addData((1, ts("2024-01-01 00:00:00"), 1.0))
+    run()
+    // same key re-delivered in a LATER micro-batch, within the watermark
+    mem.addData((1, ts("2024-01-01 00:00:00"), 999.0), (2, ts("2024-01-01 00:00:30"), 2.0))
+    run()
+    val out = spark.read.parquet(s"$dir/out").orderBy("attribute_id").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(out(0).getDouble(2) === 1.0) // first delivery won
+  }
+
   test("T6: independent per-namespace streams run concurrently") {
     val sess = spark
     import sess.implicits._
