@@ -65,7 +65,7 @@ final class GraftApi(spark: SparkSession, root: String) {
       .select(col("attribute_id"), col("name").as("attribute_name"), col("element_name"))
     val attrNames = attrs.select("attribute_name").distinct()
       .collect().map(_.getString(0)).sorted // deterministic pivot schema (§7.4-1)
-    val scan = Relational.timeRange(c.archive, "timestamp", start, end)
+    val scan = c.archiveRange(start, end) // partition-pruned time range
       .join(broadcast(attrs), Seq("attribute_id"))
     val keys = if (elementIds.sizeIs > 1) Seq("element_name", "timestamp") else Seq("timestamp")
     Relational.pivotWide(scan, keys, "attribute_name", attrNames, "value",

@@ -36,9 +36,31 @@ final class Catalog(val spark: SparkSession, root: String, val database: String)
     if (exists("attribute")) spark.read.parquet(path("attribute"))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.attribute)
 
+  /** Archive columns in contract order (readers drop the physical
+    * partition column). */
+  private val archiveCols = Seq("attribute_id", "timestamp", "value")
+
   def archive: DataFrame =
-    if (exists("archive")) spark.read.parquet(path("archive"))
+    if (exists("archive"))
+      spark.read.parquet(path("archive")).select(archiveCols.map(col): _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.archive)
+
+  /** Time-bounded archive scan with PARTITION pruning: the store is
+    * partitioned by `p_date = date(timestamp)` (SURVEY.md §1.3), and the
+    * bounds are applied to BOTH the partition column (prunes whole
+    * date directories at planning time — the 100 TB lever) and the
+    * timestamp (row-level precision within the boundary dates). */
+  def archiveRange(start: Option[String], end: Option[String]): DataFrame = {
+    if (!exists("archive"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.archive)
+    val raw = spark.read.parquet(path("archive"))
+    val t = raw.schema("timestamp").dataType
+    val bounded = Seq(
+      start.map(s => col("p_date") >= to_date(lit(s)) && col("timestamp") >= lit(s).cast(t)),
+      end.map(e => col("p_date") <= to_date(lit(e)) && col("timestamp") <= lit(e).cast(t))
+    ).flatten.foldLeft(raw)(_ filter _)
+    bounded.select(archiveCols.map(col): _*)
+  }
 
   /** Dimension rewrite: collect-free overwrite via temp dir + move is
     * unnecessary at catalog size — a driver-side materialize breaks the
@@ -50,13 +72,20 @@ final class Catalog(val spark: SparkSession, root: String, val database: String)
     fresh.write.mode(SaveMode.Overwrite).parquet(path(table))
   }
 
+  /** Writes are date-partitioned (`p_date`): appends land in their date
+    * directories, time-ranged reads prune to them, and at real scale
+    * upserts become partition-scoped overwrites. */
+  private def writeArchive(df: DataFrame, mode: SaveMode, target: String): Unit =
+    df.select(col("attribute_id").cast("int"), col("timestamp"), col("value").cast("double"))
+      .withColumn("p_date", to_date(col("timestamp")))
+      .write.mode(mode).partitionBy("p_date").parquet(target)
+
   def appendArchive(rows: DataFrame): Unit =
-    rows.select(col("attribute_id").cast("int"), col("timestamp"), col("value").cast("double"))
-      .write.mode(SaveMode.Append).parquet(path("archive"))
+    writeArchive(rows, SaveMode.Append, path("archive"))
 
   private def rewriteArchive(df: DataFrame): Unit = {
     val tmp = path("archive__rewrite")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    writeArchive(df, SaveMode.Overwrite, tmp)
     val dst = Paths.get(path("archive"))
     if (Files.exists(dst)) {
       Files.walk(dst).sorted(java.util.Comparator.reverseOrder())

@@ -109,6 +109,32 @@ class CatalogApiSpec extends SparkSpec {
     assert(api.export("site1", Seq(e1), Some("2024-01-01 00:01:00"), None).count() === 1)
   }
 
+  test("archive store is date-partitioned and time ranges prune partitions") {
+    val (_, cat) = freshApi()
+    val sess = spark
+    import sess.implicits._
+    cat.appendArchive(Seq(
+      (1, ts("2024-01-01 10:00:00"), 1.0),
+      (1, ts("2024-01-02 10:00:00"), 2.0),
+      (1, ts("2024-01-03 10:00:00"), 3.0)).toDF("attribute_id", "timestamp", "value"))
+    // physical layout: one directory per date
+    val dirs = new java.io.File(new java.net.URI(cat.archive.inputFiles.head))
+      .getParentFile.getParentFile
+      .listFiles().map(_.getName).filter(_.startsWith("p_date=")).sorted
+    assert(dirs.toSeq === Seq("p_date=2024-01-01", "p_date=2024-01-02", "p_date=2024-01-03"))
+    // bounded scan reads only the matching partitions
+    val ranged = cat.archiveRange(Some("2024-01-02 00:00:00"), Some("2024-01-02 23:59:59"))
+    assert(ranged.collect().map(_.getDouble(2)).toSeq === Seq(2.0))
+    // partition pruning is visible as PartitionFilters on the file scan
+    // (inputFiles is pre-pruning, so inspect the physical plan instead)
+    val plan = ranged.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"),
+      s"no partition filters in scan:\n$plan")
+    // contract schema is unchanged (no partition column leaks)
+    assert(cat.archive.columns.toSeq === Seq("attribute_id", "timestamp", "value"))
+  }
+
   test("api: lookup exact vs wildcard, generic table export filters") {
     val (api, cat) = freshApi()
     cat.insertElement("Boiler")
