@@ -102,9 +102,13 @@ object Formula {
     walk(parse(formula)).distinct.sorted
   }
 
-  /** Compile to a Column over a frame with `attr_<id>` columns. Division
-    * stays non-ANSI (NULL on /0) — documented divergence from PostgreSQL,
-    * which raises (SURVEY.md §2.11). */
+  /** Compile to a Column over a frame with `attr_<id>` columns.
+    * Division by zero RAISES (Spark 4 ANSI default, verified:
+    * DIVIDE_BY_ZERO even for doubles) — which matches PostgreSQL's
+    * division_by_zero behavior in the reference's generated SQL and
+    * triggers (`database/database.py:579-595`). A tolerant variant would
+    * swap `/` for `try_divide` (NULL on zero); we keep the
+    * reference-faithful raise. */
   def compile(formula: String, colFor: Int => Column = id => col(s"attr_$id")): Column = {
     def build(a: FormulaAst): Column = a match {
       case Ref(id) => colFor(id)
