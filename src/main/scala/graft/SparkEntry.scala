@@ -314,6 +314,11 @@ object SparkEntry {
         Seq("lang", "source"), 0.9)
         .orderBy("id_a", "id_b")),
 
+    "d_jaccard_ngram" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 0.8, n = 3)
+        .orderBy("id_a", "id_b")),
+
     "d_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id")),
@@ -559,6 +564,20 @@ object SparkEntry {
         "CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard " +
         "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
         "WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.9 " +
+        "ORDER BY id_a, id_b"
+    },
+
+    "d_jaccard_ngram" -> {
+      val sh = Dedup.shinglesSql("text", 3)
+      s"WITH uniq AS (SELECT DISTINCT doc_id, lang, source, unnest($sh) AS tok FROM documents), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM uniq GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8 " +
         "ORDER BY id_a, id_b"
     },
 

@@ -35,11 +35,20 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct (doc, token) pairs — the inverted-index input. */
-  def docTokens(df: DataFrame, idCol: String, textCol: String, extraCols: Seq[String]): DataFrame =
-    df.select((idCol +: extraCols).map(col) :+
+  /** Distinct (doc, token) pairs — the inverted-index input. With n > 1
+    * the "token" is an n-gram shingle (tokenized into a bound column
+    * first — see [[shinglesFromTokens]]). */
+  def docTokens(df: DataFrame, idCol: String, textCol: String, extraCols: Seq[String],
+      n: Int = 1): DataFrame = {
+    val units =
+      if (n == 1) df.select((idCol +: extraCols).map(col) :+
         explode(TextOps.tokens(col(textCol))).as("tok"): _*)
-      .distinct()
+      else df
+        .select((idCol +: extraCols).map(col) :+ TextOps.tokens(col(textCol)).as("__toks"): _*)
+        .select((idCol +: extraCols).map(col) :+
+          explode(shinglesFromTokens(col("__toks"), n)).as("tok"): _*)
+    units.distinct()
+  }
 
   /** N-gram shingle array from an ALREADY-MATERIALIZED token-array
     * column. `toks` must be a plain column reference, never an inline
@@ -66,12 +75,13 @@ object Dedup {
       s"ELSE [] END"
   }
 
-  /** Unigram-Jaccard near-dup pairs via inverted index, optionally
-    * blocked. Output: (id_a, id_b, common, n_a, n_b, jaccard >= threshold).
-    * Jaccard is a single double division of exact ints — engine-exact. */
+  /** N-gram-Jaccard near-dup pairs via inverted index (n = 1 → unigram),
+    * optionally blocked. Output: (id_a, id_b, common, n_a, n_b,
+    * jaccard >= threshold). Jaccard is a single double division of exact
+    * ints — engine-exact. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
-    val dt = docTokens(df, idCol, textCol, blockCols).cache()
+      blockCols: Seq[String], threshold: Double, n: Int = 1): DataFrame = {
+    val dt = docTokens(df, idCol, textCol, blockCols, n).cache()
     val sizes = dt.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
