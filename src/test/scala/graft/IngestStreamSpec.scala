@@ -118,6 +118,33 @@ class IngestStreamSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 1.0) // first delivery won
   }
 
+  test("windowedRollup finalizes per-window aggregates under a watermark") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_rollup").toString
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val coerced = mem.toDF.toDF("attribute_id", "timestamp", "value")
+    def ts(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1, ts("2024-01-01 00:10:00"), 5.0),
+      (1, ts("2024-01-01 00:50:00"), 15.0),
+      (2, ts("2024-01-01 00:20:00"), 7.0),
+      (1, ts("2024-01-01 01:05:00"), 99.0)) // next window
+    val q = DerivedStream.windowedRollup(coerced, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("rollup")
+      .orderBy("window_start", "attribute_id").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getLong(2) === 2 && rows(0).getDouble(3) === 5.0 && rows(0).getDouble(4) === 15.0)
+    assert(rows(1).getLong(2) === 1 && rows(1).getDouble(3) === 7.0)
+    assert(rows(2).getLong(2) === 1 && rows(2).getDouble(4) === 99.0)
+  }
+
   test("T6: independent per-namespace streams run concurrently") {
     val sess = spark
     import sess.implicits._
