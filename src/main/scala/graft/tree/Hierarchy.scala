@@ -42,6 +42,27 @@ object Hierarchy {
     done
   }
 
+  /** J5 via Spark 4's native `WITH RECURSIVE` (SURVEY.md §7.3 noted this
+    * as the alternative to the driver loop; supported in this build).
+    * Same output as [[closure]] — the spec asserts equivalence. The CTE
+    * keeps the whole fixpoint inside one Catalyst plan (no driver
+    * round-trip per level), which matters when levels are deep. */
+  def closureSql(element: DataFrame, sep: String = "|"): DataFrame = {
+    val spark = element.sparkSession
+    val view = s"__graft_closure_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    element.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH RECURSIVE paths AS (
+         |  SELECT element_id, name, level, parent_id, name AS path
+         |  FROM $view WHERE parent_id IS NULL
+         |  UNION ALL
+         |  SELECT e.element_id, e.name, e.level, e.parent_id,
+         |         concat(p.path, '$sep', e.name) AS path
+         |  FROM $view e JOIN paths p ON e.parent_id = p.element_id
+         |) SELECT element_id, name, level, parent_id, path FROM paths""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
   /** P6 — the reference's (buggy) leaf filter, kept for API fidelity
     * (reference `database/database.py:92-97`): a node is a "leaf" if it has
     * no parent OR sits at the global max level. */

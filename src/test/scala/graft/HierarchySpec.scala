@@ -28,6 +28,12 @@ class HierarchySpec extends SparkSpec {
       4 -> "root|a|x", 5 -> "root|a|y", 6 -> "root|a|z"))
   }
 
+  test("closureSql (native WITH RECURSIVE) agrees with the iterative closure") {
+    val iter = Hierarchy.closure(element).orderBy("element_id").collect()
+    val sql = Hierarchy.closureSql(element).orderBy("element_id").collect()
+    assert(sql.toSeq === iter.toSeq)
+  }
+
   test("reference leaf semantics: roots + max-level nodes") {
     val ids = Hierarchy.leavesReferenceSemantics(element)
       .select("element_id").collect().map(_.getInt(0)).toSet
