@@ -122,6 +122,28 @@ object Formula {
     build(parse(formula))
   }
 
+  /** Pure-Scala evaluation against concrete attribute values — used by
+    * the stateful streaming path ([[graft.streaming.DerivedStream]]),
+    * where the computation runs inside a state-update function, not a
+    * Column. Division by zero raises (ArithmeticException) to match the
+    * compiled Column's ANSI behavior and PostgreSQL. */
+  def eval(formula: String, values: Map[Int, Double]): Double = {
+    def go(a: FormulaAst): Double = a match {
+      case Ref(id) => values.getOrElse(id,
+        throw FormulaParseException(s"no value for $$$id"))
+      case Num(v) => v
+      case BinOp('+', l, r) => go(l) + go(r)
+      case BinOp('-', l, r) => go(l) - go(r)
+      case BinOp('*', l, r) => go(l) * go(r)
+      case BinOp('/', l, r) =>
+        val d = go(r)
+        if (d == 0.0) throw new ArithmeticException(s"division by zero in: $formula")
+        go(l) / d
+      case BinOp(op, _, _) => throw FormulaParseException(s"unknown op $op")
+    }
+    go(parse(formula))
+  }
+
   /** J9 — all referenced ids must exist in the attribute catalog
     * (reference `database.py:567-577`). Distributed set-difference, no
     * driver-side id collection beyond the formula's own (tiny) ref list. */

@@ -118,6 +118,44 @@ class IngestStreamSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 1.0) // first delivery won
   }
 
+  test("T4 stateful: derived row emits when straggling sources complete, re-emits on update") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_state").toString
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val coerced = mem.toDF.toDF("attribute_id", "timestamp", "value")
+      .withWatermark("timestamp", "1 hour")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def run(): Unit = {
+      val q = DerivedStream.statefulDerived(coerced, DerivedDef(9, "$1 + $2"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$dir/emitted"); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    def emitted: Seq[Double] =
+      if (new java.io.File(s"$dir/emitted").exists())
+        spark.read.parquet(s"$dir/emitted").collect().map(_.getDouble(2)).toSeq.sorted
+      else Seq.empty
+    // batch 1: only $1 arrives for 00:00 -> nothing emitted
+    mem.addData((1, ts("2024-01-01 00:00:00"), 10.0))
+    run()
+    assert(emitted === Seq.empty)
+    // batch 2: $2 completes 00:00 -> derived emitted from held state
+    mem.addData((2, ts("2024-01-01 00:00:00"), 5.0))
+    run()
+    assert(emitted === Seq(15.0))
+    // batch 3: re-delivery changes $1 -> last-write-wins re-emission
+    mem.addData((1, ts("2024-01-01 00:00:00"), 20.0))
+    run()
+    assert(emitted === Seq(15.0, 25.0))
+  }
+
   test("windowedRollup finalizes per-window aggregates under a watermark") {
     val sess = spark
     import sess.implicits._
