@@ -68,32 +68,30 @@ class FormulaSpec extends SparkSpec {
     check(Prop.forAll(genAst)(a => Formula.parse(render(a)) == a))
   }
 
-  // -- property: Spark evaluation matches a scala interpreter -------------
-  private def eval(a: FormulaAst, env: Int => Double): Option[Double] = a match {
-    case Ref(id) => Some(env(id))
-    case Num(v) => Some(v)
-    case BinOp(op, l, r) =>
-      for (lv <- eval(l, env); rv <- eval(r, env); v <- op match {
-        case '+' => Some(lv + rv)
-        case '-' => Some(lv - rv)
-        case '*' => Some(lv * rv)
-        case '/' => if (rv == 0d) None else Some(lv / rv) // Spark non-ANSI: NULL
-      }) yield v
-  }
-
-  test("property: compiled Column matches interpreter on a concrete row") {
+  // -- property: compiled Column ≡ Formula.eval interpreter ---------------
+  // Both raise on division by zero (Spark 4 ANSI / PostgreSQL semantics);
+  // a raise on one side must be a raise on the other.
+  test("property: compiled Column matches Formula.eval, including /0 raise") {
     val sess = spark
     import sess.implicits._
-    val df = Seq((1 to 20).map(i => i * 1.5)).toDF("vs")
+    val env = (1 to 20).map(i => i -> i * 1.5).toMap
+    val df = Seq(env.toSeq.sortBy(_._1).map(_._2)).toDF("vs")
       .select((1 to 20).map(i => element_at($"vs", i).as(s"attr_$i")): _*)
     df.cache().count()
     check(Prop.forAll(genAst) { a =>
-      val expected = eval(a, i => i * 1.5)
-      val got = Option(df.select(Formula.compile(render(a)).as("v")).head().get(0))
-        .map(_.asInstanceOf[Double])
+      val f = render(a)
+      val expected: Either[String, Double] =
+        try Right(Formula.eval(f, env))
+        catch { case _: ArithmeticException => Left("div0") }
+      val got: Either[String, Double] =
+        try Right(df.select(Formula.compile(f).as("v")).head().getDouble(0))
+        catch {
+          case e: Throwable if Option(e.getMessage).exists(_.contains("DIVIDE_BY_ZERO")) =>
+            Left("div0")
+        }
       (expected, got) match {
-        case (None, None) => true
-        case (Some(e), Some(g)) => e == g || (e - g).abs < 1e-9 || (e.isNaN && g.isNaN)
+        case (Left(x), Left(y)) => x == y
+        case (Right(e), Right(g)) => e == g || (e - g).abs < 1e-9 || (e.isNaN && g.isNaN)
         case _ => false
       }
     }, minTests = 30)
