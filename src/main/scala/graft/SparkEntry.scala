@@ -555,7 +555,8 @@ object SparkEntry {
 
     "d_jaccard" -> {
       val toks = TextOps.tokensSql("text")
-      s"WITH uniq AS (SELECT DISTINCT doc_id, lang, source, unnest($toks) AS tok FROM documents), " +
+      s"WITH __u AS (SELECT doc_id, lang, source, unnest($toks) AS tok FROM documents), " +
+        s"uniq AS (SELECT DISTINCT doc_id, lang, source, ${TextOps.tokenHashSql("tok")} AS tok FROM __u), " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM uniq GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
         "FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source " +
@@ -569,7 +570,8 @@ object SparkEntry {
 
     "d_jaccard_ngram" -> {
       val sh = Dedup.shinglesSql("text", 3)
-      s"WITH uniq AS (SELECT DISTINCT doc_id, lang, source, unnest($sh) AS tok FROM documents), " +
+      s"WITH __u AS (SELECT doc_id, lang, source, unnest($sh) AS tok FROM documents), " +
+        s"uniq AS (SELECT DISTINCT doc_id, lang, source, ${TextOps.tokenHashSql("tok")} AS tok FROM __u), " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM uniq GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
         "FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source " +

@@ -35,19 +35,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct (doc, token) pairs — the inverted-index input. With n > 1
-    * the "token" is an n-gram shingle (tokenized into a bound column
-    * first — see [[shinglesFromTokens]]). */
+  /** Distinct (doc, token-HASH) pairs — the inverted-index input. With
+    * n > 1 the "token" is an n-gram shingle (tokenized into a bound
+    * column first — see [[shinglesFromTokens]]).
+    *
+    * The token is carried as its 8-byte [[TextOps.tokenHash]], not the
+    * string: the distinct and the pair join then shuffle fixed-width
+    * longs instead of strings — the 100 TB shuffle-width lever. The
+    * DuckDB oracle applies the SAME hash ([[TextOps.tokenHashSql]], a
+    * bit-identical fold), so any hash collision merges identically in
+    * both engines and parity is exact by construction. */
   def docTokens(df: DataFrame, idCol: String, textCol: String, extraCols: Seq[String],
       n: Int = 1): DataFrame = {
     val units =
       if (n == 1) df.select((idCol +: extraCols).map(col) :+
-        explode(TextOps.tokens(col(textCol))).as("tok"): _*)
+        explode(TextOps.tokens(col(textCol))).as("__tok"): _*)
       else df
         .select((idCol +: extraCols).map(col) :+ TextOps.tokens(col(textCol)).as("__toks"): _*)
         .select((idCol +: extraCols).map(col) :+
-          explode(shinglesFromTokens(col("__toks"), n)).as("tok"): _*)
-    units.distinct()
+          explode(shinglesFromTokens(col("__toks"), n)).as("__tok"): _*)
+    units.select((idCol +: extraCols).map(col) :+ TextOps.tokenHash("__tok").as("tok"): _*)
+      .distinct()
   }
 
   /** N-gram shingle array from an ALREADY-MATERIALIZED token-array
