@@ -83,6 +83,34 @@ final class Catalog(val spark: SparkSession, root: String, val database: String)
   def appendArchive(rows: DataFrame): Unit =
     writeArchive(rows, SaveMode.Append, path("archive"))
 
+  /** T5 production upsert: last-write-wins on (attribute_id, timestamp),
+    * rewriting ONLY the date partitions the new rows touch (dynamic
+    * partition overwrite). Untouched dates keep their files byte-for-byte
+    * — on a 100 TB archive this is the difference between rewriting a
+    * day and rewriting the table. `localCheckpoint` breaks the read
+    * lineage so the overwrite may target the same path it read. */
+  def upsertArchive(recomputed: DataFrame): Unit = {
+    val rec = recomputed
+      .select(col("attribute_id").cast("int"), col("timestamp"), col("value").cast("double"))
+    if (!exists("archive")) { appendArchive(rec); return }
+    val recMat = rec.localCheckpoint()
+    val touchedDates = recMat.select(to_date(col("timestamp")).as("p_date")).distinct()
+    val keep = spark.read.parquet(path("archive"))
+      .join(broadcast(touchedDates), Seq("p_date"), "left_semi")
+      .join(recMat.select("attribute_id", "timestamp"),
+        Seq("attribute_id", "timestamp"), "left_anti")
+      .select(col("attribute_id"), col("timestamp"), col("value"))
+    val out = keep.unionByName(recMat).localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      writeArchive(out, SaveMode.Overwrite, path("archive"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   private def rewriteArchive(df: DataFrame): Unit = {
     val tmp = path("archive__rewrite")
     writeArchive(df, SaveMode.Overwrite, tmp)

@@ -135,6 +135,35 @@ class CatalogApiSpec extends SparkSpec {
     assert(cat.archive.columns.toSeq === Seq("attribute_id", "timestamp", "value"))
   }
 
+  test("T5 upsertArchive rewrites only touched date partitions, last-write-wins") {
+    val (_, cat) = freshApi()
+    val sess = spark
+    import sess.implicits._
+    cat.appendArchive(Seq(
+      (1, ts("2024-01-01 10:00:00"), 1.0),
+      (1, ts("2024-01-02 10:00:00"), 2.0),
+      (2, ts("2024-01-02 11:00:00"), 9.0),
+      (1, ts("2024-01-03 10:00:00"), 3.0)).toDF("attribute_id", "timestamp", "value"))
+    def partFiles(date: String): Set[String] = {
+      val root = new java.io.File(new java.net.URI(cat.archive.inputFiles.head))
+        .getParentFile.getParentFile
+      new java.io.File(root, s"p_date=$date").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val day1Before = partFiles("2024-01-01")
+    val day3Before = partFiles("2024-01-03")
+    // upsert into day 2 only: change one key, add one key
+    cat.upsertArchive(Seq(
+      (1, ts("2024-01-02 10:00:00"), 22.0),
+      (3, ts("2024-01-02 12:00:00"), 33.0)).toDF("attribute_id", "timestamp", "value"))
+    val rows = cat.archive.orderBy("timestamp", "attribute_id").collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    assert(rows === Seq((1, 1.0), (1, 22.0), (2, 9.0), (3, 33.0), (1, 3.0)))
+    // untouched date partitions keep their physical files
+    assert(partFiles("2024-01-01") === day1Before)
+    assert(partFiles("2024-01-03") === day3Before)
+  }
+
   test("api: lookup exact vs wildcard, generic table export filters") {
     val (api, cat) = freshApi()
     cat.insertElement("Boiler")
