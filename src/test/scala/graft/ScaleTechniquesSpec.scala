@@ -26,6 +26,39 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // 90% of lineitem rows land on one join key -> one hot shuffle
+    // partition; AQE's skew-join should split it without any manual salt
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // sf0.01 (60k rows) so the hot partition's COMPRESSED shuffle size
+      // clears the threshold even at test scale
+      val skewDir = "/root/testdata/sf0.01"
+      // many map tasks first: AQE splits a skewed REDUCE partition by
+      // assigning subsets of map outputs, so one input split (one
+      // mapper) would leave nothing to split by
+      val hot = Tables.lineitem(spark, skewDir).repartition(8)
+        .select(when(col("l_orderkey") % 10 =!= 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+      val dim = Tables.orders(spark, skewDir).select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val joined = hot.join(dim, Seq("k"))
+      joined.collect() // execute THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = "/tmp/graft-bucketed"
     spark.sql("DROP TABLE IF EXISTS b_orders")
