@@ -67,12 +67,20 @@ object SparkEntry {
 
   /** Flagship: the reference's export query (SURVEY.md §3.1) — archive
     * filtered to selected attributes + time range, pivoted wide, one column
-    * per attribute, ordered by timestamp. Driver smoke-checks rows>0. */
+    * per attribute, ordered by timestamp. Driver smoke-checks rows>0.
+    * The range goes through [[Tables.eventsInRange]] so it reaches the
+    * parquet scan as pushed raw-nanos bounds (equivalent to filtering the
+    * hour-truncated timestamp for an hour-aligned start, since date_trunc
+    * rounds down). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val archive = archiveDim(spark, dir)
-    Relational.pivotWide(
-      Relational.timeRange(archive, "timestamp", Some("2024-01-01 00:00:00"), None),
+    val attrId = eventTypes.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (t, i)) => when(col("event_type") === t, lit(i + 1)).otherwise(acc)
+    }
+    val archive = Tables.eventsInRange(spark, dir, Some("2024-01-01 00:00:00"), None)
+      .select(date_trunc("hour", col("ts")).as("timestamp"), attrId.as("attribute_id"),
+        col("value"))
+    Relational.pivotWide(archive,
       Seq("timestamp"), "attribute_id", (1 to 5).map(_.toString), "value")
       .orderBy("timestamp")
   }
