@@ -148,7 +148,12 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("revenue"),
+          // sum in exact decimal (order-independent), then surface as double:
+          // Decimal→double is correctly rounded in both engines, while a
+          // decimal output's trailing zeros ("…357.30") hash differently from
+          // a float's repr ("…357.3") in the driver's canonical form.
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),
@@ -415,7 +420,7 @@ object SparkEntry {
         "ORDER BY c_custkey"),
 
     "j2_export_join" ->
-      ("SELECT n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_rows " +
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_rows " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),

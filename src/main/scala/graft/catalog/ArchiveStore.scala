@@ -1,0 +1,69 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned parquet layout for the tall archive, shared by the
+  * batch [[Catalog]] and the streaming sink
+  * ([[graft.streaming.DerivedStream.start]]).
+  *
+  * Physical layout: `p_date = date(timestamp)` directories. Appends land
+  * in their date partitions; upserts are last-write-wins on
+  * (attribute_id, timestamp) and rewrite ONLY the date partitions the new
+  * rows touch (dynamic partition overwrite) — the reference's
+  * `ON CONFLICT DO UPDATE` (reference `database/database.py:626-631`)
+  * re-expressed so that on a 100 TB archive a late batch rewrites a day,
+  * not the table.
+  */
+object ArchiveStore {
+
+  /** Archive columns in contract order (readers drop the physical
+    * partition column). */
+  val cols: Seq[String] = Seq("attribute_id", "timestamp", "value")
+
+  def exists(path: String): Boolean = Files.exists(Paths.get(path, "_SUCCESS"))
+
+  /** Logical-schema read (partition column dropped); empty frame with the
+    * batch's own types when nothing has been written yet. */
+  def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame =
+    if (exists(path)) spark.read.parquet(path).select(cols.map(col): _*)
+    else empty
+
+  private def normalized(df: DataFrame): DataFrame =
+    df.select(col("attribute_id").cast("int"), col("timestamp"),
+      col("value").cast("double"))
+
+  def write(df: DataFrame, mode: SaveMode, target: String): Unit =
+    normalized(df)
+      .withColumn("p_date", to_date(col("timestamp")))
+      .write.mode(mode).partitionBy("p_date").parquet(target)
+
+  def append(df: DataFrame, path: String): Unit = write(df, SaveMode.Append, path)
+
+  /** Last-write-wins upsert on (attribute_id, timestamp), touching only
+    * the date partitions present in `recomputed`. `localCheckpoint` breaks
+    * the read lineage so the overwrite may target the same path it read. */
+  def upsert(spark: SparkSession, path: String, recomputed: DataFrame): Unit = {
+    val rec = normalized(recomputed)
+    if (!exists(path)) { append(rec, path); return }
+    val recMat = rec.localCheckpoint()
+    if (recMat.isEmpty) return // nothing to upsert; avoid a no-partition overwrite job
+    val touchedDates = recMat.select(to_date(col("timestamp")).as("p_date")).distinct()
+    val keep = spark.read.parquet(path)
+      .join(broadcast(touchedDates), Seq("p_date"), "left_semi")
+      .join(recMat.select("attribute_id", "timestamp"),
+        Seq("attribute_id", "timestamp"), "left_anti")
+      .select(cols.map(col): _*)
+    val out = keep.unionByName(recMat).localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      write(out, SaveMode.Overwrite, path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

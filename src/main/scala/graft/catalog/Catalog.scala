@@ -38,7 +38,7 @@ final class Catalog(val spark: SparkSession, root: String, val database: String)
 
   /** Archive columns in contract order (readers drop the physical
     * partition column). */
-  private val archiveCols = Seq("attribute_id", "timestamp", "value")
+  private val archiveCols = ArchiveStore.cols
 
   def archive: DataFrame =
     if (exists("archive"))
@@ -72,48 +72,21 @@ final class Catalog(val spark: SparkSession, root: String, val database: String)
     fresh.write.mode(SaveMode.Overwrite).parquet(path(table))
   }
 
-  /** Writes are date-partitioned (`p_date`): appends land in their date
-    * directories, time-ranged reads prune to them, and at real scale
-    * upserts become partition-scoped overwrites. */
-  private def writeArchive(df: DataFrame, mode: SaveMode, target: String): Unit =
-    df.select(col("attribute_id").cast("int"), col("timestamp"), col("value").cast("double"))
-      .withColumn("p_date", to_date(col("timestamp")))
-      .write.mode(mode).partitionBy("p_date").parquet(target)
-
+  /** Writes are date-partitioned (`p_date`, [[ArchiveStore]]): appends
+    * land in their date directories, time-ranged reads prune to them, and
+    * upserts are partition-scoped overwrites. */
   def appendArchive(rows: DataFrame): Unit =
-    writeArchive(rows, SaveMode.Append, path("archive"))
+    ArchiveStore.append(rows, path("archive"))
 
   /** T5 production upsert: last-write-wins on (attribute_id, timestamp),
-    * rewriting ONLY the date partitions the new rows touch (dynamic
-    * partition overwrite). Untouched dates keep their files byte-for-byte
-    * — on a 100 TB archive this is the difference between rewriting a
-    * day and rewriting the table. `localCheckpoint` breaks the read
-    * lineage so the overwrite may target the same path it read. */
-  def upsertArchive(recomputed: DataFrame): Unit = {
-    val rec = recomputed
-      .select(col("attribute_id").cast("int"), col("timestamp"), col("value").cast("double"))
-    if (!exists("archive")) { appendArchive(rec); return }
-    val recMat = rec.localCheckpoint()
-    val touchedDates = recMat.select(to_date(col("timestamp")).as("p_date")).distinct()
-    val keep = spark.read.parquet(path("archive"))
-      .join(broadcast(touchedDates), Seq("p_date"), "left_semi")
-      .join(recMat.select("attribute_id", "timestamp"),
-        Seq("attribute_id", "timestamp"), "left_anti")
-      .select(col("attribute_id"), col("timestamp"), col("value"))
-    val out = keep.unionByName(recMat).localCheckpoint()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      writeArchive(out, SaveMode.Overwrite, path("archive"))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+    * rewriting ONLY the date partitions the new rows touch — see
+    * [[ArchiveStore.upsert]]. */
+  def upsertArchive(recomputed: DataFrame): Unit =
+    ArchiveStore.upsert(spark, path("archive"), recomputed)
 
   private def rewriteArchive(df: DataFrame): Unit = {
     val tmp = path("archive__rewrite")
-    writeArchive(df, SaveMode.Overwrite, tmp)
+    ArchiveStore.write(df, SaveMode.Overwrite, tmp)
     val dst = Paths.get(path("archive"))
     if (Files.exists(dst)) {
       Files.walk(dst).sorted(java.util.Comparator.reverseOrder())

@@ -89,7 +89,11 @@ object Dedup {
     * ints — engine-exact. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double, n: Int = 1): DataFrame = {
-    val dt = docTokens(df, idCol, textCol, blockCols, n).cache()
+    // lazy localCheckpoint, not cache(): computed once even though three
+    // branches read it, but NOT pinned in the CacheManager — the blocks
+    // are released by the ContextCleaner when the result plan is GC'd,
+    // so repeated calls don't accrete executor storage
+    val dt = docTokens(df, idCol, textCol, blockCols, n).localCheckpoint(false)
     val sizes = dt.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
@@ -146,7 +150,7 @@ object Dedup {
     val keyCols = Seq("band") ++ (0 until BandSize).map(k => s"k$k")
     val bands = sig.select(col(idCol), explode(bandStructs).as("bs"))
       .select(col(idCol) +: keyCols.map(k => col(s"bs.$k")): _*)
-      .persist()
+      .localCheckpoint(false) // see jaccardPairs: reused, auto-released
     val a = bands.select(col(idCol).as("id_a") +: keyCols.map(col): _*)
     val b = bands.select(col(idCol).as("id_b") +: keyCols.map(col): _*)
     a.join(b, keyCols).filter(col("id_a") < col("id_b"))
@@ -224,7 +228,7 @@ object Dedup {
     * this direct form is the exact-answer baseline. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = simhash(df, idCol, textCol).persist()
+    val sh = simhash(df, idCol, textCol).localCheckpoint(false) // reused, auto-released
     sh.as("a").join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)

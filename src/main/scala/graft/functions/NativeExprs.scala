@@ -45,16 +45,24 @@ case class PolyHash(child: Expression, mul: Long, mod: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName for EVERY local: this expression can occur many times in
+      // one generated function (e.g. one per minhash permutation), and a
+      // fixed name is a Janino "Redefinition of local variable" compile
+      // error → silent interpreted fallback for the whole projection
+      val js = ctx.freshName("phStr")
+      val acc = ctx.freshName("phAcc")
+      val i = ctx.freshName("phI")
+      val cp = ctx.freshName("phCp")
       s"""
-         |java.lang.String js = $c.toString();
-         |long acc = 0L;
-         |int i = 0;
-         |while (i < js.length()) {
-         |  int cp = js.codePointAt(i);
-         |  acc = (acc * ${mul}L + cp) % ${mod}L;
-         |  i += java.lang.Character.charCount(cp);
+         |java.lang.String $js = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $js.length()) {
+         |  int $cp = $js.codePointAt($i);
+         |  $acc = ($acc * ${mul}L + $cp) % ${mod}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -98,16 +106,21 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — one FloatVecDot per hyperplane/probe
+      // lands in the same generated function; fixed names fail to compile
+      val acc = ctx.freshName("dotAcc")
+      val n = ctx.freshName("dotN")
+      val i = ctx.freshName("dotI")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  int n = $a.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |  double $acc = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -33,17 +33,25 @@ object Ingest {
     * strings → archive rows (attribute_id, timestamp, value).
     *  - J3: broadcast join against the path→attribute_id mapping
     *  - P8: drop unmapped keys (`ingest.py:149`)
-    *  - A7: keep-first dedup on the archive key (`ingest.py:155-159`)
+    *  - A7: keep-first dedup on the archive key (`ingest.py:155-159`,
+    *    pandas `keep='first'` = ARRIVAL order). The arrival rank is
+    *    stamped on the raw rows before any transform:
+    *    `monotonically_increasing_id` encodes (partition, offset), which
+    *    reproduces the reference's concatenated-fetch order for each
+    *    source split — not a value-based tiebreak.
     */
   def coerceBatch(raw: DataFrame, mapping: DataFrame): DataFrame = {
     val joined = raw
+      .withColumn("__arrival", monotonically_increasing_id())
       .withColumn("timestamp", parseTimestamp(col("timestamp")))
       .withColumn("value", coerceValue("value"))
       .join(broadcast(mapping.select(col("lookup_key"), col("attribute_id"))),
         Seq("lookup_key"), "left")
       .filter(col("attribute_id").isNotNull) // P8
-      .select(col("attribute_id").cast("int"), col("timestamp"), col("value"))
-    Relational.dedupFirst(joined, Seq("attribute_id", "timestamp"), Seq(col("value")))
+      .select(col("attribute_id").cast("int"), col("timestamp"), col("value"),
+        col("__arrival"))
+    Relational.dedupFirst(joined, Seq("attribute_id", "timestamp"), Seq(col("__arrival")))
+      .drop("__arrival")
   }
 
   /** T1 — incremental watermark: next pull window starts one interval

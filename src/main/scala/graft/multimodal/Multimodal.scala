@@ -88,10 +88,14 @@ object Multimodal {
 
   /** Frame-sample stub: byte offsets of every `stride`-th "frame" — the
     * plumbing (explode to one row per frame, bounded by payload size)
-    * is what matters; a real impl yields decoded frames instead. */
+    * is what matters; a real impl yields decoded frames instead.
+    * Zero-length payloads have no frames and emit NO rows — ceil(size /
+    * stride) rows per doc, matching the oracle's `range(0, n_bytes,
+    * stride)` which is empty for n_bytes = 0. */
   def frameSample(media: DataFrame, stride: Int): DataFrame =
-    media.select(col("media_id"),
-        explode(sequence(lit(0), greatest(col("meta.n_bytes") - 1, lit(0)), lit(stride)))
+    media.filter(col("meta.n_bytes") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("meta.n_bytes") - 1, lit(stride)))
           .as("frame_offset"))
 
   /** Metadata projection used by the oracle-checked query: everything

@@ -136,9 +136,13 @@ object DerivedStream {
   }
 
   /** Wire a streaming source of raw points into an archive directory,
-    * maintaining derived attributes per micro-batch. The sink layout is
-    * a date-partitioned parquet append — idempotency comes from T3 dedup
-    * inside [[Ingest.coerceBatch]] plus checkpointed offsets.
+    * maintaining derived attributes per micro-batch. The sink is the
+    * date-partitioned [[graft.catalog.ArchiveStore]] layout, and every
+    * micro-batch lands through ONE partition-scoped upsert: source rows
+    * AND recomputed derived rows replace any prior rows for their
+    * (attribute_id, timestamp) keys — the T5 last-write-wins contract —
+    * so cross-batch re-delivery can never produce duplicate archive keys.
+    * Only the date partitions the batch touches are rewritten.
     *
     * At deployment scale the source would be a DataSourceV2
     * MicroBatchStream over the PI Web API (`/streamsets/.../interpolated`
@@ -158,14 +162,22 @@ object DerivedStream {
       .trigger(trigger)
       .foreachBatch { (batchRaw: DataFrame, _: Long) =>
         val batch = Ingest.coerceBatch(batchRaw, mapping).cache()
-        batch.write.mode("append").parquet(archivePath)
-        if (derived.nonEmpty) {
-          val archive = spark.read.parquet(archivePath)
-          val recomputed = derived.map(d => derivedForBatch(archive, batch, d))
-            .reduce(_ unionByName _)
-          recomputed.write.mode("append").parquet(archivePath)
-        }
-        batch.unpersist()
+        try if (!batch.isEmpty) {
+          val toWrite =
+            if (derived.isEmpty) batch
+            else {
+              // recompute against the POST-upsert view of the archive
+              // (existing rows minus the keys this batch replaces, plus
+              // the batch) so re-delivered source values feed formulas
+              val merged = upsert(
+                graft.catalog.ArchiveStore.readOr(spark, archivePath, batch.limit(0)),
+                batch)
+              val recomputed = derived.map(d => derivedForBatch(merged, batch, d))
+                .reduce(_ unionByName _)
+              batch.unionByName(recomputed)
+            }
+          graft.catalog.ArchiveStore.upsert(spark, archivePath, toWrite)
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -22,7 +22,10 @@ object Hierarchy {
     * root|child|...|node joined with `sep` (reference uses
     * `array_to_string(path_array,'|')`, `populate.py:221-222`). */
   def closure(element: DataFrame, sep: String = "|"): DataFrame = {
-    val maxLevel = element.agg(max(col("level"))).head().getInt(0)
+    // null aggregate = empty element table (fresh namespace): no roots,
+    // zero iterations, empty closure — don't getInt an SQL NULL
+    val maxRow = element.agg(max(col("level"))).head()
+    val maxLevel = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
     var done = element.filter(col("parent_id").isNull)
       .select(col("element_id"), col("name"), col("level"), col("parent_id"),
         col("name").as("path"))

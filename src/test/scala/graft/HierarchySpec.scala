@@ -28,6 +28,12 @@ class HierarchySpec extends SparkSpec {
       4 -> "root|a|x", 5 -> "root|a|y", 6 -> "root|a|z"))
   }
 
+  test("closure of an empty element table is empty (fresh namespace)") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schemas.element)
+    assert(Hierarchy.closure(empty).isEmpty)
+  }
+
   test("closureSql (native WITH RECURSIVE) agrees with the iterative closure") {
     val iter = Hierarchy.closure(element).orderBy("element_id").collect()
     val sql = Hierarchy.closureSql(element).orderBy("element_id").collect()

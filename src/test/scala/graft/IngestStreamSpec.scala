@@ -23,8 +23,11 @@ class IngestStreamSpec extends SparkSpec {
     val sess = spark
     import sess.implicits._
     val raw = Seq(
+      // dup key: ARRIVAL order wins (pandas keep='first'), so the larger
+      // 99.9 survives despite 12.5 being the minimum — this is what
+      // separates keep-first from keep-min
+      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "99.9"),
       ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "12.5"),
-      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "99.9"), // dup key: first (12.5) wins
       ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:00:00", "true"), // bool -> 1.0
       ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:01:00", "Bad Input"), // coerce -> null
       ("\\\\AF\\Plant\\Unknown|x", "2024-01-01T00:00:00", "5.0") // unmapped -> dropped
@@ -32,7 +35,7 @@ class IngestStreamSpec extends SparkSpec {
     val out = Ingest.coerceBatch(raw, mapping)
       .orderBy("attribute_id", "timestamp").collect()
     assert(out.length === 3)
-    assert(out(0).getDouble(2) === 12.5)
+    assert(out(0).getDouble(2) === 99.9)
     assert(out(0).getAs[java.time.LocalDateTime](1).getHour === 7) // +7h
     assert(out(1).getDouble(2) === 1.0)
     assert(out(2).isNullAt(2))
@@ -233,5 +236,34 @@ class IngestStreamSpec extends SparkSpec {
       .filter(col("attribute_id") === 9).orderBy("timestamp").collect()
     assert(derived.map(_.getDouble(2)).toSeq === Seq(20.0, 12.0))
     assert(spark.read.parquet(s"$dir/archive").count() === 6) // 4 source + 2 derived
+  }
+
+  test("T5 re-delivery: upsert replaces source AND derived rows, no duplicate keys") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_redeliver").toString
+    val mem = MemoryStream[(String, String, String)]
+    val raw = mem.toDF.toDF("lookup_key", "timestamp", "value")
+    def run(): Unit = {
+      val q = DerivedStream.start(raw, mapping, Seq(DerivedDef(9, "$1 * $2")),
+        s"$dir/archive", s"$dir/ckpt")
+      q.awaitTermination(120000)
+    }
+    mem.addData(
+      ("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "10.0"),
+      ("\\\\AF\\Plant\\U1|press", "2024-01-01T00:00:00", "2.0"))
+    run()
+    // re-deliver temp at the ALREADY-DERIVED timestamp with a new value
+    mem.addData(("\\\\AF\\Plant\\U1|temp", "2024-01-01T00:00:00", "30.0"))
+    run()
+    val rows = spark.read.parquet(s"$dir/archive")
+      .select("attribute_id", "timestamp", "value")
+    // last-write-wins: still exactly one row per (attribute_id, timestamp)
+    assert(rows.count() === 3)
+    val byAttr = rows.collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(byAttr(1) === 30.0) // re-delivered source replaced
+    assert(byAttr(2) === 2.0)
+    assert(byAttr(9) === 60.0) // derived recomputed from the NEW value
   }
 }

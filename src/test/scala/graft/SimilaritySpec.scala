@@ -117,4 +117,13 @@ class SimilaritySpec extends SparkSpec {
       fs.length === (sizes(id) + 63) / 64
     })
   }
+
+  test("frameSample emits no rows for zero-length payloads (oracle parity)") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "", "s"), (2L, "abc", "s")).toDF("doc_id", "text", "source")
+    val frames = Multimodal.frameSample(Multimodal.fromDocuments(docs), 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.toSeq === Seq((2L, 0))) // empty doc: no frames at all
+  }
 }
