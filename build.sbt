@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked main's stdout through UNPREFIXED: the Bench contract is
+// "print ONE JSON line" and sbt's default LoggedOutput would re-log it as
+// "[info] {...}", which a line-oriented json.loads consumer can't read
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
