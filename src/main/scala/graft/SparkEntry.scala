@@ -379,7 +379,27 @@ object SparkEntry {
 
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
-        .orderBy("media_id", "frame_offset"))
+        .orderBy("media_id", "frame_offset")),
+
+    // ---- §7.1.8 composed corpus pipeline ---------------------------------
+    // The end-to-end training-data cleaning shape: language-ID → quality
+    // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
+    // plan (scan → staged projections → filter → keyed window dedup →
+    // partial agg), no driver-side loops; each stage is an oracle-paired
+    // operator from TextOps/Dedup, so the composition is cell-exact too.
+    "pipe_corpus_clean" -> ((s, d) => {
+      val staged = TextOps.withQualityFeatures(
+        TextOps.withLangId(Tables.documents(s, d), "text"), "text")
+      val kept = staged.filter(
+        col("lang_pred") =!= "und" && col("score") > 0.5 && col("n_tokens") >= 5)
+      Dedup.exact(kept, col("text"), col("doc_id"))
+        .groupBy("source", "lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("source", "lang_pred")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -632,6 +652,26 @@ object SparkEntry {
 
     "m_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
-        "FROM documents ORDER BY media_id, frame_offset")
+        "FROM documents ORDER BY media_id, frame_offset"),
+
+    "pipe_corpus_clean" -> {
+      val nTok = TextOps.qualityFeaturesSql("text")("n_tokens")
+      s"""WITH staged AS (
+         |  SELECT doc_id, source, text,
+         |    ${TextOps.langIdSql("text")} AS lang_pred,
+         |    $nTok AS n_tokens,
+         |    ${TextOps.qualityScoreSql("text")} AS score
+         |  FROM documents
+         |), kept AS (
+         |  SELECT * FROM staged
+         |  WHERE lang_pred <> 'und' AND score > 0.5 AND n_tokens >= 5
+         |), dedup AS (
+         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept
+         |)
+         |SELECT source, lang_pred, count(*) AS n_docs, min(doc_id) AS first_doc,
+         |       max(n_tokens) AS max_tokens
+         |FROM dedup WHERE rn = 1
+         |GROUP BY source, lang_pred ORDER BY source, lang_pred""".stripMargin
+    }
   )
 }
