@@ -73,10 +73,18 @@ object Tables {
     * being respread are the compact pre-fan-out ones, so the shuffle is
     * tiny relative to the work it parallelizes. At real scale the scan
     * already has >= defaultParallelism splits and this is a no-op.
+    *
+    * The lazy localCheckpoint pins the respread layout: predicate
+    * pushdown otherwise slides an expensive text predicate (tokenize +
+    * marker scans) BELOW the repartition onto the single pre-fan-out
+    * split, re-serializing exactly the work the respread parallelizes.
+    * On a real many-split scan that pushdown is desirable — and fanOut
+    * doesn't trigger there, so scan-level pushdown is unaffected.
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions < target) df.repartition(target).localCheckpoint(false)
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
