@@ -58,6 +58,26 @@ class PiBatchSourceSpec extends SparkSpec {
     assert(out.select("lookup_key", "timestamp").distinct().count() === 16) // no dups
   }
 
+  test("ProcessingTime trigger: admission control paces maxTicksPerBatch per batch") {
+    val dir = Files.createTempDirectory("graft_pi4").toString
+    val q = readPi(endTicks = 12, maxPerBatch = 3)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0L)) // continuous polling path
+      .start()
+    try {
+      // the live-stream path: the engine repeatedly calls
+      // latestOffset(start, limit) (SupportsAdmissionControl) instead of
+      // AvailableNow's prepared end; processAllAvailable drains to endTicks
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() === 24) // 2 tags x 12 ticks
+      assert(out.select("lookup_key", "timestamp").distinct().count() === 24)
+      // paced: 12 ticks at 3/batch needs >= 4 committed micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
+
   test("feeds the coercion pipeline end-to-end (booleans, garbage, mapping)") {
     val dir = Files.createTempDirectory("graft_pi3").toString
     val q = readPi(endTicks = 20, maxPerBatch = 100)
