@@ -381,6 +381,16 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
         .orderBy("media_id", "frame_offset")),
 
+    // Deterministic corpus split: hash-of-id bucketing → auditable
+    // train/val/test assignment (stable under resharding, unlike
+    // randomSplit), plus per-(source, split) mixture stats.
+    "pipe_train_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split", TextOps.hashSplit(col("doc_id")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("source", "split")),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -653,6 +663,11 @@ object SparkEntry {
     "m_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
         "FROM documents ORDER BY media_id, frame_offset"),
+
+    "pipe_train_split" ->
+      (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
+        "count(*) AS n_docs, min(doc_id) AS first_doc " +
+        "FROM documents GROUP BY source, split ORDER BY source, split"),
 
     "pipe_corpus_clean" -> {
       val nTok = TextOps.qualityFeaturesSql("text")("n_tokens")

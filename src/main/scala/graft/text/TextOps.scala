@@ -130,6 +130,26 @@ object TextOps {
     s"${f("stop_ratio")} * 2.0 + ${f("mean_tok_len")} / 10.0 - ${f("punct_ratio")} * 5.0"
   }
 
+  // ---- deterministic corpus splitting -----------------------------------
+
+  /** Reproducible train/val/test assignment from the polynomial hash of
+    * the document id rendered as a string: stable under resharding,
+    * reordering, and re-runs (no RNG state, unlike `df.randomSplit`),
+    * which is what makes a corpus split auditable. Hash ∈ [0, P) so the
+    * `% 100` bucket needs no sign handling. */
+  def hashSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val h = graft.functions.NativeExprs.polyHash(idCol.cast("string"), CharMul, P) % 100L
+    when(h < trainPct, lit("train"))
+      .when(h < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  def hashSplitSql(id: String, trainPct: Int = 80, valPct: Int = 10): String = {
+    val h = s"(${charFoldSql(s"CAST($id AS VARCHAR)")} % 100)"
+    s"CASE WHEN $h < $trainPct THEN 'train' " +
+      s"WHEN $h < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
+  }
+
   // ---- language ID ------------------------------------------------------
 
   /** Marker-token profiles (standard function-word n-gram heuristic).
