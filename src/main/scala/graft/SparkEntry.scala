@@ -358,8 +358,9 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
-    // ANN path: probabilistic recall — no SQL oracle (driver rows-only
-    // check); recall floor asserted in SimilaritySpec.
+    // ANN path: deterministic literal hyperplanes → the bucket folds are
+    // bit-identical in SQL, so even the LSH path gets a cell-exact oracle
+    // (recall floor vs brute force additionally asserted in SimilaritySpec).
     "s_knn_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
@@ -653,6 +654,9 @@ object SparkEntry {
         "r AS (SELECT query_id, neighbor_id, cos, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
         "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "s_knn_lsh" ->
+      Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
 
     "m_media_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, " +

@@ -121,6 +121,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Oracle twin for [[lshTopK]]: the SAME planes as 32 VALUES rows
+    * (ht, bit, plane DOUBLE[]), per-vector bucket = SUM of sign bits
+    * (integer sum — order-free), candidates = bucket equi-join on any
+    * table, exact-cosine re-rank identical to the brute-force oracle.
+    * The per-plane dot is the same seeded index-order fold as
+    * [[lshBucket]]'s zip_with+aggregate, and `Double.toString` literals
+    * round-trip exactly through DuckDB's correctly-rounded parser, so
+    * every sign decision — hence every candidate set — matches bit-for-
+    * bit by construction. */
+  def lshTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      nPlanes: Int = 4, nTables: Int = 8): String = {
+    val planeRows = (for {
+      t <- 0 until nTables
+      (plane, p) <- hyperplanes(nPlanes, dim, seed = 42L + t).zipWithIndex
+    } yield s"($t, CAST(${1L << p} AS BIGINT), [${plane.mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    def dotPlane(v: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * p.plane[i])), (acc, x) -> acc + x)"
+    s"""WITH __planes(ht, bit, plane) AS (VALUES
+       |    $planeRows
+       |), __qb AS (
+       |  SELECT q.vec_id AS query_id, p.ht,
+       |         SUM(CASE WHEN ${dotPlane("q.embedding")} >= 0 THEN p.bit ELSE CAST(0 AS BIGINT) END) AS hb
+       |  FROM $table q CROSS JOIN __planes p WHERE $queryPred GROUP BY q.vec_id, p.ht
+       |), __cb AS (
+       |  SELECT e.vec_id AS neighbor_id, p.ht,
+       |         SUM(CASE WHEN ${dotPlane("e.embedding")} >= 0 THEN p.bit ELSE CAST(0 AS BIGINT) END) AS hb
+       |  FROM $table e CROSS JOIN __planes p GROUP BY e.vec_id, p.ht
+       |), __cand AS (
+       |  SELECT DISTINCT query_id, neighbor_id
+       |  FROM __qb JOIN __cb USING (ht, hb) WHERE query_id <> neighbor_id
+       |), __s AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${cosineSql("q.embedding", "e.embedding", dim)} AS cos
+       |  FROM __cand c JOIN $table q ON q.vec_id = c.query_id
+       |                JOIN $table e ON e.vec_id = c.neighbor_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __s
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF coarse index: deterministic k-means-lite centroids.
     * Seed clusters by `vec_id % nCentroids`, then `iters` Lloyd rounds —
     * assignment is a broadcast-centroid argmax projection (no shuffle of
