@@ -27,10 +27,12 @@ object ProfileQuery {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (explain) df.explain("formatted")
+      if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // construct INSIDE the timed region: operators with driver-side
+      // fixpoint loops (Hierarchy.closure, Dedup.clusters) do real work
+      // eagerly at construction, and Bench times them that way too
       val t0 = System.nanoTime()
-      val n = try df.count() catch {
+      val n = try SparkEntry.queries(name)(spark, sfDir).count() catch {
         case e: Throwable => println(s"ERR $name ${e.getMessage.take(120)}"); -1L
       }
       println(f"PROF $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")

@@ -382,6 +382,17 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
         .orderBy("media_id", "frame_offset")),
 
+    // Near-dup CLUSTERS: connected components over the LSH candidate
+    // pairs, cluster = min reachable doc id (the canonical keep-one
+    // representative). Iterative min-label propagation in Spark vs a
+    // recursive-CTE reachability oracle — same fixpoint, checked exactly.
+    "d_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs.select("doc_id"),
+        Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+        .orderBy("id")
+    }),
+
     // Deterministic corpus split: hash-of-id bucketing → auditable
     // train/val/test assignment (stable under resharding, unlike
     // randomSplit), plus per-(source, split) mixture stats.
@@ -667,6 +678,15 @@ object SparkEntry {
     "m_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
         "FROM documents ORDER BY media_id, frame_offset"),
+
+    "d_cluster" ->
+      (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
+        "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
 
     "pipe_train_split" ->
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +

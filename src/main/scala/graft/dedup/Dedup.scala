@@ -183,6 +183,51 @@ object Dedup {
        |FROM __sig sa JOIN __sig sb ON sa.$idCol < sb.$idCol AND ($bandEq)""".stripMargin
   }
 
+  // ---- near-dup clusters ------------------------------------------------
+
+  /** Connected components over a near-dup pair list: every node gets
+    * `cluster` = the MINIMUM id reachable through pairs — the canonical
+    * representative a keep-one dedup policy needs (pairs alone don't say
+    * which of {a,b,c} to keep when a~b and b~c but a!~c).
+    *
+    * Iterative min-label propagation: each round a node takes the min of
+    * its own and its neighbors' labels; converges within the component
+    * diameter (near-dup components are short-diameter cliques in
+    * practice). Each round is one equi-join + one aggregation — all
+    * shuffle-parallel — and labels are localCheckpointed per round so
+    * lineage stays flat. The driver loop only runs a convergence count.
+    * At extreme scale the same loop upgrades to the alternating
+    * large-star/small-star construction; this direct form is the exact
+    * answer whenever components are shallow. */
+  def clusters(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
+    val sym = pairs.select(col(aCol).as("dst"), col(bCol).as("src"))
+      .unionByName(pairs.select(col(bCol).as("dst"), col(aCol).as("src")))
+      .localCheckpoint(false) // reused every round
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // label/neighbor-min tables are node-sized: broadcast them so each
+      // round is shuffle-free except the one groupBy on the pair list
+      // (at a scale where labels outgrow broadcast, drop the hints and
+      // the same loop runs as shuffle joins)
+      val nbrMin = sym.join(broadcast(labels.select(col("id").as("dst"), col("cluster"))),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("cluster").as("nmin"))
+      val next = labels.join(broadcast(nbrMin), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster") =!= col("__old")).count()
+      labels = next.select("id", "cluster")
+      it += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   val SimhashBits = 32

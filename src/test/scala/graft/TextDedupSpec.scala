@@ -120,6 +120,17 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("clusters: transitive pairs merge to the component-min id, singletons keep their own") {
+    val sess = spark
+    import sess.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L).toDF("doc_id")
+    // chain 3~2, 2~1 (never 3~1 directly) plus the pair 4~7
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(nodes, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 7L -> 4L))
+  }
+
   test("quality features on fixture docs are sane") {
     val row = docs.select(
       TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
