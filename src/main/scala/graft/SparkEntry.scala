@@ -316,6 +316,15 @@ object SparkEntry {
         col("doc_id"), TextOps.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // Corpus vocabulary: the canonical explode → hash-agg → top-k shape
+    // (partial map-side counts, one shuffle on the token, TakeOrdered).
+    "t_vocab" -> ((s, d) =>
+      Relational.topK(
+        Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n")),
+        20, col("n").desc, col("tok"))),
+
     // ---- §7.1.8 dedup ----------------------------------------------------
     "d_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -602,6 +611,10 @@ object SparkEntry {
 
     "t_fingerprint" ->
       (s"SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"),
+
+    "t_vocab" ->
+      (s"SELECT tok, count(*) AS n FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS tok " +
+        "FROM documents) GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
 
     "d_exact" ->
       ("SELECT doc_id, n_chars FROM (" +
