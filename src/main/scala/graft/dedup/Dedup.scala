@@ -135,8 +135,8 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature.
-    * Spark plan: ONE signature computation (persisted — a self-join over
-    * the unpersisted pipeline would re-run the shingle explode + hash agg
+    * Spark plan: ONE signature computation (checkpointed — a self-join
+    * over the raw pipeline would re-run the shingle explode + hash agg
     * once per band per side), exploded to (band, k0..kB) rows in a single
     * pass, then an equi-join on the band bucket — candidates scale with
     * bucket collisions, not n². */

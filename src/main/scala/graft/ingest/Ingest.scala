@@ -48,6 +48,10 @@ object Ingest {
       .join(broadcast(mapping.select(col("lookup_key"), col("attribute_id"))),
         Seq("lookup_key"), "left")
       .filter(col("attribute_id").isNotNull) // P8
+      // a null timestamp has no archive key and no date partition: it
+      // would land in the HIVE_DEFAULT partition where upsert's
+      // null-key joins can silently drop prior rows — reject at ingest
+      .filter(col("timestamp").isNotNull)
       .select(col("attribute_id").cast("int"), col("timestamp"), col("value"),
         col("__arrival"))
     Relational.dedupFirst(joined, Seq("attribute_id", "timestamp"), Seq(col("__arrival")))
