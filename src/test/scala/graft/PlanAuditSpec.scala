@@ -60,4 +60,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"),
       s"ilike scan reads extra columns:\n$p")
   }
+
+  test("top-k queries use TakeOrderedAndProject, never a global sort + limit") {
+    for (q <- Seq("o_topk", "t_vocab")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q has no TakeOrdered:\n$p")
+    }
+  }
+
+  test("keyed keep-first dedups use WindowGroupLimit (rank pushed into the shuffle)") {
+    // Spark 4's WindowGroupLimit keeps only the per-key top row on the
+    // map side — without it every duplicate crosses the wire
+    for (q <- Seq("d_exact", "a7_dedup_first")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q shuffles all duplicates:\n$p")
+    }
+  }
+
+  test("pipe_corpus_clean evaluates its text predicate AFTER the fan-out, not on the raw scan") {
+    val p = plan("pipe_corpus_clean")
+    // the staged langid/quality predicate re-inlined below the fan-out
+    // would serialize ~20 tokenizations per row onto the single
+    // pre-fan-out parquet split. With the fanOut barrier in place the
+    // documents scan is a respread RDD scan; if a parquet scan IS
+    // present, its section must carry only cheap pushed filters.
+    val scanIdx = p.indexOf("Scan parquet")
+    val barrierHolds = scanIdx < 0 ||
+      !p.substring(scanIdx).split("\n\n").head.contains("split")
+    assert(barrierHolds && p.contains("Scan ExistingRDD"),
+      s"text predicate reached the pre-fan-out scan:\n$p")
+  }
 }
