@@ -131,6 +131,16 @@ class TextDedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 7L -> 4L))
   }
 
+  test("native expressions are SQL-registered: poly_hash / float_vec_dot") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT poly_hash('ab', 31, 2147483647) AS h, " +
+        "float_vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as float), cast(0.5 as float))) AS d").head()
+    assert(r.getLong(0) === ('a'.toLong * 31 + 'b'.toLong) % 2147483647L)
+    assert(r.getDouble(1) === 1.5 * 2.0 + 2.0 * 0.5)
+  }
+
   test("quality features on fixture docs are sane") {
     val row = docs.select(
       TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
