@@ -86,14 +86,32 @@ object Dedup {
   /** N-gram-Jaccard near-dup pairs via inverted index (n = 1 → unigram),
     * optionally blocked. Output: (id_a, id_b, common, n_a, n_b,
     * jaccard >= threshold). Jaccard is a single double division of exact
-    * ints — engine-exact. */
+    * ints — engine-exact.
+    *
+    * `maxDf`: drop tokens whose document frequency exceeds the cap BEFORE
+    * the pair join — the production skew lever. A token shared by d docs
+    * contributes d² join rows, so one boilerplate shingle ("all rights
+    * reserved …") turns the inverted index quadratic; capping df bounds
+    * every token's contribution AND removes non-discriminative tokens
+    * from the similarity itself (numerator and denominator both use the
+    * capped sets, so the semantics stay self-consistent). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double, n: Int = 1): DataFrame = {
+      blockCols: Seq[String], threshold: Double, n: Int = 1,
+      maxDf: Option[Long] = None): DataFrame = {
     // lazy localCheckpoint, not cache(): computed once even though three
     // branches read it, but NOT pinned in the CacheManager — the blocks
     // are released by the ContextCleaner when the result plan is GC'd,
     // so repeated calls don't accrete executor storage
-    val dt = docTokens(df, idCol, textCol, blockCols, n).localCheckpoint(false)
+    val dtAll = docTokens(df, idCol, textCol, blockCols, n).localCheckpoint(false)
+    val dt = maxDf match {
+      case None => dtAll
+      case Some(cap) =>
+        val tokKey = "tok" +: blockCols
+        val keep = dtAll.groupBy(tokKey.map(col): _*)
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          .select(tokKey.map(col): _*)
+        dtAll.join(keep, tokKey, "left_semi").localCheckpoint(false)
+    }
     val sizes = dt.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")

@@ -120,6 +120,24 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("jaccardPairs maxDf drops hot tokens from index AND similarity") {
+    val sess = spark
+    import sess.implicits._
+    // "hot" appears in every doc (boilerplate); docs 1/2 share real content
+    val df = Seq(
+      (1L, "hot alpha beta gamma"),
+      (2L, "hot alpha beta delta"),
+      (3L, "hot zz yy xx")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", Nil, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 3L))) // hot token alone links 1~3 (1/7)
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", Nil, 0.1, maxDf = Some(2L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(!capped.contains((1L, 3L))) // boilerplate-only link gone
+    // 1~2 survive on real content: {alpha,beta} of capped sets {alpha,beta,gamma}/{alpha,beta,delta}
+    assert(capped((1L, 2L)) === 2.0 / 4.0)
+  }
+
   test("clusters: transitive pairs merge to the component-min id, singletons keep their own") {
     val sess = spark
     import sess.implicits._
