@@ -25,6 +25,10 @@ object SparkEntry {
     * EAV `archive` on the harness `events` table (alphabetical, 1-based). */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Target keep-percentages per source for the mixture-sampling query
+    * (sources not listed keep 100%). */
+  private val MixtureRates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 25)
+
   /** The reference's `element` tree (site → unit) modeled from
     * region (level 0, roots) ∪ nation (level 1, element_id offset +100). */
   private def elementDim(s: SparkSession, dir: String): DataFrame = {
@@ -357,9 +361,48 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
+    // Train/eval decontamination: per eval doc, the fraction of its
+    // distinct 3-gram shingles that occur anywhere in the train corpus
+    // (train = every other source). Hash-keyed equi-join probe, no
+    // pairwise doc comparison.
+    "d_contam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
+
+    // As-of join: each purchase picks up the user's latest click at or
+    // before it (inclusive; greatest (ts, event_id) wins ties) — the
+    // union-sort time-series join, one shuffle on the key.
+    "o_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      Relational.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("click_ts", "click_id", "click_value"), Seq("click_id"))
+        .orderBy("event_id")
+    }),
+
+    // Corpus-mixture control: deterministic salted-hash downsampling to
+    // per-source target rates, with the realized mixture as the output.
+    "pipe_mixture_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(TextOps.mixtureKeep(col("doc_id"), col("source"),
+          MixtureRates))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source")),
 
     // ---- §7.1.8 similarity search -----------------------------------------
     "s_knn_brute" -> ((s, d) =>
@@ -662,6 +705,26 @@ object SparkEntry {
 
     "d_simhash_pairs" ->
       (s"SELECT * FROM (${Dedup.simhashPairsSql("documents", "doc_id", "text", 3)}) ORDER BY id_a, id_b"),
+
+    "d_contam" ->
+      (s"SELECT * FROM (${Dedup.contaminationSql("documents",
+        "source <> 'src0'", "source = 'src0'", "doc_id", "text", 3)}) " +
+        "ORDER BY doc_id"),
+
+    "o_asof" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.user_id, p.ts, p.event_id, p.value, cc.click_ts, cc.click_id, cc.click_value " +
+        "FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value " +
+        "FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts " +
+        "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS cc ON true " +
+        "ORDER BY p.event_id"),
+
+    "pipe_mixture_sample" ->
+      (s"SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        s"FROM documents WHERE ${TextOps.mixtureKeepSql("doc_id", "source", MixtureRates)} " +
+        "GROUP BY source ORDER BY source"),
 
     "d_embed_near" ->
       (s"SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +

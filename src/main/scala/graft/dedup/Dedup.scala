@@ -127,6 +127,53 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Train/eval contamination check (decontamination): for each eval
+    * document, the fraction of its distinct n-gram shingles that appear
+    * anywhere in the train corpus. Output: (id, n_shingles, n_hit,
+    * contamination); docs whose text yields no shingle emit no row in
+    * BOTH engines.
+    *
+    * Scale shape: both sides reduce to distinct 8-byte shingle hashes —
+    * the train side globally distinct (its per-doc identity is
+    * irrelevant), so the probe join is an equi-join of fixed-width longs
+    * whose right side is |train vocabulary|, not |train rows|; the
+    * per-eval-doc aggregate is one map-side-combinable groupBy. At
+    * 100 TB the train vocabulary join is the textbook candidate for a
+    * bloom-filter pushdown on `tok`, which drops never-matching eval
+    * shingles before the shuffle. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalToks = docTokens(eval, idCol, textCol, Nil, n)
+    val trainToks = docTokens(train, idCol, textCol, Nil, n)
+      .select("tok").distinct().withColumn("__hit", lit(1L))
+    evalToks.join(trainToks, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Oracle twin for [[contamination]]: same shingle + hash folds, the
+    * train vocabulary as a DISTINCT subquery probed by a LEFT JOIN. */
+  def contaminationSql(table: String, trainPred: String, evalPred: String,
+      idCol: String, textCol: String, n: Int): String = {
+    val sh = shinglesSql(textCol, n)
+    s"""WITH __ev AS (
+       |  SELECT DISTINCT $idCol, ${TextOps.tokenHashSql("tok")} AS tok
+       |  FROM (SELECT $idCol, unnest($sh) AS tok FROM $table WHERE $evalPred)
+       |), __tr AS (
+       |  SELECT DISTINCT ${TextOps.tokenHashSql("tok")} AS tok
+       |  FROM (SELECT unnest($sh) AS tok FROM $table WHERE $trainPred)
+       |), __j AS (
+       |  SELECT e.$idCol, CASE WHEN t.tok IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM __ev e LEFT JOIN __tr t ON e.tok = t.tok
+       |)
+       |SELECT $idCol, count(*) AS n_shingles, CAST(sum(hit) AS BIGINT) AS n_hit,
+       |       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+       |FROM __j GROUP BY $idCol""".stripMargin
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** K permutation-hash parameters (a, b): h_i(x) = (a_i*x + b_i) mod P.

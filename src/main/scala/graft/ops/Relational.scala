@@ -106,6 +106,55 @@ object Relational {
   def topK(df: DataFrame, k: Int, orderCols: Column*): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
 
+  /** As-of join — for each left row, attach the latest right row with
+    * `right.tsCol <= left.tsCol` under the same key (the time-series
+    * join Spark has no built-in operator for; the reference's J4
+    * alignment is the exact-timestamp special case).
+    *
+    * Implemented as the scalable union-sort form, NOT a range join:
+    * both sides are unioned, one shuffle partitions by key, and a
+    * running `last(_, ignoreNulls)` window carries each right payload
+    * forward to the left rows that follow it in (ts, side, tiebreak)
+    * order. Cost is a single sort per key partition — linear, no
+    * per-key collect, no quadratic candidate pairs, and skewed keys
+    * stay one partition's sort rather than a join explosion.
+    *
+    * Semantics pinned for determinism: inclusive (a right row exactly
+    * at left.ts matches, because right sorts before left on ties), and
+    * among right rows sharing (key, ts) the greatest `tiebreak` wins.
+    * `payload` columns must exist on `right` and not collide with left
+    * columns; left rows with no earlier right row keep NULL payloads
+    * (left-outer semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payload: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    // the payload travels as ONE struct: per-column carry would stitch
+    // together fields of DIFFERENT right rows when the latest row has a
+    // NULL field (ignoreNulls would skip past it per-column); the struct
+    // is never null for a right row, so the carry is atomic
+    val plType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+    val l = left.select(
+      Seq(col(key), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(plType).as("__pl")) ++
+        leftCols.map(col) ++
+        tiebreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(tsCol), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__pl")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol) +: col("__side") +: tiebreak.map(c => col(s"__tb_$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__pl", last(col("__pl"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(tsCol)) ++ leftCols.map(col) ++
+        payload.map(c => col(s"__pl.$c").as(c)): _*)
+  }
+
   /** Skew-safe equi-join (the 100 TB tool for hot keys, e.g. one sensor
     * producing most archive rows): the big side's hot partitions are split
     * by a salt derived from a per-row expression, the small side is

@@ -150,6 +150,33 @@ object TextOps {
       s"WHEN $h < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
   }
 
+  /** Deterministic per-source downsampling for corpus-mixture control:
+    * keep a document iff its hash bucket falls under the source's target
+    * percentage. The hash is salted ("mix:") so sampling decisions are
+    * independent of [[hashSplit]]'s buckets — a doc's split and its
+    * mixture fate never correlate. Sources absent from `pctBySource`
+    * keep everything. Pure projection + filter: no RNG state, stable
+    * under resharding, and the realized rate per source is auditable by
+    * re-running the same expression. */
+  def mixtureKeep(idCol: Column, sourceCol: Column,
+      pctBySource: Seq[(String, Int)]): Column = {
+    val h = graft.functions.NativeExprs.polyHash(
+      concat(lit("mix:"), idCol.cast("string")), CharMul, P) % 100L
+    val pct = pctBySource.foldLeft(lit(100)) { case (acc, (src, p)) =>
+      when(sourceCol === src, lit(p)).otherwise(acc)
+    }
+    h < pct.cast("long")
+  }
+
+  def mixtureKeepSql(id: String, source: String,
+      pctBySource: Seq[(String, Int)]): String = {
+    val h = s"(${charFoldSql(s"'mix:' || CAST($id AS VARCHAR)")} % 100)"
+    val pct = pctBySource.foldRight("100") { case ((src, p), acc) =>
+      s"CASE WHEN $source = '$src' THEN $p ELSE $acc END"
+    }
+    s"$h < $pct"
+  }
+
   // ---- language ID ------------------------------------------------------
 
   /** Marker-token profiles (standard function-word n-gram heuristic).

@@ -64,6 +64,42 @@ class RelationalSpec extends SparkSpec {
     assert(prices === prices.sorted.reverse)
   }
 
+  test("asofJoin attaches the latest right row at or before each left ts") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(("u1", 10L, 1), ("u1", 5L, 2), ("u2", 7L, 3))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      ("u1", 5L, 100, Option(1.0)),
+      ("u1", 9L, 101, Option(3.0)),
+      ("u1", 9L, 102, Option(2.0))) // same ts as 101: greater rid wins
+      .toDF("k", "ts", "rid", "rv")
+      .select(col("k"), col("ts"), col("rid"), col("rv"))
+    val out = Relational.asofJoin(left, right, "k", "ts",
+      Seq("rid", "rv"), Seq("rid"))
+      .orderBy("lid").collect()
+    // left(ts=10): latest right is ts=9, tie → rid 102
+    assert(out(0).getInt(3) === 102 && out(0).getDouble(4) === 2.0)
+    // left(ts=5): inclusive — right at exactly ts=5 matches
+    assert(out(1).getInt(3) === 100)
+    // u2 has no right rows → NULL payload (left-outer)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
+  test("asofJoin payload is atomic: a NULL field never borrows an older row's value") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(("u1", 10L, 1)).toDF("k", "ts", "lid")
+    val right = Seq(
+      ("u1", 5L, 100, Option(1.0)),
+      ("u1", 9L, 101, Option.empty[Double])) // latest row has NULL rv
+      .toDF("k", "ts", "rid", "rv")
+    val out = Relational.asofJoin(left, right, "k", "ts",
+      Seq("rid", "rv"), Seq("rid")).collect()
+    assert(out(0).getInt(3) === 101)
+    assert(out(0).isNullAt(4)) // NOT 1.0 from rid=100
+  }
+
   test("broadcast dim join plans a BroadcastHashJoin (no fact shuffle)") {
     val c = Tables.customer(spark, sfDir).withColumnRenamed("c_nationkey", "n_nationkey")
     val plan = Relational.dimJoin(c, Tables.nation(spark, sfDir), "n_nationkey")

@@ -159,6 +159,37 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.5 * 2.0 + 2.0 * 0.5)
   }
 
+  test("contamination reports the overlapping shingle fraction per eval doc") {
+    val sess = spark
+    import sess.implicits._
+    val train = Seq((10, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1, "a b c x y"), // shingles: "a b c","b c x","c x y" → 1 of 3 in train
+      (2, "b c d"),     // exactly one shingle, fully contained
+      (3, "q r"))       // < 3 tokens → no shingles → no output row
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text", 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) === ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2) === ((1L, 1L, 1.0)))
+    assert(!got.contains(3))
+  }
+
+  test("mixtureKeep downsamples per source deterministically") {
+    val keepAll = docs.filter(
+      TextOps.mixtureKeep(col("doc_id"), col("source"), Seq.empty)).count()
+    assert(keepAll === docs.count()) // unlisted sources keep everything
+    val none = docs.filter(
+      TextOps.mixtureKeep(col("doc_id"), col("source"), Seq("src0" -> 0)))
+      .filter(col("source") === "src0").count()
+    assert(none === 0L)
+    val half = TextOps.mixtureKeep(col("doc_id"), col("source"), Seq("src0" -> 50))
+    val a = docs.filter(half).filter(col("source") === "src0").count()
+    val b = docs.filter(half).filter(col("source") === "src0").count()
+    assert(a === b) // re-evaluation is stable (no RNG state)
+    assert(a > 0 && a < docs.filter(col("source") === "src0").count())
+  }
+
   test("quality features on fixture docs are sane") {
     val row = docs.select(
       TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
