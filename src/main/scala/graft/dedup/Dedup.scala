@@ -269,28 +269,42 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("dst"), col(bCol).as("src"))
       .unionByName(pairs.select(col(bCol).as("dst"), col(aCol).as("src")))
       .localCheckpoint(false) // reused every round
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // the loop runs ONLY on the induced subgraph (ids occurring in some
+    // pair): a node with no neighbor can never change its label, and in
+    // a near-dup workload touched docs are a small fraction of the
+    // corpus — the full node set joins back in exactly once at the end
+    var labels = sym.select(col("dst").as("id")).distinct()
+      .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // one propagation hop: every node takes the min of its own and its
+    // neighbors' labels; extra columns (the round's __old) pass through.
+    // label/neighbor-min tables are subgraph-sized: broadcast them so a
+    // hop is shuffle-free except the one groupBy on the pair list (at a
+    // scale where labels outgrow broadcast, drop the hints and the same
+    // loop runs as shuffle joins)
+    def hop(l: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(broadcast(l.select(col("id").as("dst"), col("cluster"))), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("cluster").as("nmin"))
+      l.join(broadcast(nbrMin), Seq("id"), "left")
+        .select(l.columns.filter(_ != "cluster").map(col) :+
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"): _*)
+    }
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      // label/neighbor-min tables are node-sized: broadcast them so each
-      // round is shuffle-free except the one groupBy on the pair list
-      // (at a scale where labels outgrow broadcast, drop the hints and
-      // the same loop runs as shuffle joins)
-      val nbrMin = sym.join(broadcast(labels.select(col("id").as("dst"), col("cluster"))),
-          Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("cluster").as("nmin"))
-      val next = labels.join(broadcast(nbrMin), Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          col("cluster").as("__old"))
+      // TWO hops per materialized round: the convergence count (an
+      // action) then amortizes over both, and the final no-change
+      // confirmation round costs one round, not two
+      val next = hop(hop(labels.withColumn("__old", col("cluster"))))
         .localCheckpoint()
       changed = next.filter(col("cluster") =!= col("__old")).count()
       labels = next.select("id", "cluster")
-      it += 1
+      it += 2
     }
-    labels
+    nodes.select(col(idCol).as("id"))
+      .join(broadcast(labels.withColumnRenamed("cluster", "__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
   // ---- SimHash ----------------------------------------------------------

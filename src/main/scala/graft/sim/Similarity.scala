@@ -189,6 +189,12 @@ object Similarity {
     }
   }
 
+  /** Collect a centroid table to the driver ONCE (it is nCentroids
+    * rows — catalog-sized, never data-sized). */
+  def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Double])] =
+    centroids.select("cluster", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+
   /** Nearest-centroid assignment as a pure projection against broadcast
     * centroids: per row, a score ARRAY (one dot per centroid, each a
     * compact fold), then argmax via array_max/array_position over the
@@ -197,9 +203,15 @@ object Similarity {
     * (2^centroids evaluations; the same trap as SURVEY §2.12's shingle
     * note). Ties resolve to the lowest-index (first) centroid. */
   def assignClusters(df: DataFrame, centroids: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame =
+    assignClustersLocal(df, collectCentroids(centroids), vecCol)
+
+  /** [[assignClusters]] against an already-collected centroid array —
+    * the entry point when the caller reuses the centroids elsewhere
+    * (collecting the DataFrame twice would re-run the whole Lloyd
+    * pipeline per collect; lineage is lazy, not memoized). */
+  def assignClustersLocal(df: DataFrame, cents: Array[(Int, Seq[Double])],
       vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids.select("cluster", "centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val scores = array(cents.map { case (_, c) =>
       val prods = zip_with(col(vecCol), array(c.map(lit): _*), (x, y) => x.cast("double") * y)
       aggregate(prods, lit(0.0), (acc, x) => acc + x)
@@ -220,14 +232,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCentroids: Int = 8, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol)
-    val cb = assignClusters(
+    // ONE collect of the centroid table: both the corpus assignment and
+    // the query-side probe list are built from the same local array (a
+    // second .collect() would lazily re-run the entire Lloyd pipeline)
+    val centsLocal = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
+    val cb = assignClustersLocal(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
-      cents, dim, "c_vec")
-    // per query: nProbe nearest centroids -> one row per probed cluster
-    val centsLocal = cents.select("cluster", "centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      centsLocal, "c_vec")
     val scoredCents = array(centsLocal.map { case (cid, c) =>
       val prods = zip_with(col("q_vec"), array(c.map(lit): _*), (x, y) => x.cast("double") * y)
       struct((-aggregate(prods, lit(0.0), (acc, x) => acc + x)).as("neg"), lit(cid).as("cid"))
