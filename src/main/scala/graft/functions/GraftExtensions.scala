@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * them too (SURVEY.md §7.3 custom-operator ladder: expressions are
   * registered, not bound only to the Scala Column API):
   *
-  *  - `poly_hash(str, mul, mod)` — [[PolyHash]]
-  *  - `float_vec_dot(a, b)`     — [[FloatVecDot]]
+  *  - `poly_hash(str, mul, mod)`     — [[PolyHash]]
+  *  - `float_vec_dot(a, b)`          — [[FloatVecDot]]
+  *  - `float_double_vec_dot(a, b)`   — [[FloatDoubleVecDot]]
   *
   * Two entry points, same builders:
   *  - deploy-time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -44,6 +45,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "float_vec_dot(a, b) takes 2 arguments")
         FloatVecDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("float_double_vec_dot"),
+      new ExpressionInfo(classOf[FloatDoubleVecDot].getName, "float_double_vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_double_vec_dot(a, b) takes 2 arguments")
+        FloatDoubleVecDot(args.head, args(1))
       }))
 
   /** Register into a live session's FunctionRegistry. */

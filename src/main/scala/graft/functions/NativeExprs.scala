@@ -129,10 +129,73 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product of a FLOAT array column with a DOUBLE array (typically a
+  * literal hyperplane/centroid), accumulated in double, index order —
+  * the exact fold of
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * y), 0.0d, (acc, x) -> acc + x)`
+  * for equal-length arrays (mismatched lengths yield NULL, matching
+  * zip_with's null padding poisoning the sum). The HOF form this
+  * replaces is interpreted per element; with planes × tables × dims
+  * that lambda dispatch dominates the ANN scans. */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"FloatDoubleVecDot needs ARRAY<FLOAT>, ARRAY<DOUBLE>, got $l / $r")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — one instance per plane/centroid lands
+      // in the same generated function (see PolyHash note)
+      val acc = ctx.freshName("fdDotAcc")
+      val n = ctx.freshName("fdDotN")
+      val i = ctx.freshName("fdDotI")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDoubleVecDot =
+    copy(left = l, right = r)
+}
+
 object NativeExprs {
   def polyHash(c: Column, mul: Long, mod: Long): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c), mul, mod))
   def floatVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def floatDoubleVecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatDoubleVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

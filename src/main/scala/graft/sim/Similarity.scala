@@ -67,17 +67,18 @@ object Similarity {
     * buckets; bucket key is a small int, so candidate gen is a plain
     * equi-join.
     *
-    * The per-plane dot is a `zip_with`+`aggregate` fold over a flat
-    * literal array — NOT dim nested `+` nodes. The nested form builds a
+    * The per-plane dot is the native codegen'd
+    * [[graft.functions.FloatDoubleVecDot]] against a flat literal
+    * array — NOT dim nested `+` nodes. The nested form builds a
     * plan tree Catalyst re-walks per optimizer pass and codegens into
     * kilolines; with planes × tables that multiplied into minutes of
-    * pure planning/compilation. Identical arithmetic: the fold seeds
-    * with 0.0 and adds terms in index order, and 0.0 + x == x. */
+    * pure planning/compilation. Identical arithmetic to the
+    * `zip_with`+`aggregate` HOF fold it replaces (seed 0.0, index-order
+    * accumulation, double casts), which stays the documented SQL twin. */
   def lshBucket(vecCol: String, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeLit = array(plane.map(lit): _*)
-      val prods = zip_with(col(vecCol), planeLit, (x, y) => x.cast("double") * y)
-      val d = aggregate(prods, lit(0.0), (acc, x) => acc + x)
+      val d = graft.functions.NativeExprs.floatDoubleVecDot(col(vecCol), planeLit)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -213,8 +214,7 @@ object Similarity {
   def assignClustersLocal(df: DataFrame, cents: Array[(Int, Seq[Double])],
       vecCol: String = "embedding"): DataFrame = {
     val scores = array(cents.map { case (_, c) =>
-      val prods = zip_with(col(vecCol), array(c.map(lit): _*), (x, y) => x.cast("double") * y)
-      aggregate(prods, lit(0.0), (acc, x) => acc + x)
+      graft.functions.NativeExprs.floatDoubleVecDot(col(vecCol), array(c.map(lit): _*))
     }: _*)
     val cidArr = array(cents.map(c => lit(c._1)): _*)
     df.withColumn("__scores", scores)
@@ -241,8 +241,8 @@ object Similarity {
         .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
       centsLocal, "c_vec")
     val scoredCents = array(centsLocal.map { case (cid, c) =>
-      val prods = zip_with(col("q_vec"), array(c.map(lit): _*), (x, y) => x.cast("double") * y)
-      struct((-aggregate(prods, lit(0.0), (acc, x) => acc + x)).as("neg"), lit(cid).as("cid"))
+      struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("q_vec"), array(c.map(lit): _*)))
+        .as("neg"), lit(cid).as("cid"))
     }: _*)
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))

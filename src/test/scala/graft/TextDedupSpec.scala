@@ -159,6 +159,23 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.5 * 2.0 + 2.0 * 0.5)
   }
 
+  test("FloatDoubleVecDot is bit-identical to the zip_with+aggregate fold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plane = graft.sim.Similarity.hyperplanes(1, 64, seed = 7L)(0)
+    val planeLit = array(plane.map(lit): _*)
+    val hof = aggregate(
+      zip_with(col("embedding"), planeLit, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+    val native = graft.functions.NativeExprs.floatDoubleVecDot(col("embedding"), planeLit)
+    assert(emb.filter(hof =!= native).count() === 0L)
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT float_double_vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as double), cast(0.5 as double))) AS d").head()
+    assert(r.getDouble(0) === 1.5 * 2.0 + 2.0 * 0.5)
+  }
+
   test("contamination reports the overlapping shingle fraction per eval doc") {
     val sess = spark
     import sess.implicits._
