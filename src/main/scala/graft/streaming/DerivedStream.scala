@@ -73,6 +73,40 @@ object DerivedStream {
       .select(col("w.start").as("window_start"), col("attribute_id"),
         col("n"), col("min_value"), col("max_value"))
 
+  /** Sliding-window variant of [[windowedRollup]]: each event lands in
+    * `window / slide` overlapping windows (e.g. hourly stats refreshed
+    * every 15 minutes). Same watermark-bounded state; the overlap factor
+    * multiplies state size, which is why the slide is a parameter and
+    * never defaulted finer than needed. */
+  def slidingRollup(coerced: DataFrame, window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    coerced
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("timestamp"), window, slide).as("w"),
+        col("attribute_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("w.start").as("window_start"), col("attribute_id"),
+        col("n"), col("min_value"), col("max_value"))
+
+  /** Session-window rollup: per-attribute activity bursts separated by
+    * at least `gap` of silence collapse to one row (start, end, count).
+    * The natural shape for "how long did this sensor stream without
+    * interruption" monitoring; windows merge as events arrive and
+    * finalize once the watermark passes `end + gap`. */
+  def sessionRollup(coerced: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    coerced
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(session_window(col("timestamp"), gap).as("w"), col("attribute_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("attribute_id"), col("n"))
+
   /** T3 streaming-native dedup: watermarked
     * `dropDuplicatesWithinWatermark` on the archive key. The batch
     * pipeline dedups within a micro-batch ([[Ingest.coerceBatch]]);

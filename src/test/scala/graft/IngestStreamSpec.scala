@@ -186,6 +186,50 @@ class IngestStreamSpec extends SparkSpec {
     assert(rows(2).getLong(2) === 1 && rows(2).getDouble(4) === 99.0)
   }
 
+  test("slidingRollup lands each event in every overlapping window") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val coerced = mem.toDF.toDF("attribute_id", "timestamp", "value")
+    def ts(s: String) = Timestamp.valueOf(s)
+    mem.addData((1, ts("2024-01-01 00:40:00"), 5.0))
+    val q = DerivedStream.slidingRollup(coerced, "1 hour", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val starts = spark.table("sliding").orderBy("window_start")
+      .collect().map(_.getTimestamp(0).toString)
+    // 00:40 is inside [00:00,01:00) and [00:30,01:30): two windows, one event
+    assert(starts.toSeq === Seq("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0"))
+  }
+
+  test("sessionRollup merges bursts and splits on gaps") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val coerced = mem.toDF.toDF("attribute_id", "timestamp", "value")
+    def ts(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1, ts("2024-01-01 00:00:00"), 1.0),
+      (1, ts("2024-01-01 00:10:00"), 2.0), // within 30m gap → same session
+      (1, ts("2024-01-01 02:00:00"), 3.0)) // >30m silence → new session
+    val q = DerivedStream.sessionRollup(coerced, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sessions").orderBy("session_start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(3) === 2) // merged burst
+    assert(rows(0).getTimestamp(1).toString === "2024-01-01 00:40:00.0") // end = last + gap
+    assert(rows(1).getLong(3) === 1)
+  }
+
   test("T6: independent per-namespace streams run concurrently") {
     val sess = spark
     import sess.implicits._
