@@ -77,6 +77,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("as-of join is one keyed window, never a range join explosion") {
+    val p = plan("o_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asofJoin degenerated to a cross/range join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"asofJoin lost its window carry:\n$p")
+  }
+
+  test("contamination probe is an equi-join with map-side partial aggregation") {
+    val p = plan("d_contam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d_contam degenerated to a cross join:\n$p")
+    // the per-eval-doc count aggregates partially before the final shuffle
+    assert(p.contains("HashAggregate"), s"d_contam has no hash aggregation:\n$p")
+  }
+
   test("pipe_corpus_clean evaluates its text predicate AFTER the fan-out, not on the raw scan") {
     val p = plan("pipe_corpus_clean")
     // the staged langid/quality predicate re-inlined below the fan-out
