@@ -100,6 +100,44 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).isNullAt(4)) // NOT 1.0 from rid=100
   }
 
+  test("property: asofJoin equals the per-row brute-force reference") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small domains force key collisions and ts ties; rv is nullable so
+    // the atomic-payload property is exercised too
+    val genRows = for {
+      nL <- Gen.choose(1, 8)
+      nR <- Gen.choose(0, 8)
+      lks <- Gen.listOfN(nL, Gen.oneOf("a", "b"))
+      lts <- Gen.listOfN(nL, Gen.choose(0L, 10L))
+      rks <- Gen.listOfN(nR, Gen.oneOf("a", "b"))
+      rts <- Gen.listOfN(nR, Gen.choose(0L, 10L))
+      rvs <- Gen.listOfN(nR, Gen.option(Gen.choose(0, 9).map(_.toDouble)))
+    } yield (
+      lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (k, t, i) },
+      rks.zip(rts).zipWithIndex.map { case ((k, t), i) => (k, t, 100 + i, rvs(i)) })
+    val prop = Prop.forAll(genRows) { case (ls, rs) =>
+      val got = Relational.asofJoin(
+        ls.toDF("k", "ts", "lid"), rs.toDF("k", "ts", "rid", "rv"),
+        "k", "ts", Seq("rid", "rv"), Seq("rid"))
+        .collect().map { r =>
+          r.getInt(2) -> (if (r.isNullAt(3)) None
+            else Some((r.getInt(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        }.toMap
+      val want = ls.map { case (k, t, lid) =>
+        val cand = rs.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (cand.isEmpty) None else {
+          val best = cand.maxBy(r => (r._2, r._3))
+          Some((best._3, best._4))
+        })
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("broadcast dim join plans a BroadcastHashJoin (no fact shuffle)") {
     val c = Tables.customer(spark, sfDir).withColumnRenamed("c_nationkey", "n_nationkey")
     val plan = Relational.dimJoin(c, Tables.nation(spark, sfDir), "n_nationkey")
