@@ -171,18 +171,19 @@ object Similarity {
   /** IVF coarse index: deterministic k-means-lite centroids.
     * Seed clusters by `vec_id % nCentroids`, then `iters` Lloyd rounds —
     * assignment is a broadcast-centroid argmax projection (no shuffle of
-    * the corpus), the mean recompute is one posexplode + two grouped
-    * aggregations. Returns (cluster INT, centroid ARRAY<DOUBLE>). */
+    * the corpus), the mean recompute is ONE hash aggregate with `dim`
+    * positional avg columns (no row explosion: a posexplode form
+    * shuffles dim× the corpus row count and needs a collect_list+sort
+    * to reassemble). Returns (cluster INT, centroid ARRAY<DOUBLE>). */
   def ivfCentroids(corpus: DataFrame, dim: Int, nCentroids: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), x => x("m")).as("centroid"))
+    def recompute(assigned: DataFrame): DataFrame = {
+      val avgs = (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1).cast("double")).as(s"__c$i"))
+      assigned.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+        .select(col("cluster"),
+          array((0 until dim).map(i => col(s"__c$i")): _*).as("centroid"))
+    }
     val seeded = corpus.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
     (1 to iters).foldLeft(recompute(seeded)) { (cents, _) =>
       recompute(assignClusters(corpus, cents, dim, vecCol)
