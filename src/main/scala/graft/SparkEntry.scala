@@ -455,6 +455,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // Corpus reporting rollup: per-(source, lang), per-source subtotal,
+    // and grand total in ONE aggregation pass (partial aggregates expand
+    // to the grouping sets map-side — not three scans unioned).
+    "a_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -763,6 +772,11 @@ object SparkEntry {
         "UNION " +
         "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
         "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
+
+    "a_rollup" ->
+      ("SELECT source, lang, count(*) AS n_docs, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY ROLLUP(source, lang) " +
+        "ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"),
 
     "pipe_train_split" ->
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
