@@ -207,6 +207,68 @@ class TextDedupSpec extends SparkSpec {
     assert(a > 0 && a < docs.filter(col("source") === "src0").count())
   }
 
+  test("property: clusters equals union-find on random graphs") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      nNodes <- Gen.choose(1, 20)
+      nEdges <- Gen.choose(0, 15)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+    } yield (nNodes.toLong, edges.filter { case (a, b) => a != b })
+    val prop = Prop.forAll(genGraph) { case (n, edges) =>
+      val nodes = (0L until n).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.clusters(nodes, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until n).map(i => i -> find(i.toInt).toLong).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: contamination equals a brute-force shingle-overlap reference") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val genCase = for {
+      nT <- Gen.choose(0, 4); nE <- Gen.choose(1, 4)
+      ts <- Gen.listOfN(nT, doc); es <- Gen.listOfN(nE, doc)
+    } yield (ts.zipWithIndex.map { case (t, i) => (i, t) },
+      es.zipWithIndex.map { case (t, i) => (100 + i, t) })
+    def hash(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.P)
+    def sh2(t: String): Set[Long] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (t.trim.isEmpty || toks.length < 2) Set.empty
+      else toks.sliding(2).map(w => hash(w.mkString(" "))).toSet
+    }
+    val prop = Prop.forAll(genCase) { case (train, eval) =>
+      val got = Dedup.contamination(train.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), "doc_id", "text", 2)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val vocab = train.flatMap(t => sh2(t._2)).toSet
+      val want = eval.flatMap { case (id, t) =>
+        val s = sh2(t)
+        if (s.isEmpty) None
+        else Some(id -> ((s.size.toLong, s.count(vocab.contains).toLong)))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("quality features on fixture docs are sane") {
     val row = docs.select(
       TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
