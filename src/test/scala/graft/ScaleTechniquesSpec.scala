@@ -26,6 +26,38 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB shape of the d_contam probe: a huge application side
+    // joined to a selectively-filtered creation side — Spark injects a
+    // bloom filter (might_contain) on the probe's join key so rows that
+    // can never match are dropped BEFORE the shuffle. Thresholds are
+    // relaxed to fixture scale; at real scale the defaults fire.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 100000.0) // selective, non-key predicate
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val joined = big.join(dim, Seq("l_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected:\n$optimized")
+      // and the filtered join still returns the right rows
+      assert(joined.count() ===
+        big.join(broadcast(dim), Seq("l_orderkey")).count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // 90% of lineitem rows land on one join key -> one hot shuffle
     // partition; AQE's skew-join should split it without any manual salt
