@@ -94,7 +94,16 @@ object Dedup {
     * reserved …") turns the inverted index quadratic; capping df bounds
     * every token's contribution AND removes non-discriminative tokens
     * from the similarity itself (numerator and denominator both use the
-    * capped sets, so the semantics stay self-consistent). */
+    * capped sets, so the semantics stay self-consistent).
+    *
+    * The next pruning rung at production scale is positional prefix
+    * filtering (AllPairs/PPJoin): index only each doc's
+    * `n - ceil(t*n) + 1` rarest tokens under a global (df, tok) order —
+    * any pair meeting threshold t must collide in both prefixes — then
+    * verify candidates with a restricted intersection join. Exact, and
+    * cuts index join rows by the prefix fraction; unprofitable on these
+    * fixtures (dense shared vocabulary → candidates ≈ true pairs), so
+    * not the default plan here. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double, n: Int = 1,
       maxDf: Option[Long] = None): DataFrame = {
