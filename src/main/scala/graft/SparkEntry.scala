@@ -434,6 +434,14 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
         .orderBy("media_id", "frame_offset")),
 
+    // The mapPartitions decode stage end-to-end: byte-level features
+    // (checksum/header bytes) are SQL-expressible on the ASCII fixture,
+    // so the typed-Dataset batch path itself is oracle-checked.
+    "m_decode_features" -> ((s, d) =>
+      Multimodal.decodeStub(Multimodal.fromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("media_id")),
+
     // Near-dup CLUSTERS: connected components over the LSH candidate
     // pairs, cluster = min reachable doc id (the canonical keep-one
     // representative). Iterative min-label propagation in Spark vs a
@@ -763,6 +771,16 @@ object SparkEntry {
     "m_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
         "FROM documents ORDER BY media_id, frame_offset"),
+
+    "m_decode_features" ->
+      ("SELECT doc_id AS media_id, 'text' AS kind, " +
+        "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+        "(a, b) -> a + b) AS checksum, " +
+        "CAST(CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS INTEGER) AS height " +
+        "FROM documents ORDER BY media_id"),
 
     "d_cluster" ->
       (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
