@@ -320,6 +320,21 @@ object SparkEntry {
         col("doc_id"), TextOps.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // Intra-document repetition ratio (the Gopher-style quality signal):
+    // duplicate 3-gram shingle fraction per doc. Pure projection —
+    // array_distinct within the row, no explode, no shuffle.
+    "t_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+        .select(col("doc_id"),
+          size(col("__sh")).as("n_shingles"),
+          size(array_distinct(col("__sh"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_shingles") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double")))
+        .orderBy("doc_id")),
+
     // Corpus vocabulary: the canonical explode → hash-agg → top-k shape
     // (partial map-side counts, one shuffle on the token, TakeOrdered).
     "t_vocab" -> ((s, d) =>
@@ -675,6 +690,14 @@ object SparkEntry {
     "t_vocab" ->
       (s"SELECT tok, count(*) AS n FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS tok " +
         "FROM documents) GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
+
+    "t_repetition" -> {
+      val sh = Dedup.shinglesSql("text", 3)
+      s"SELECT doc_id, CAST(len($sh) AS INTEGER) AS n_shingles, " +
+        s"CAST(len(list_distinct($sh)) AS INTEGER) AS n_distinct, " +
+        s"CASE WHEN len($sh) > 0 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($sh)) AS DOUBLE) / CAST(len($sh) AS DOUBLE) END AS rep_ratio " +
+        "FROM documents ORDER BY doc_id"
+    },
 
     "d_exact" ->
       ("SELECT doc_id, n_chars FROM (" +
