@@ -42,6 +42,43 @@ object ArchiveStore {
 
   def append(df: DataFrame, path: String): Unit = write(df, SaveMode.Append, path)
 
+  /** Small-file compaction: streaming upserts leave one file per
+    * micro-batch per touched date; over days that degrades scans (task
+    * per tiny file, footer overhead). Rewrites each listed date
+    * partition — or every partition with more than `maxFilesPerDate`
+    * files when none are listed — into `targetFiles` file(s) via a
+    * dynamic partition overwrite. Pure layout maintenance: rows are
+    * unchanged, and untouched partitions keep their files byte-for-byte
+    * (same guarantee the upsert relies on). Run it as the maintenance
+    * job between ingest windows. */
+  def compact(spark: SparkSession, path: String, dates: Seq[String] = Nil,
+      maxFilesPerDate: Int = 4, targetFiles: Int = 1): Unit = {
+    if (!exists(path)) return
+    val toCompact: Seq[String] =
+      if (dates.nonEmpty) dates
+      else {
+        val root = new java.io.File(path)
+        root.listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+          .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerDate)
+          .map(_.getName.stripPrefix("p_date="))
+      }
+    if (toCompact.isEmpty) return
+    val rows = spark.read.parquet(path)
+      .filter(col("p_date").isin(toCompact: _*))
+      .select(cols.map(col): _*)
+      .repartition(targetFiles, col("timestamp")) // timestamp-clustered files
+      .localCheckpoint() // break lineage: overwrite targets the read path
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      write(rows, SaveMode.Overwrite, path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Last-write-wins upsert on (attribute_id, timestamp), touching only
     * the date partitions present in `recomputed`. `localCheckpoint` breaks
     * the read lineage so the overwrite may target the same path it read. */

@@ -164,6 +164,32 @@ class CatalogApiSpec extends SparkSpec {
     assert(partFiles("2024-01-03") === day3Before)
   }
 
+  test("compact merges fragmented date partitions without changing rows") {
+    val (_, cat) = freshApi()
+    val sess = spark
+    import sess.implicits._
+    // three separate appends into the same date = three files (the
+    // streaming-upsert fragmentation shape); one append elsewhere
+    for (v <- 1 to 3)
+      cat.appendArchive(Seq((v, ts(s"2024-01-01 0$v:00:00"), v.toDouble))
+        .toDF("attribute_id", "timestamp", "value"))
+    cat.appendArchive(Seq((9, ts("2024-01-05 00:00:00"), 9.0))
+      .toDF("attribute_id", "timestamp", "value"))
+    val root = new java.io.File(new java.net.URI(cat.archive.inputFiles.head))
+      .getParentFile.getParentFile
+    def partFiles(date: String): Set[String] =
+      new java.io.File(root, s"p_date=$date").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(partFiles("2024-01-01").size === 3)
+    val otherBefore = partFiles("2024-01-05")
+    val before = cat.archive.orderBy("timestamp", "attribute_id").collect().toSeq
+    graft.catalog.ArchiveStore.compact(spark, root.toString, maxFilesPerDate = 2)
+    assert(partFiles("2024-01-01").size === 1) // merged
+    assert(partFiles("2024-01-05") === otherBefore) // below threshold: untouched
+    val after = cat.archive.orderBy("timestamp", "attribute_id").collect().toSeq
+    assert(after === before) // pure layout maintenance
+  }
+
   test("api: lookup exact vs wildcard, generic table export filters") {
     val (api, cat) = freshApi()
     cat.insertElement("Boiler")
