@@ -138,6 +138,12 @@ class RelationalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("driver contract: entry() returns a non-empty pivoted frame") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq === Seq("timestamp", "1", "2", "3", "4", "5"))
+    assert(df.count() > 0)
+  }
+
   test("broadcast dim join plans a BroadcastHashJoin (no fact shuffle)") {
     val c = Tables.customer(spark, sfDir).withColumnRenamed("c_nationkey", "n_nationkey")
     val plan = Relational.dimJoin(c, Tables.nation(spark, sfDir), "n_nationkey")
