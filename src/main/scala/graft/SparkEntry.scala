@@ -487,6 +487,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
+    // ---- §2.9 windowed rollups (batch twins of DerivedStream) -------------
+    // Same aggregation expressions as DerivedStream.windowedRollup /
+    // slidingRollup / sessionRollup, run in batch mode so the window
+    // semantics themselves sit under the DuckDB oracle gate (the streaming
+    // variants add only a watermark on top of the identical plan).
+    "w1_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("min_value"), col("max_value"))
+        .orderBy("window_start", "event_type")),
+
+    "w2_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("min_value"), col("max_value"))
+        .orderBy("window_start", "event_type")),
+
+    "w3_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("user_id"), col("n"))
+        .orderBy("user_id", "session_start")),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -823,6 +854,29 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    // time_bucket's epoch-derived origin (2000-01-03) is 6h/3h-aligned
+    // with Spark's 1970-01-01 window origin, so the buckets coincide.
+    "w1_tumbling" ->
+      ("SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type, " +
+        "count(*) AS n, min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+
+    "w2_sliding" ->
+      ("SELECT time_bucket(INTERVAL 3 HOUR, ts) - o AS window_start, event_type, " +
+        "count(*) AS n, min(value) AS min_value, max(value) AS max_value " +
+        "FROM events CROSS JOIN (VALUES (INTERVAL 0 HOUR), (INTERVAL 3 HOUR)) t(o) " +
+        "GROUP BY 1, 2 ORDER BY window_start, event_type"),
+
+    // islands formulation: a row starts a new session when it is more than
+    // the gap after its predecessor; session end = last event + gap
+    // (Spark's session_window end semantics)
+    "w3_session" ->
+      ("WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
+        "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
 
     "pipe_corpus_clean" -> {
       val nTok = TextOps.qualityFeaturesSql("text")("n_tokens")
