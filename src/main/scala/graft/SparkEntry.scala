@@ -487,6 +487,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
+    // ---- §2.9 T1: engine-side grid interpolation --------------------------
+    // The reference asks the PI source for a pre-interpolated grid
+    // (interval=1m); owning the raw points, the engine provides the same
+    // capability: align each series to a 15-minute grid, linear
+    // interpolation between bracketing observations, no extrapolation.
+    "ts_interp" -> ((s, d) =>
+      graft.ops.TimeSeries.resampleInterpolate(archiveDim(s, d), 900L)
+        .orderBy("attribute_id", "timestamp")),
+
     // ---- §2.9 windowed rollups (batch twins of DerivedStream) -------------
     // Same aggregation expressions as DerivedStream.windowedRollup /
     // slidingRollup / sessionRollup, run in batch mode so the window
@@ -854,6 +863,12 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "ts_interp" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        graft.ops.TimeSeries.interpolateSql(
+          "SELECT attribute_id, timestamp, value FROM archive", 900L) +
+        ") ORDER BY attribute_id, timestamp"),
 
     // time_bucket's epoch-derived origin (2000-01-03) is 6h/3h-aligned
     // with Spark's 1970-01-01 window origin, so the buckets coincide.

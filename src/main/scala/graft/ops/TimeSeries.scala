@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling for the tall archive (SURVEY.md §2.9 T1).
+  *
+  * The reference never interpolates itself — it asks the PI Web API for a
+  * pre-interpolated 1-minute grid (`interval=1m`, reference
+  * `src/pi/extraction/ingest.py:236,267`) and stores the result. When the
+  * engine owns the raw points, that source capability becomes this
+  * operator: align every series to a fixed grid, linearly interpolating
+  * between the bracketing observations.
+  *
+  * Scale shape: NO range join and no per-key collect. Grid rows are
+  * generated per attribute from its (min, max) epoch (one tiny aggregate,
+  * then a `sequence` explode — rows proportional to the output), unioned
+  * with the observations, and one window sorted by (epoch, side) carries
+  * the previous/next observation to each grid row — linear per key
+  * partition, the same union-sort shape as [[Relational.asofJoin]].
+  * Skewed attributes cost one partition's sort, never a pair explosion.
+  */
+object TimeSeries {
+
+  /** Resample `archive` (attribute_id, timestamp, value) to a fixed
+    * `gridSeconds` grid per attribute. Grid points cover the aligned
+    * range [ceil(min), floor(max)] of each attribute's observations —
+    * interpolation only, never extrapolation (PI interpolated-read
+    * semantics). NULL observations are gaps (dropped before
+    * bracketing). A grid point that hits an observation exactly returns
+    * that value bit-exactly; otherwise
+    * `v0 + (v1 - v0) * ((t - t0) / (t1 - t0))` in double — the same
+    * expression order as [[interpolateSql]], so the oracle matches
+    * bitwise. */
+  def resampleInterpolate(archive: DataFrame, gridSeconds: Long): DataFrame = {
+    val g = gridSeconds * 1000000L // grid in epoch micros
+    val obs = archive.filter(col("value").isNotNull)
+      .select(col("attribute_id"),
+        unix_micros(col("timestamp").cast("timestamp")).as("t"),
+        col("value").cast("double").as("v"))
+    // per-attribute aligned grid: one row per output point, no cross join
+    // double-precision floor/ceil on epoch micros is exact here: values
+    // (< 2^53) and g are exactly representable, and an off-by-one at a
+    // grid-multiple would need a sub-microsecond remainder
+    val grid = obs.groupBy(col("attribute_id"))
+      .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+      .select(col("attribute_id"),
+        (-floor(-col("t_min") / g) * g).cast("long").as("g_lo"),
+        (floor(col("t_max") / g) * g).cast("long").as("g_hi"))
+      .filter(col("g_lo") <= col("g_hi")) // span shorter than one interval → no grid points
+      .select(col("attribute_id"), explode(sequence(col("g_lo"), col("g_hi"), lit(g))).as("t"))
+    val unioned = obs.withColumn("side", lit(0))
+      .unionByName(grid.select(col("attribute_id"), col("t"),
+        lit(null).cast("double").as("v"), lit(1).as("side")))
+    // obs sorts before grid at the same epoch, so an exact hit brackets
+    // itself: t0 = t (frac 0) and t1 is the NEXT observation (or null at
+    // the series tail — the t = t0 branch covers both)
+    val wPrev = Window.partitionBy("attribute_id").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("attribute_id").orderBy("t", "side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // v is never null on an obs row, so (t0, v0) always come from the
+    // same row and the per-column ignoreNulls carry is atomic
+    unioned
+      .withColumn("t0", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(wPrev))
+      .withColumn("v0", last(when(col("side") === 0, col("v")), ignoreNulls = true).over(wPrev))
+      .withColumn("t1", first(when(col("side") === 0, col("t")), ignoreNulls = true).over(wNext))
+      .withColumn("v1", first(when(col("side") === 0, col("v")), ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+      .select(col("attribute_id"),
+        timestamp_micros(col("t")).cast("timestamp_ntz").as("timestamp"),
+        when(col("t") === col("t0"), col("v0"))
+          .otherwise(col("v0") + (col("v1") - col("v0")) *
+            ((col("t") - col("t0")).cast("double") / (col("t1") - col("t0")).cast("double")))
+          .as("value"))
+  }
+
+  /** DuckDB oracle twin of [[resampleInterpolate]]: identical grid
+    * arithmetic (integer ceil/floor alignment on epoch micros), the same
+    * union + IGNORE NULLS window carry, and the same double expression
+    * order for the interpolation itself. `archiveSql` must select
+    * (attribute_id, timestamp, value). */
+  def interpolateSql(archiveSql: String, gridSeconds: Long): String = {
+    val g = gridSeconds * 1000000L
+    s"""WITH __obs AS (
+       |  SELECT attribute_id, epoch_us(CAST(timestamp AS TIMESTAMP)) AS t,
+       |         CAST(value AS DOUBLE) AS v
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |), __grid AS (
+       |  SELECT attribute_id, CAST(unnest(range(-(-min_t // $g) * $g, (max_t // $g) * $g + 1, $g)) AS BIGINT) AS t
+       |  FROM (SELECT attribute_id, min(t) AS min_t, max(t) AS max_t FROM __obs GROUP BY attribute_id)
+       |), __u AS (
+       |  SELECT attribute_id, t, v, 0 AS side FROM __obs
+       |  UNION ALL
+       |  SELECT attribute_id, t, NULL, 1 FROM __grid
+       |), __b AS (
+       |  SELECT attribute_id, t, side,
+       |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+       |      OVER (PARTITION BY attribute_id ORDER BY t, side
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+       |    last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+       |      OVER (PARTITION BY attribute_id ORDER BY t, side
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+       |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+       |      OVER (PARTITION BY attribute_id ORDER BY t, side
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+       |    first_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+       |      OVER (PARTITION BY attribute_id ORDER BY t, side
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+       |  FROM __u
+       |)
+       |SELECT attribute_id, make_timestamp(t) AS timestamp,
+       |       CASE WHEN t = t0 THEN v0
+       |            ELSE v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+       |       END AS value
+       |FROM __b WHERE side = 1""".stripMargin
+  }
+}

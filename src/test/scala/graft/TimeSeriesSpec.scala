@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+
+  private def archive(rows: Seq[(Int, String, Option[Double])]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("attribute_id", "ts_s", "value")
+      .select(col("attribute_id"), col("ts_s").cast("timestamp").as("timestamp"),
+        col("value").cast("double"))
+  }
+
+  test("grid points hitting an observation return it exactly; midpoints interpolate") {
+    val out = TimeSeries.resampleInterpolate(archive(Seq(
+      (1, "2024-01-01 00:00:00", Some(10.0)),
+      (1, "2024-01-01 00:30:00", Some(30.0)))), 900L)
+      .orderBy("timestamp").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("no extrapolation: grid covers only [ceil(min), floor(max)]") {
+    val out = TimeSeries.resampleInterpolate(archive(Seq(
+      (1, "2024-01-01 00:07:00", Some(1.0)),
+      (1, "2024-01-01 00:40:00", Some(2.0)))), 900L)
+      .orderBy("timestamp").collect()
+    // observations span 00:07..00:40 → grid points 00:15 and 00:30 only
+    assert(out.map(_.getAs[java.time.LocalDateTime](1).toString).toSeq ===
+      Seq("2024-01-01T00:15", "2024-01-01T00:30"))
+  }
+
+  test("span shorter than one interval yields no rows; null values are gaps") {
+    assert(TimeSeries.resampleInterpolate(archive(Seq(
+      (1, "2024-01-01 00:16:00", Some(1.0)),
+      (1, "2024-01-01 00:29:00", Some(2.0)))), 900L).count() === 0)
+    // the null at 00:15 is ignored: 00:15 grid point interpolates 00:00→00:30
+    val out = TimeSeries.resampleInterpolate(archive(Seq(
+      (1, "2024-01-01 00:00:00", Some(0.0)),
+      (1, "2024-01-01 00:15:00", None),
+      (1, "2024-01-01 00:30:00", Some(30.0)))), 900L)
+      .orderBy("timestamp").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.0, 15.0, 30.0))
+  }
+
+  test("matches a brute-force per-attribute reference on random series") {
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      attr <- 1 to 4
+      i <- 0 until 40
+    } yield (attr,
+      new Timestamp(base + rnd.nextInt(48 * 3600) * 1000L).toString,
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 100))
+    val df = archive(rows)
+    val got = TimeSeries.resampleInterpolate(df, 3600L)
+      .collect().map(r => (r.getInt(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+
+    val g = 3600L * 1000L // reference works in epoch millis
+    val obs = rows.collect { case (a, ts, Some(v)) => (a, Timestamp.valueOf(ts).getTime, v) }
+      .groupBy(_._1).map { case (a, rs) =>
+        // keep-last per instant mirrors nothing — fixture instants are unique
+        a -> rs.map(t => (t._2, t._3)).sortBy(_._1)
+      }
+    val want = obs.toSeq.flatMap { case (a, series) =>
+      val lo = math.ceil(series.head._1.toDouble / g).toLong * g
+      val hi = math.floor(series.last._1.toDouble / g).toLong * g
+      (lo to hi by g).map { t =>
+        val (t0, v0) = series.filter(_._1 <= t).last
+        if (t0 == t) (a, t, v0)
+        else {
+          val (t1, v1) = series.find(_._1 > t).get
+          (a, t, v0 + (v1 - v0) * ((t - t0).toDouble / (t1 - t0).toDouble))
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((ga, gt, gv), (wa, wt, wv)) =>
+      assert(ga === wa && gt === wt)
+      assert(math.abs(gv - wv) < 1e-9, s"attr $ga at $gt: $gv vs $wv")
+    }
+  }
+}
