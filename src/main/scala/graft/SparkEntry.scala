@@ -487,6 +487,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
+    // V-inverse: melt the pivoted export back to tall rows (unpivot) —
+    // the round-trip partner of v1 (wide CSV back into archive form).
+    // NULL cells (absent combinations) are excluded, as in the tall form.
+    "v3_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("day")), eventTypes.map(col).toArray, "event_type", "n")
+        .filter(col("n").isNotNull)
+        .orderBy("day", "event_type")
+    }),
+
+    // CUBE grouping sets: per-(source, lang), per-source, per-lang, and
+    // grand total in one aggregation pass (complements a_rollup).
+    "a_cube" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
+    // Exact interpolated percentiles per group (no approx sketch: the
+    // exact sort-based form, which is what an oracle can pin down).
+    "a_percentile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.75)").as("p75"))
+        .orderBy("event_type")),
+
+    // The resize stage end-to-end: byte-stride subsample then decode
+    // features of the RESIZED payload — both mapPartitions stages
+    // composed, still SQL-expressible on the ASCII fixture.
+    "m_resize" -> ((s, d) =>
+      Multimodal.decodeStub(
+        Multimodal.resizeStub(
+          Multimodal.fromDocuments(Tables.documents(s, d)), 4).toDF())
+        .toDF()
+        .orderBy("media_id")),
+
     // ---- §2.9 T1: engine-side grid interpolation --------------------------
     // The reference asks the PI source for a pre-interpolated grid
     // (interval=1m); owning the raw points, the engine provides the same
@@ -863,6 +905,43 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "v3_unpivot" -> {
+      val wideCte =
+        "SELECT CAST(ts AS DATE) AS day, " +
+          "CAST(sum(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click, " +
+          "CAST(sum(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS error, " +
+          "CAST(sum(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase, " +
+          "CAST(sum(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS signup, " +
+          "CAST(sum(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view " +
+          "FROM events GROUP BY 1"
+      val stack = eventTypes.map(t =>
+        s"SELECT day, '$t' AS event_type, $t AS n FROM wide").mkString(" UNION ALL ")
+      s"WITH wide AS ($wideCte) SELECT day, event_type, n FROM ($stack) " +
+        "WHERE n IS NOT NULL ORDER BY day, event_type"
+    },
+
+    "a_cube" ->
+      ("SELECT source, lang, count(*) AS n_docs, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY CUBE(source, lang) " +
+        "ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"),
+
+    "a_percentile" ->
+      ("SELECT event_type, quantile_cont(value, 0.25) AS p25, " +
+        "quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.75) AS p75 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // resized payload = every 4th byte: out[i] = orig[4i]; n_bytes =
+    // ceil(len/4); checksum/width/height over the SAMPLED bytes
+    "m_resize" ->
+      ("SELECT doc_id AS media_id, 'text' AS kind, " +
+        "CAST((octet_length(encode(text)) + 3) // 4 AS INTEGER) AS n_bytes, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(text) + 1, 4), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+        "(a, b) -> a + b) AS checksum, " +
+        "CAST(CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN length(text) >= 5 THEN ascii(substr(text, 5, 1)) ELSE 0 END AS INTEGER) AS height " +
+        "FROM documents ORDER BY media_id"),
 
     "ts_interp" ->
       (s"WITH $archiveSqlCte SELECT * FROM (" +
