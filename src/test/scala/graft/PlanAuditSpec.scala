@@ -93,6 +93,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"d_contam has no hash aggregation:\n$p")
   }
 
+  test("ts_interp is union-sort: keyed window carry, no range join, no cartesian") {
+    val p = plan("ts_interp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interpolation degenerated to a pair join:\n$p")
+    assert(p.contains("Window"), s"interpolation lost its window carry:\n$p")
+  }
+
+  test("windowed rollups aggregate partially before the shuffle") {
+    for (q <- Seq("w1_tumbling", "w2_sliding")) {
+      val p = plan(q)
+      // two HashAggregates (partial + final) around one exchange — the
+      // map-side combine that keeps a 100 TB rollup's shuffle bounded by
+      // (windows × attributes), not rows
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q does not partially aggregate:\n$p")
+    }
+  }
+
   test("pipe_corpus_clean evaluates its text predicate AFTER the fan-out, not on the raw scan") {
     val p = plan("pipe_corpus_clean")
     // the staged langid/quality predicate re-inlined below the fan-out
