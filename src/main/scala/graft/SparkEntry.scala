@@ -569,6 +569,80 @@ object SparkEntry {
           col("user_id"), col("n"))
         .orderBy("user_id", "session_start")),
 
+    // Sequence packing (pretraining batch assembly): documents are
+    // packed greedily in a deterministic order (per source, by doc_id);
+    // a doc joins the pack its first token falls into — pack_id =
+    // floor(tokens_before / budget). One window cumsum, no driver state.
+    "pipe_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.wsTokenCount(col("text")).as("n_tokens"))
+        .withColumn("pack_id",
+          floor(((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048)).cast("int"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // TF-IDF-style distinctive terms: top-3 per doc ranked by
+    // (tf DESC, df ASC, term) — the float-free keyword-extraction form
+    // (exact integer ranking; no cross-engine log/division ambiguity).
+    "t_tfidf_topterms" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(df_, Seq("tok"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Quantile-driven quality gate: keep documents scoring above the
+    // global median quality — the data-curation cut expressed as a
+    // scalar-aggregate gate, never a driver-side collect of the corpus.
+    "pipe_quality_gate" -> ((s, d) => {
+      val staged = TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+      val med = staged.agg(expr("percentile(score, 0.5)").as("__med"))
+      staged.crossJoin(broadcast(med))
+        .filter(col("score") > col("__med"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source")
+    }),
+
+    // Corpus length histogram: fixed-width buckets over n_chars with a
+    // capped tail — the standard dataset-report shape, pure int math.
+    "a_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(least(floor(col("n_chars") / 100), lit(19)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .withColumn("bucket_lo", (col("bucket") * 100).cast("int"))
+        .select("bucket", "bucket_lo", "n_docs")
+        .orderBy("bucket")),
+
+    // The fuzzy-dedup pipeline end-to-end: MinHash-LSH candidates →
+    // connected components → keep each cluster's minimum doc → kept-
+    // corpus mixture stats. Every stage is the scale-shaped operator
+    // (band equi-join, min-label propagation); the oracle recomputes the
+    // same fixpoint with a recursive CTE.
+    "pipe_dedup_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.clusters(docs.select("doc_id"),
+        Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+        .filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+    }),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -971,6 +1045,47 @@ object SparkEntry {
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    "pipe_pack" ->
+      (s"SELECT doc_id, source, CAST(len(${TextOps.tokensSql("text")}) AS INTEGER) AS n_tokens, " +
+        s"CAST(floor((sum(CAST(len(${TextOps.tokensSql("text")}) AS INTEGER)) " +
+        "OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        s"- CAST(len(${TextOps.tokensSql("text")}) AS INTEGER)) / 2048) AS INTEGER) AS pack_id " +
+        "FROM documents ORDER BY source, doc_id"),
+
+    "t_tfidf_topterms" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (" +
+        s"SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok FROM documents) GROUP BY 1, 2), " +
+        "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+        "r AS (SELECT doc_id, tok, tf, df, CAST(row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY tf DESC, df ASC, tok ASC) AS INTEGER) AS rank " +
+        "FROM tf JOIN df USING (tok)) " +
+        "SELECT doc_id, rank, tok, tf, df FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+
+    "pipe_quality_gate" -> {
+      val score = TextOps.qualityScoreSql("text")
+      s"WITH staged AS (SELECT doc_id, source, $score AS score FROM documents) " +
+        "SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM staged WHERE score > (SELECT quantile_cont(score, 0.5) FROM staged) " +
+        "GROUP BY source ORDER BY source"
+    },
+
+    "a_histogram" ->
+      ("SELECT bucket, CAST(bucket * 100 AS INTEGER) AS bucket_lo, count(*) AS n_docs " +
+        "FROM (SELECT CAST(least(floor(n_chars / 100), 19) AS INTEGER) AS bucket FROM documents) " +
+        "GROUP BY bucket ORDER BY bucket"),
+
+    "pipe_dedup_minhash" ->
+      (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src), " +
+        "__clusters AS (SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src) " +
+        "SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc " +
+        "FROM documents JOIN __clusters ON doc_id = id AND id = cluster " +
+        "GROUP BY source ORDER BY source"),
 
     "pipe_corpus_clean" -> {
       val nTok = TextOps.qualityFeaturesSql("text")("n_tokens")
