@@ -433,8 +433,10 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
-    // IVF-flat ANN scale path: probabilistic recall like s_knn_lsh —
-    // rows-only driver check; recall floor asserted in SimilaritySpec.
+    // IVF-flat ANN scale path. Quantized-integer centroid means make the
+    // whole index bit-reproducible (order-free long sums, one correctly-
+    // rounded division), so even this path gets a cell-exact oracle;
+    // recall floor vs brute force additionally asserted in SimilaritySpec.
     "s_knn_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
@@ -940,6 +942,9 @@ object SparkEntry {
 
     "s_knn_lsh" ->
       Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+
+    "s_knn_ivf" ->
+      Similarity.ivfTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
 
     "m_media_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, " +

@@ -168,21 +168,36 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Quantization scale for centroid means: component sums accumulate as
+    * `round(f * 2^20)` longs. f→double and the 2^20 scaling are exact
+    * (power of two), longs sum order-independently, and the single final
+    * double division is correctly rounded — so the centroids are
+    * BIT-REPRODUCIBLE on any partitioning and in any engine, which is
+    * what lets the IVF path have a cell-exact SQL oracle. Quantization
+    * error (~1e-6 per component) is far below the coarse-index
+    * resolution. */
+  val CentroidQ: Double = 1048576.0
+
   /** IVF coarse index: deterministic k-means-lite centroids.
     * Seed clusters by `vec_id % nCentroids`, then `iters` Lloyd rounds —
     * assignment is a broadcast-centroid argmax projection (no shuffle of
     * the corpus), the mean recompute is ONE hash aggregate with `dim`
-    * positional avg columns (no row explosion: a posexplode form
-    * shuffles dim× the corpus row count and needs a collect_list+sort
-    * to reassemble). Returns (cluster INT, centroid ARRAY<DOUBLE>). */
+    * positional quantized-sum columns (no row explosion: a posexplode
+    * form shuffles dim× the corpus row count and needs a
+    * collect_list+sort to reassemble). Returns
+    * (cluster INT, centroid ARRAY<DOUBLE>). */
   def ivfCentroids(corpus: DataFrame, dim: Int, nCentroids: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def recompute(assigned: DataFrame): DataFrame = {
-      val avgs = (0 until dim).map(i =>
-        avg(element_at(col(vecCol), i + 1).cast("double")).as(s"__c$i"))
-      assigned.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+      val sums = (0 until dim).map(i =>
+        sum(round(element_at(col(vecCol), i + 1).cast("double") * CentroidQ)
+          .cast("long")).as(s"__s$i"))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
         .select(col("cluster"),
-          array((0 until dim).map(i => col(s"__c$i")): _*).as("centroid"))
+          array((0 until dim).map(i =>
+            col(s"__s$i").cast("double") / (col("__n").cast("double") * CentroidQ)): _*)
+          .as("centroid"))
     }
     val seeded = corpus.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
     (1 to iters).foldLeft(recompute(seeded)) { (cents, _) =>
@@ -257,6 +272,68 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Oracle twin for [[ivfTopK]] (iters = 1): the SAME quantized-integer
+    * centroid arithmetic — component sums of `round(f * 2^20)` BIGINTs
+    * (order-free), one correctly-rounded double division — so every
+    * centroid, every argmax assignment, every probe choice, and hence
+    * the exact candidate set match Spark bit-for-bit. Dots are the same
+    * index-order list folds as [[dotSql]]; argmax ties resolve to the
+    * lowest cluster id on both sides. */
+  def ivfTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3): String = {
+    val q = CentroidQ
+    def dotCl(v: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * c.cl[i])), (acc, x) -> acc + x)"
+    def quantize(src: String) =
+      s"""SELECT cluster, i, CAST(round(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS qv
+         |  FROM $src CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS i) __i""".stripMargin
+    def means(qSrc: String) =
+      s"""SELECT cluster, list(c ORDER BY i) AS cl FROM (
+         |    SELECT cluster, i, CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $q) AS c
+         |    FROM $qSrc GROUP BY cluster, i) GROUP BY cluster""".stripMargin
+    s"""WITH __seed AS (
+       |  SELECT vec_id, CAST(vec_id % $nCentroids AS INTEGER) AS cluster, embedding FROM $table
+       |), __q0 AS (
+       |  ${quantize("__seed")}
+       |), __c0 AS (
+       |  ${means("__q0")}
+       |), __a1 AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
+       |    FROM (SELECT e.vec_id, e.embedding, c.cluster, ${dotCl("e.embedding")} AS d
+       |          FROM $table e CROSS JOIN __c0 c)) WHERE rn = 1
+       |), __q1 AS (
+       |  ${quantize("__a1")}
+       |), __cf AS (
+       |  ${means("__q1")}
+       |), __cb AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cluster FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
+       |    FROM (SELECT e.vec_id, e.embedding, c.cluster, ${dotCl("e.embedding")} AS d
+       |          FROM $table e CROSS JOIN __cf c)) WHERE rn = 1
+       |), __qp AS (
+       |  SELECT query_id, q_vec, cluster FROM (
+       |    SELECT query_id, q_vec, cluster,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cluster) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cluster,
+       |                 ${dotCl("q.embedding")} AS d
+       |          FROM $table q CROSS JOIN __cf c WHERE $queryPred)) WHERE rn <= $nProbe
+       |), __s AS (
+       |  SELECT DISTINCT query_id, neighbor_id,
+       |         ${cosineSql("q_vec", "c_vec", dim)} AS cos
+       |  FROM __qp JOIN __cb USING (cluster) WHERE query_id <> neighbor_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __s
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs within a block key (see
