@@ -540,6 +540,65 @@ object SparkEntry {
       graft.ops.TimeSeries.resampleInterpolate(archiveDim(s, d), 900L)
         .orderBy("attribute_id", "timestamp")),
 
+    // Gap detection — the probe behind the reference's T2 recovery loop
+    // (ingest.py:256-269 re-pulls hourly chunks after a density failure):
+    // consecutive points per attribute further apart than the threshold
+    // are reported as (gap_start, gap_end, gap_minutes). One lag window.
+    "ts_gaps" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("attribute_id").orderBy("timestamp")
+      archiveDim(s, d)
+        .select(col("attribute_id"), col("timestamp"))
+        .distinct()
+        .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("gap_minutes",
+          floor((unix_micros(col("timestamp").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp"))) / 60000000L).cast("long"))
+        .filter(col("gap_minutes") > 60)
+        .select(col("attribute_id"), col("prev_ts").as("gap_start"),
+          col("timestamp").as("gap_end"), col("gap_minutes"))
+        .orderBy("attribute_id", "gap_start")
+    }),
+
+    // Moving-window stats per series (monitoring range compression):
+    // min/max/count over the 3 preceding + current points. Exact
+    // aggregates only — a moving SUM of doubles is engine-order-dependent
+    // (segment-tree vs running accumulation), min/max/count are not.
+    // Rows collapse to unique (attribute, timestamp) first: a ROWS frame
+    // over tied sort keys would be order-ambiguous across engines.
+    "ts_moving" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("attribute_id").orderBy("timestamp").rowsBetween(-3, 0)
+      archiveDim(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+        .withColumn("mov_min", min(col("value")).over(w))
+        .withColumn("mov_max", max(col("value")).over(w))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .select("attribute_id", "timestamp", "value", "mov_min", "mov_max", "mov_n")
+        .orderBy("attribute_id", "timestamp")
+    }),
+
+    // Staleness report: each attribute's newest point + its age relative
+    // to the reporting instant — the "is this sensor still alive" probe.
+    // Points dedupe to unique (attribute, timestamp) first so the
+    // max_by/arg_max tiebreak never fires (same rationale as ts_moving).
+    "ts_staleness" -> ((s, d) =>
+      archiveDim(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+        .groupBy("attribute_id")
+        .agg(max(col("timestamp")).as("last_ts"),
+          max_by(col("value"), col("timestamp")).as("last_value"),
+          count(lit(1)).as("n_points"))
+        .withColumn("age_minutes",
+          floor((unix_micros(lit("2024-02-01 00:00:00").cast("timestamp")) -
+            unix_micros(col("last_ts").cast("timestamp"))) / 60000000L).cast("long"))
+        .orderBy("attribute_id")),
+
     // ---- §2.9 windowed rollups (batch twins of DerivedStream) -------------
     // Same aggregation expressions as DerivedStream.windowedRollup /
     // slidingRollup / sessionRollup, run in batch mode so the window
@@ -1027,6 +1086,36 @@ object SparkEntry {
         graft.ops.TimeSeries.interpolateSql(
           "SELECT attribute_id, timestamp, value FROM archive", 900L) +
         ") ORDER BY attribute_id, timestamp"),
+
+    "ts_gaps" ->
+      (s"WITH $archiveSqlCte, __pts AS (SELECT DISTINCT attribute_id, timestamp FROM archive), " +
+        "__l AS (SELECT attribute_id, timestamp, " +
+        "lag(timestamp) OVER (PARTITION BY attribute_id ORDER BY timestamp) AS prev_ts FROM __pts) " +
+        "SELECT attribute_id, prev_ts AS gap_start, timestamp AS gap_end, " +
+        "CAST(floor((epoch_us(timestamp) - epoch_us(prev_ts)) / 60000000) AS BIGINT) AS gap_minutes " +
+        "FROM __l WHERE prev_ts IS NOT NULL " +
+        "AND floor((epoch_us(timestamp) - epoch_us(prev_ts)) / 60000000) > 60 " +
+        "ORDER BY attribute_id, gap_start"),
+
+    "ts_moving" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
+        "WHERE value IS NOT NULL GROUP BY attribute_id, timestamp) " +
+        "SELECT attribute_id, timestamp, value, " +
+        "min(value) OVER w AS mov_min, max(value) OVER w AS mov_max, " +
+        "count(*) OVER w AS mov_n " +
+        "FROM __pts " +
+        "WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_staleness" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
+        "WHERE value IS NOT NULL GROUP BY attribute_id, timestamp) " +
+        "SELECT attribute_id, max(timestamp) AS last_ts, " +
+        "arg_max(value, timestamp) AS last_value, count(*) AS n_points, " +
+        "CAST(floor((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(max(timestamp))) / 60000000) AS BIGINT) AS age_minutes " +
+        "FROM __pts GROUP BY attribute_id ORDER BY attribute_id"),
 
     // time_bucket's epoch-derived origin (2000-01-03) is 6h/3h-aligned
     // with Spark's 1970-01-01 window origin, so the buckets coincide.
