@@ -310,4 +310,36 @@ class IngestStreamSpec extends SparkSpec {
     assert(byAttr(2) === 2.0)
     assert(byAttr(9) === 60.0) // derived recomputed from the NEW value
   }
+
+  test("capstone: PI source → coerce → derive → store → interpolate, end to end") {
+    val dir = Files.createTempDirectory("graft_capstone").toString
+    val tagTemp = "\\\\AF\\Plant\\U1|temp"
+    val tagPress = "\\\\AF\\Plant\\U1|press"
+    // ticks 0..9 are all clean points in the stub (dirty shapes start at
+    // 13/17), so values are h(tag) + tick*0.5 on an exact 1-minute grid
+    val raw = spark.readStream.format("graft.sources.PiBatchSource")
+      .option("tags", s"$tagTemp,$tagPress")
+      .option("baseTime", "2024-01-01T00:00:00")
+      .option("intervalSeconds", "60")
+      .option("endTicks", "10")
+      .option("maxTicksPerBatch", "4")
+      .load()
+    val q = DerivedStream.start(raw, mapping, Seq(DerivedDef(9, "$1 + $2")),
+      s"$dir/archive", s"$dir/ckpt")
+    q.awaitTermination(120000)
+    val archive = graft.catalog.ArchiveStore.readOr(spark, s"$dir/archive",
+      sys.error("archive missing"))
+    assert(archive.count() === 30) // 2 tags x 10 ticks + 10 derived
+    // the derived series interpolated onto a 2-minute grid: the sources
+    // are linear in the tick, so the interpolated midpoints are exact
+    def h(tag: String) = (tag.hashCode.toLong & 0xffffL) % 100
+    val base = h(tagTemp) + h(tagPress) // derived at tick t = base + t*1.0
+    val interp = graft.ops.TimeSeries.resampleInterpolate(
+      archive.filter(col("attribute_id") === 9), 120L)
+      .orderBy("timestamp").collect()
+    assert(interp.length === 5) // minutes 0,2,4,6,8 within [07:00, 07:09]
+    assert(interp.map(_.getDouble(2)).toSeq ===
+      Seq(base + 0.0, base + 2.0, base + 4.0, base + 6.0, base + 8.0))
+    assert(interp.head.getAs[java.time.LocalDateTime](1).getHour === 7) // +7h shift held
+  }
 }
