@@ -408,6 +408,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range (interval) join: clicks landing inside any [error, error+6h]
+    // incident window of the same user — cell-bucketed equi-join, exact
+    // BETWEEN semantics, no key×range pair explosion.
+    "o_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("win_end"),
+          col("event_id").as("incident_id"))
+      Relational.rangeJoin(clicks, incidents, "user_id", "ts",
+        "win_start", "win_end", bucketSeconds = 6 * 3600L)
+        .select("user_id", "event_id", "incident_id", "ts", "win_start")
+        .orderBy("user_id", "event_id", "incident_id")
+    }),
+
     // Corpus-mixture control: deterministic salted-hash downsampling to
     // per-source target rates, with the realized mixture as the output.
     "pipe_mixture_sample" -> ((s, d) =>
@@ -977,6 +994,15 @@ object SparkEntry {
         "FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts " +
         "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS cc ON true " +
         "ORDER BY p.event_id"),
+
+    "o_range_join" ->
+      ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "i AS (SELECT user_id, ts AS win_start, ts + INTERVAL 6 HOUR AS win_end, " +
+        "event_id AS incident_id FROM events WHERE event_type = 'error') " +
+        "SELECT c.user_id, c.event_id, i.incident_id, c.ts, i.win_start " +
+        "FROM c JOIN i ON c.user_id = i.user_id " +
+        "AND c.ts >= i.win_start AND c.ts <= i.win_end " +
+        "ORDER BY c.user_id, c.event_id, i.incident_id"),
 
     "pipe_mixture_sample" ->
       (s"SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +

@@ -155,6 +155,36 @@ object Relational {
         payload.map(c => col(s"__pl.$c").as(c)): _*)
   }
 
+  /** Range (interval) join — match each left row to the right intervals
+    * containing its timestamp under the same key: `start <= ts <= end`
+    * (inclusive both ends, like SQL BETWEEN). The second time-series
+    * join Spark has no built-in operator for (with [[asofJoin]]).
+    *
+    * Scale shape: NEVER a key-equi join with a range residual — on a
+    * hot key that degenerates to |events| × |intervals| pair
+    * generation. Instead both sides are bucketed onto a fixed time
+    * grid: an interval registers one row per covered cell (bounded by
+    * its duration / bucket), an event probes exactly its own cell, and
+    * the join is a pure equi-join on (key, cell) with the precise
+    * bounds as a post-filter. Each qualifying pair materializes exactly
+    * once (the event's cell intersects a covering interval's cell list
+    * exactly once), so no dedup pass is needed. `bucketSeconds` tunes
+    * replication: pick it near the typical interval length so most
+    * intervals register 1-2 cells. */
+  def rangeJoin(events: DataFrame, intervals: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val b = bucketSeconds * 1000000L
+    def cellOf(c: Column) = floor(unix_micros(c.cast("timestamp")) / b).cast("long")
+    val e = events.withColumn("__cell", cellOf(col(tsCol)))
+    val iv = intervals
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)), lit(1L))))
+    e.join(iv, Seq(key, "__cell"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__cell")
+  }
+
   /** Skew-safe equi-join (the 100 TB tool for hot keys, e.g. one sensor
     * producing most archive rows): the big side's hot partitions are split
     * by a salt derived from a per-row expression, the small side is

@@ -19,6 +19,55 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.timeRange(df, "ts", Some("2024-01-03 00:00:00"), None).count() === 1)
   }
 
+  test("rangeJoin: inclusive bounds, multi-cell intervals, exactly-once pairs") {
+    val sess = spark
+    import sess.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1, t("2024-01-01 00:00:00"), 100), // == win_start (inclusive)
+      (1, t("2024-01-01 05:00:00"), 101), // inside, different cell than start
+      (1, t("2024-01-01 06:00:00"), 102), // == win_end (inclusive)
+      (1, t("2024-01-01 06:00:01"), 103), // just outside
+      (2, t("2024-01-01 01:00:00"), 104)  // right key, other user's window
+    ).toDF("user_id", "ts", "event_id")
+    val intervals = Seq(
+      (1, t("2024-01-01 00:00:00"), t("2024-01-01 06:00:00"), 900)
+    ).toDF("user_id", "win_start", "win_end", "incident_id")
+    // bucket (1h) much smaller than the interval → the interval spans 7
+    // cells; every in-range event must appear exactly once
+    val out = Relational.rangeJoin(events, intervals, "user_id", "ts",
+      "win_start", "win_end", bucketSeconds = 3600L)
+    assert(out.select("event_id").collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(100, 101, 102))
+    assert(out.count() === out.select("event_id", "incident_id").distinct().count())
+  }
+
+  test("rangeJoin matches a brute-force reference on random data") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val ev = (1 to 200).map(i =>
+      (rnd.nextInt(5), new java.sql.Timestamp(base + rnd.nextInt(200000) * 1000L), i))
+    val iv = (1 to 40).map { i =>
+      val s = base + rnd.nextInt(200000) * 1000L
+      (rnd.nextInt(5), new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + rnd.nextInt(20000) * 1000L), i)
+    }
+    val got = Relational.rangeJoin(
+      ev.toDF("user_id", "ts", "event_id"),
+      iv.toDF("user_id", "win_start", "win_end", "incident_id"),
+      "user_id", "ts", "win_start", "win_end", bucketSeconds = 3600L)
+      .select("event_id", "incident_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val want = (for {
+      (ek, ets, eid) <- ev
+      (ik, is, ie, iid) <- iv
+      if ek == ik && !ets.before(is) && !ets.after(ie)
+    } yield (eid, iid)).sorted
+    assert(got === want)
+  }
+
   test("dedupFirst keeps exactly one row per key, deterministically") {
     val sess = spark
     import sess.implicits._
