@@ -721,6 +721,53 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- sketches (constant-size mergeable summaries) ---------------------
+    // Deterministic integer counters/registers → unlike typical sketch
+    // libraries, the SKETCH ITSELF is oracle-checked, not just sanity
+    // properties.
+    "k_cms" -> ((s, d) =>
+      graft.sketch.Sketches.countMinTokens(Tables.documents(s, d), "text", 64)
+        .orderBy("row", "slot")),
+
+    // CMS point estimates for the top-10 vocabulary tokens, with the
+    // true counts alongside (est >= truth — the one-sided CMS bound).
+    "k_cms_est" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("true_n"))
+      val probes = Relational.topK(truth, 10, col("true_n").desc, col("tok"))
+      val est = graft.sketch.Sketches.countMinEstimate(
+        graft.sketch.Sketches.countMinTokens(docs, "text", 64),
+        probes.select("tok"), 64)
+      probes.join(est, Seq("tok"))
+        .withColumn("overcount_ok", col("est") >= col("true_n"))
+        .select("tok", "true_n", "est", "overcount_ok")
+        .orderBy("tok")
+    }),
+
+    // HLL registers over hashed user ids (m = 64 buckets; quotient fits
+    // 25 bits under the 2^31-1 hash modulus).
+    // HLL registers over hashed user ids (m = 64 buckets); the
+    // multiplicative mix inside hllRegisters supplies the avalanche the
+    // polynomial hash lacks
+    "k_hll" -> ((s, d) =>
+      graft.sketch.Sketches.hllRegisters(
+        Tables.events(s, d).select(col("user_id").cast("string").as("uid"))
+          .select(TextOps.tokenHash("uid").as("h")),
+        64)
+        .orderBy("bucket")),
+
+    // HLL estimate vs the exact distinct count — even the double-valued
+    // estimate is bit-exact (the harmonic sum adds exact powers of two).
+    "k_hll_est" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.sketch.Sketches.hllEstimate(
+        graft.sketch.Sketches.hllRegisters(
+          ev.select(col("user_id").cast("string").as("uid"))
+            .select(TextOps.tokenHash("uid").as("h")), 64), 64)
+        .crossJoin(broadcast(ev.agg(count_distinct(col("user_id")).as("exact"))))
+    }),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -1165,6 +1212,37 @@ object SparkEntry {
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    "k_cms" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.countMinTokensSql("documents", "text", 64)}) " +
+        "ORDER BY row, slot"),
+
+    "k_cms_est" -> {
+      val h = TextOps.tokenHashSql("tok")
+      val slotRows = graft.sketch.Sketches.CmsRowParams.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT tok, true_n, $i AS row, ((h * $a + $b) % ${TextOps.P}) % 64 AS slot FROM __ph"
+      }.mkString(" UNION ALL ")
+      s"WITH __cms AS (${graft.sketch.Sketches.countMinTokensSql("documents", "text", 64)}), " +
+        s"__t AS (SELECT unnest(${TextOps.tokensSql("text")}) AS tok FROM documents), " +
+        "__truth AS (SELECT tok, count(*) AS true_n FROM __t GROUP BY tok), " +
+        "__probes AS (SELECT tok, true_n FROM __truth ORDER BY true_n DESC, tok LIMIT 10), " +
+        s"__ph AS (SELECT tok, true_n, $h AS h FROM __probes), " +
+        s"__slots AS ($slotRows) " +
+        "SELECT tok, true_n, min(coalesce(n, 0)) AS est, min(coalesce(n, 0)) >= true_n AS overcount_ok " +
+        "FROM __slots LEFT JOIN __cms USING (row, slot) GROUP BY tok, true_n ORDER BY tok"
+    },
+
+    "k_hll" -> {
+      val hashed = s"SELECT ${TextOps.tokenHashSql("CAST(user_id AS VARCHAR)")} AS h FROM events"
+      s"SELECT * FROM (${graft.sketch.Sketches.hllRegistersSql(hashed, 64)}) ORDER BY bucket"
+    },
+
+    "k_hll_est" -> {
+      val hashed = s"SELECT ${TextOps.tokenHashSql("CAST(user_id AS VARCHAR)")} AS h FROM events"
+      val regs = graft.sketch.Sketches.hllRegistersSql(hashed, 64)
+      s"SELECT e.estimate, x.exact FROM (${graft.sketch.Sketches.hllEstimateSql(regs, 64)}) e " +
+        "CROSS JOIN (SELECT count(DISTINCT user_id) AS exact FROM events) x"
+    },
 
     "pipe_pack" ->
       (s"SELECT doc_id, source, CAST(len(${TextOps.tokensSql("text")}) AS INTEGER) AS n_tokens, " +

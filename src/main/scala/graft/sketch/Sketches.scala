@@ -1,0 +1,143 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Probabilistic sketches as DISTRIBUTED AGGREGATIONS (the "novel
+  * sketch" operator class): Count-Min for frequency estimation and
+  * HyperLogLog for distinct counting.
+  *
+  * Both are deterministic functions of the input multiset — counters are
+  * exact integer sums, registers are exact integer maxima — so unlike
+  * typical sketch libraries these are cell-exact ORACLE-CHECKABLE, and
+  * the HLL estimate itself is bit-exact too (the harmonic sum adds 2^-r
+  * terms, all exactly representable, so even its double arithmetic is
+  * order-free).
+  *
+  * Scale shape: one explode + one map-side-combinable groupBy each; the
+  * sketch is CONSTANT-SIZE (d×w counters / m registers) regardless of
+  * input rows, and two sketches built on different partitions of the
+  * data merge by counter addition / register max — the property that
+  * makes them the standard 100 TB cardinality/frequency tools. The
+  * hashes reuse [[TextOps.tokenHash]] (the codegen'd PolyHash) so every
+  * slot decision has a bit-identical SQL twin.
+  */
+object Sketches {
+
+  /** Pairwise-independent-ish row hash parameters (a, b) for the CMS
+    * rows: slot_i = ((h * a_i + b_i) mod P) mod w. Shared with the SQL
+    * twin verbatim. */
+  val CmsRowParams: Seq[(Long, Long)] = Seq(
+    (31L, 11L), (37L, 101L), (41L, 1009L), (43L, 10007L))
+
+  /** Count-Min sketch of token frequencies: (row, slot, count) with
+    * d = CmsRowParams.size rows and `width` slots — counts are EXACT
+    * integer sums, so the sketch (not just its estimates) is
+    * oracle-checkable. One token explode, one groupBy; rows output:
+    * d × width regardless of corpus size. */
+  def countMinTokens(df: DataFrame, textCol: String, width: Int): DataFrame = {
+    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextOps.tokenHash("tok"))
+    val rows = array(CmsRowParams.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"),
+        (((col("h") * a + b) % TextOps.P) % width).as("slot"))
+    }: _*)
+    toks.select(explode(rows).as("rs"))
+      .select(col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .groupBy("row", "slot").agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle twin for [[countMinTokens]]. */
+  def countMinTokensSql(table: String, textCol: String, width: Int): String = {
+    val h = TextOps.tokenHashSql("tok")
+    val rows = CmsRowParams.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT ((h * $a + $b) % ${TextOps.P}) % $width AS slot, $i AS row FROM __h"
+    }.mkString(" UNION ALL ")
+    s"""WITH __t AS (SELECT unnest(${TextOps.tokensSql(textCol)}) AS tok FROM $table),
+       |__h AS (SELECT $h AS h FROM __t),
+       |__s AS ($rows)
+       |SELECT row, slot, count(*) AS n FROM __s GROUP BY row, slot""".stripMargin
+  }
+
+  /** Point estimates from a Count-Min sketch: for each probe token,
+    * est = min over rows of the counter at its slot — always >= the true
+    * count (the CMS guarantee, asserted in the spec). `cms` is the
+    * output of [[countMinTokens]]; probes is (tok) rows. The sketch is
+    * d×w rows → broadcast to the probe side. */
+  def countMinEstimate(cms: DataFrame, probes: DataFrame, width: Int): DataFrame = {
+    val withSlots = probes.withColumn("h", TextOps.tokenHash("tok"))
+      .withColumn("rs", explode(array(CmsRowParams.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("row"), (((col("h") * a + b) % TextOps.P) % width).as("slot"))
+      }: _*)))
+      .select(col("tok"), col("rs.row").as("row"), col("rs.slot").as("slot"))
+    withSlots.join(broadcast(cms), Seq("row", "slot"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  /** Knuth's multiplicative constant: the leading-zero estimator needs
+    * avalanche-mixed bits, and a polynomial string hash of similar-length
+    * inputs occupies a narrow band (near-constant bit length → useless
+    * registers). `(h * A) mod 2^31` wraps the band tens of millions of
+    * times, spreading the quotient uniformly; products stay < 2^63 so
+    * the arithmetic is exact in both engines. */
+  val HllMixA = 2654435761L
+  val HllMixMod = 2147483648L // 2^31
+
+  /** HyperLogLog registers over a hash column `h` in [0, 2^31):
+    * mix → bucket = h' mod m, register = leading zeros of the quotient's
+    * (31 - log2 m)-bit representation + 1. The bit length comes from
+    * `length(bin(q))` — pure integer/string arithmetic (a float log2
+    * would round 30.0 to 29.999… differently per engine at power-of-two
+    * boundaries). Registers are integer maxima: exact, mergeable,
+    * order-free. Input needs no distinct — max is idempotent, which is
+    * the whole HLL trick. `m` must be a power of two. */
+  def hllRegisters(hashed: DataFrame, m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val quotBits = 31 - Integer.numberOfTrailingZeros(m)
+    val mixed = (col("h") * HllMixA) % HllMixMod
+    val quot = floor(mixed / m).cast("long") // exact: m a power of two
+    val rho = when(quot === 0, lit(quotBits + 1))
+      .otherwise(lit(quotBits + 1) - length(bin(quot)))
+    hashed.select((mixed % m).as("bucket"), rho.cast("int").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("register"))
+  }
+
+  /** HLL distinct-count estimate from [[hllRegisters]] output, with the
+    * standard alpha_m bias correction. All 2^-r terms are exact powers
+    * of two, so the harmonic sum is order-free and the estimate is
+    * bit-identical across engines. Buckets that never received a value
+    * contribute 2^0 (register 0). */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(sum(pow(lit(2.0), -col("register"))).as("__sum"),
+        count(lit(1)).as("__nonEmpty"))
+      .select((lit(alpha) * m * m /
+        (col("__sum") + (lit(m) - col("__nonEmpty")))).as("estimate"))
+  }
+
+  /** Oracle twin for [[hllEstimate]]: the alpha constant is rendered
+    * from the SAME Scala double (shortest round-trip repr), and the
+    * expression order matches the Column form operator for operator. */
+  def hllEstimateSql(registersSql: String, m: Int): String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // explicit DOUBLE: DuckDB would otherwise type the literal DECIMAL
+    // and overflow the * m * m product
+    s"SELECT CAST($alpha AS DOUBLE) * $m * $m / (sum(pow(2.0, -register)) + ($m - count(*))) AS estimate " +
+      s"FROM ($registersSql)"
+  }
+
+  def hllRegistersSql(hashedSql: String, m: Int): String = {
+    val quotBits = 31 - Integer.numberOfTrailingZeros(m)
+    val mixed = s"((h * $HllMixA) % $HllMixMod)"
+    val quot = s"CAST(floor($mixed / $m) AS BIGINT)"
+    s"""SELECT $mixed % $m AS bucket,
+       |       CAST(max(CASE WHEN $quot = 0 THEN ${quotBits + 1}
+       |                ELSE ${quotBits + 1} - length(bin($quot))
+       |           END) AS INTEGER) AS register
+       |FROM ($hashedSql) GROUP BY $mixed % $m""".stripMargin
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Sketches
+import graft.text.TextOps
+
+class SketchesSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("CMS estimates never undercount (one-sided error bound)") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val d = docs((1L to 50L).map(i =>
+      i -> Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" ")))
+    val truth = d.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("true_n"))
+    val est = Sketches.countMinEstimate(
+      Sketches.countMinTokens(d, "text", 16), truth.select("tok"), 16)
+    val joined = truth.join(est, Seq("tok")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("true_n"), r.toString))
+  }
+
+  test("CMS sketches merge by counter addition (partition-and-merge == whole)") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = Vector("red", "green", "blue", "cyan", "teal")
+    val all = (1L to 60L).map(i =>
+      i -> Seq.fill(10)(words(rnd.nextInt(words.size))).mkString(" "))
+    val (a, b) = all.partition(_._1 % 2 == 0)
+    val whole = Sketches.countMinTokens(docs(all), "text", 16)
+    val merged = Sketches.countMinTokens(docs(a), "text", 16)
+      .unionByName(Sketches.countMinTokens(docs(b), "text", 16))
+      .groupBy("row", "slot").agg(sum("n").as("n"))
+    assert(whole.orderBy("row", "slot").collect().toSeq ===
+      merged.orderBy("row", "slot").collect().toSeq)
+  }
+
+  test("HLL registers merge by max, and the estimate tracks the exact count") {
+    val sess = spark
+    import sess.implicits._
+    val ids = (1 to 2000).map(_.toString)
+    def hashed(xs: Seq[String]) =
+      xs.toDF("uid").select(TextOps.tokenHash("uid").as("h"))
+    val (a, b) = ids.partition(_.toInt % 3 == 0)
+    val whole = Sketches.hllRegisters(hashed(ids), 64)
+    val merged = Sketches.hllRegisters(hashed(a), 64)
+      .unionByName(Sketches.hllRegisters(hashed(b), 64))
+      .groupBy("bucket").agg(max("register").as("register"))
+    assert(whole.orderBy("bucket").collect().toSeq ===
+      merged.orderBy("bucket").collect().toSeq)
+    val est = Sketches.hllEstimate(whole, 64).head().getDouble(0)
+    // standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - 2000) / 2000 < 0.4, s"estimate $est vs 2000")
+  }
+}
