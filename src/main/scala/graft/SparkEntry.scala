@@ -747,6 +747,36 @@ object SparkEntry {
 
     // HLL registers over hashed user ids (m = 64 buckets; quotient fits
     // 25 bits under the 2^31-1 hash modulus).
+    // Bloom filter of the corpus vocabulary — the membership sketch
+    // (set-bit rows are a deterministic set → the filter itself is
+    // oracle-checked; merge = set union).
+    "k_bloom" -> ((s, d) =>
+      graft.sketch.Sketches.bloomSlots(Tables.documents(s, d), "text", 256)
+        .orderBy("slot")),
+
+    // Membership probes: the top-10 vocabulary tokens plus known-absent
+    // ones; `no_false_negative` is the Bloom guarantee (true for every
+    // row), false positives are allowed and visible.
+    "k_bloom_probe" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val truth = toks.distinct()
+      val top10 = Relational.topK(
+        toks.groupBy("tok").agg(count(lit(1)).as("n")), 10, col("n").desc, col("tok"))
+        .select("tok")
+      val probes = top10.unionByName(
+        Seq("zzq_absent_a", "zzq_absent_b", "zzq_absent_c").toDF("tok"))
+      graft.sketch.Sketches.bloomContains(
+        graft.sketch.Sketches.bloomSlots(docs, "text", 256), probes, 256)
+        .join(truth.withColumn("__p", lit(true)), Seq("tok"), "left")
+        .select(col("tok"), col("in_bloom"),
+          coalesce(col("__p"), lit(false)).as("truly_present"),
+          (col("in_bloom") || coalesce(col("__p"), lit(false)) === false)
+            .as("no_false_negative"))
+        .orderBy("tok")
+    }),
+
     // HLL registers over hashed user ids (m = 64 buckets); the
     // multiplicative mix inside hllRegisters supplies the avalanche the
     // polynomial hash lacks
@@ -1230,6 +1260,30 @@ object SparkEntry {
         s"__slots AS ($slotRows) " +
         "SELECT tok, true_n, min(coalesce(n, 0)) AS est, min(coalesce(n, 0)) >= true_n AS overcount_ok " +
         "FROM __slots LEFT JOIN __cms USING (row, slot) GROUP BY tok, true_n ORDER BY tok"
+    },
+
+    "k_bloom" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.bloomSlotsSql("documents", "text", 256)}) " +
+        "ORDER BY slot"),
+
+    "k_bloom_probe" -> {
+      val h = TextOps.tokenHashSql("tok")
+      val k = graft.sketch.Sketches.CmsRowParams.size
+      val slotRows = graft.sketch.Sketches.CmsRowParams.map { case (a, b) =>
+        s"SELECT tok, ((h * $a + $b) % ${TextOps.P}) % 256 AS slot FROM __ph"
+      }.mkString(" UNION ALL ")
+      s"WITH __bloom AS (${graft.sketch.Sketches.bloomSlotsSql("documents", "text", 256)}), " +
+        s"__t AS (SELECT unnest(${TextOps.tokensSql("text")}) AS tok FROM documents), " +
+        "__truth AS (SELECT DISTINCT tok FROM __t), " +
+        "__probes AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM __t GROUP BY tok ORDER BY n DESC, tok LIMIT 10) " +
+        "UNION ALL SELECT * FROM (VALUES ('zzq_absent_a'), ('zzq_absent_b'), ('zzq_absent_c')) v(tok)), " +
+        s"__ph AS (SELECT tok, $h AS h FROM __probes), " +
+        s"__slots AS ($slotRows), " +
+        "__in AS (SELECT tok, sum(CASE WHEN b.slot IS NOT NULL THEN 1 ELSE 0 END) = " +
+        s"$k AS in_bloom FROM __slots s LEFT JOIN __bloom b USING (slot) GROUP BY tok) " +
+        "SELECT i.tok, i.in_bloom, t.tok IS NOT NULL AS truly_present, " +
+        "(i.in_bloom OR t.tok IS NULL) AS no_false_negative " +
+        "FROM __in i LEFT JOIN __truth t ON i.tok = t.tok ORDER BY i.tok"
     },
 
     "k_hll" -> {

@@ -77,6 +77,46 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
+  /** Bloom filter over the corpus vocabulary: the DISTINCT set of bits
+    * hit by k = CmsRowParams.size hash functions into an `mBits`-slot
+    * array. Output is the set bits as rows (slot ASC) — a deterministic
+    * set, so the filter itself is oracle-checkable. Merge = set union.
+    * One explode + one distinct; constant-size output. */
+  def bloomSlots(df: DataFrame, textCol: String, mBits: Int): DataFrame = {
+    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextOps.tokenHash("tok"))
+    val slots = array(CmsRowParams.map { case (a, b) =>
+      ((col("h") * a + b) % TextOps.P) % mBits
+    }: _*)
+    toks.select(explode(slots).as("slot")).distinct()
+  }
+
+  def bloomSlotsSql(table: String, textCol: String, mBits: Int): String = {
+    val h = TextOps.tokenHashSql("tok")
+    val rows = CmsRowParams.map { case (a, b) =>
+      s"SELECT ((h * $a + $b) % ${TextOps.P}) % $mBits AS slot FROM __h"
+    }.mkString(" UNION ALL ")
+    s"""WITH __t AS (SELECT unnest(${TextOps.tokensSql(textCol)}) AS tok FROM $table),
+       |__h AS (SELECT $h AS h FROM __t)
+       |SELECT DISTINCT slot FROM ($rows)""".stripMargin
+  }
+
+  /** Membership probe: a token is reported present iff ALL k of its
+    * slots are set — may false-positive, can never false-negative (the
+    * Bloom guarantee, asserted in the spec and visible in the probe
+    * query's `ok` column). The filter is sketch-sized → broadcast. */
+  def bloomContains(bloom: DataFrame, probes: DataFrame, mBits: Int): DataFrame = {
+    val k = CmsRowParams.size
+    val withSlots = probes.withColumn("h", TextOps.tokenHash("tok"))
+      .withColumn("slot", explode(array(CmsRowParams.map { case (a, b) =>
+        ((col("h") * a + b) % TextOps.P) % mBits
+      }: _*)))
+    withSlots
+      .join(broadcast(bloom.withColumn("__set", lit(1))), Seq("slot"), "left")
+      .groupBy("tok")
+      .agg((sum(coalesce(col("__set"), lit(0))) === k).as("in_bloom"))
+  }
+
   /** Knuth's multiplicative constant: the leading-zero estimator needs
     * avalanche-mixed bits, and a polynomial string hash of similar-length
     * inputs occupies a narrow band (near-constant bit length → useless

@@ -46,6 +46,25 @@ class SketchesSpec extends SparkSpec {
       merged.orderBy("row", "slot").collect().toSeq)
   }
 
+  test("Bloom: no false negatives ever; filters merge by set union") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(9)
+    val words = (1 to 40).map(i => s"w$i")
+    val all = (1L to 60L).map(i =>
+      i -> Seq.fill(8)(words(rnd.nextInt(words.size))).mkString(" "))
+    val bloom = Sketches.bloomSlots(docs(all), "text", 256)
+    val present = docs(all).select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+    val flags = Sketches.bloomContains(bloom, present, 256).collect()
+    assert(flags.nonEmpty)
+    flags.foreach(r => assert(r.getBoolean(1), s"false negative for ${r.getString(0)}"))
+    val (a, b) = all.partition(_._1 % 2 == 0)
+    val merged = Sketches.bloomSlots(docs(a), "text", 256)
+      .unionByName(Sketches.bloomSlots(docs(b), "text", 256)).distinct()
+    assert(bloom.orderBy("slot").collect().toSeq ===
+      merged.orderBy("slot").collect().toSeq)
+  }
+
   test("HLL registers merge by max, and the estimate tracks the exact count") {
     val sess = spark
     import sess.implicits._
