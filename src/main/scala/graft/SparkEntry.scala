@@ -1233,12 +1233,14 @@ object SparkEntry {
         "FROM events CROSS JOIN (VALUES (INTERVAL 0 HOUR), (INTERVAL 3 HOUR)) t(o) " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
 
-    // islands formulation: a row starts a new session when it is more than
-    // the gap after its predecessor; session end = last event + gap
-    // (Spark's session_window end semantics)
+    // islands formulation: a row starts a new session when it is AT LEAST the
+    // gap after its predecessor (>=, not >): session_window assigns [ts,
+    // ts+gap) and merges only on strict overlap, so an exact-gap event opens
+    // a new session; session end = last event + gap (Spark's session_window
+    // end semantics)
     "w3_session" ->
       ("WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
-        "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM o), " +
+        "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM o), " +
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),

@@ -177,7 +177,11 @@ object Relational {
     val b = bucketSeconds * 1000000L
     def cellOf(c: Column) = floor(unix_micros(c.cast("timestamp")) / b).cast("long")
     val e = events.withColumn("__cell", cellOf(col(tsCol)))
+    // an inverted interval (end < start) matches nothing by BETWEEN
+    // semantics; without this filter `sequence(hi, lo, 1)` would THROW at
+    // runtime and one malformed row would fail the whole job
     val iv = intervals
+      .filter(col(endCol) >= col(startCol))
       .withColumn("__cell",
         explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)), lit(1L))))
     e.join(iv, Seq(key, "__cell"))

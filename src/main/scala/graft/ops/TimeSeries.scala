@@ -35,10 +35,15 @@ object TimeSeries {
     * bitwise. */
   def resampleInterpolate(archive: DataFrame, gridSeconds: Long): DataFrame = {
     val g = gridSeconds * 1000000L // grid in epoch micros
+    // collapse duplicate (attribute, t) observations to min(value) BEFORE the
+    // window carry: the carry orders only by (t, side), so with tied
+    // timestamps the bracketing v0/v1 would otherwise depend on sort
+    // stability — the same hazard ts_moving/ts_staleness dedupe for
     val obs = archive.filter(col("value").isNotNull)
       .select(col("attribute_id"),
         unix_micros(col("timestamp").cast("timestamp")).as("t"),
         col("value").cast("double").as("v"))
+      .groupBy(col("attribute_id"), col("t")).agg(min(col("v")).as("v"))
     // per-attribute aligned grid: one row per output point, no cross join
     // double-precision floor/ceil on epoch micros is exact here: values
     // (< 2^53) and g are exactly representable, and an off-by-one at a
@@ -84,11 +89,13 @@ object TimeSeries {
   def interpolateSql(archiveSql: String, gridSeconds: Long): String = {
     val g = gridSeconds * 1000000L
     s"""WITH __obs AS (
-       |  SELECT attribute_id, epoch_us(CAST(timestamp AS TIMESTAMP)) AS t,
-       |         CAST(value AS DOUBLE) AS v
-       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  SELECT attribute_id, t, min(v) AS v FROM (
+       |    SELECT attribute_id, epoch_us(CAST(timestamp AS TIMESTAMP)) AS t,
+       |           CAST(value AS DOUBLE) AS v
+       |    FROM ($archiveSql) WHERE value IS NOT NULL
+       |  ) GROUP BY attribute_id, t
        |), __grid AS (
-       |  SELECT attribute_id, CAST(unnest(range(-(-min_t // $g) * $g, (max_t // $g) * $g + 1, $g)) AS BIGINT) AS t
+       |  SELECT attribute_id, CAST(unnest(range(((min_t + $g - 1) // $g) * $g, (max_t // $g) * $g + 1, $g)) AS BIGINT) AS t
        |  FROM (SELECT attribute_id, min(t) AS min_t, max(t) AS max_t FROM __obs GROUP BY attribute_id)
        |), __u AS (
        |  SELECT attribute_id, t, v, 0 AS side FROM __obs
