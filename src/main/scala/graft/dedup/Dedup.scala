@@ -354,18 +354,48 @@ object Dedup {
        |SELECT $idCol, $recombine AS simhash FROM __s""".stripMargin
   }
 
-  /** Near-dup pairs by SimHash hamming distance. The signature table is
-    * persisted (one explode+agg, not one per join side). The id< pair
-    * join is quadratic in docs — the scale path partitions candidates by
-    * signature bands first (same trick as [[minhashLshCandidates]]);
-    * this direct form is the exact-answer baseline. */
+  /** Near-dup pairs by SimHash hamming distance, EXACT via pigeonhole
+    * banding (Manku/Jain/Sarma's block-permuted simhash search, WWW'07):
+    * the 32-bit signature is split into `maxHamming + 1` contiguous bit
+    * blocks; two signatures within hamming `d <= maxHamming` differ in at
+    * most `d` blocks, so they AGREE exactly on at least one block — an
+    * equi-join on (block index, block value) generates every qualifying
+    * pair (no recall loss), hamming is verified post-join, and multi-block
+    * matches collapse under one distinct. Candidate generation is
+    * bucket-local (same shape as [[minhashLshCandidates]]) — never the
+    * O(n²) all-pairs theta join, which Spark can only plan as a
+    * nested-loop. The signature table is persisted (one explode+agg, not
+    * one per join side); the band explode adds `maxHamming + 1` rows per
+    * doc, constant per document. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimhashBits,
+      s"maxHamming must be in [0, $SimhashBits)")
     val sh = simhash(df, idCol, textCol).localCheckpoint(false) // reused, auto-released
-    sh.as("a").join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+    val bands = maxHamming + 1
+    // widths as even as possible, covering all SimhashBits exactly once
+    val widths = (0 until bands).map(b =>
+      SimhashBits / bands + (if (b < SimhashBits % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blocks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("chunk"))
+    }
+    val exploded = sh
+      .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bc"))
+      .select(col(idCol), col("simhash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val ea = exploded.select(col("band"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val eb = exploded.select(col("band"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    ea.join(eb, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Oracle twin for [[simhashPairs]]. */

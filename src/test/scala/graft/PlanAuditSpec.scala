@@ -53,6 +53,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("simhash pair generation is banded: equi-join on signature blocks, no nested loop") {
+    val p = plan("d_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d_simhash_pairs degenerated to an all-pairs join:\n$p")
+  }
+
   test("P5 case-insensitive LIKE pushes the StringContains residual to the scan") {
     val p = plan("p5_ilike")
     // lower(name) LIKE lower(pattern) with a %x% pattern should still
