@@ -272,9 +272,18 @@ object Dedup {
     * lineage stays flat. The driver loop only runs a convergence count.
     * At extreme scale the same loop upgrades to the alternating
     * large-star/small-star construction; this direct form is the exact
-    * answer whenever components are shallow. */
+    * answer whenever components are shallow.
+    *
+    * `broadcastMaxLabels` gates the per-hop broadcast hints: the induced
+    * subgraph is counted ONCE up front, and when it exceeds the threshold
+    * every hop runs as plain shuffle equi-joins instead — same labels,
+    * no driver-side collect of an unbroadcastable table. The default
+    * (~4M labels ≈ 64 MB of packed longs) stays far inside executor
+    * memory; a 100 TB corpus with a huge duplicate fraction takes the
+    * shuffle path automatically. */
   def clusters(nodes: DataFrame, pairs: DataFrame, idCol: String,
-      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 30,
+      broadcastMaxLabels: Long = 1L << 22): DataFrame = {
     val sym = pairs.select(col(aCol).as("dst"), col(bCol).as("src"))
       .unionByName(pairs.select(col(bCol).as("dst"), col(aCol).as("src")))
       .localCheckpoint(false) // reused every round
@@ -285,17 +294,20 @@ object Dedup {
     var labels = sym.select(col("dst").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // one count on the checkpointed subgraph decides the join strategy
+    // for every hop; the label count is invariant across rounds
+    val useBroadcast = labels.count() <= broadcastMaxLabels
+    def hint(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     // one propagation hop: every node takes the min of its own and its
     // neighbors' labels; extra columns (the round's __old) pass through.
-    // label/neighbor-min tables are subgraph-sized: broadcast them so a
-    // hop is shuffle-free except the one groupBy on the pair list (at a
-    // scale where labels outgrow broadcast, drop the hints and the same
-    // loop runs as shuffle joins)
+    // label/neighbor-min tables are subgraph-sized: when they fit the
+    // broadcast gate a hop is shuffle-free except the one groupBy on the
+    // pair list; past the gate the identical loop runs as shuffle joins
     def hop(l: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(broadcast(l.select(col("id").as("dst"), col("cluster"))), Seq("dst"))
+        .join(hint(l.select(col("id").as("dst"), col("cluster"))), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("cluster").as("nmin"))
-      l.join(broadcast(nbrMin), Seq("id"), "left")
+      l.join(hint(nbrMin), Seq("id"), "left")
         .select(l.columns.filter(_ != "cluster").map(col) :+
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"): _*)
     }
@@ -312,7 +324,7 @@ object Dedup {
       it += 2
     }
     nodes.select(col(idCol).as("id"))
-      .join(broadcast(labels.withColumnRenamed("cluster", "__c")), Seq("id"), "left")
+      .join(hint(labels.withColumnRenamed("cluster", "__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 

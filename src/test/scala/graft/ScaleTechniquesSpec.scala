@@ -91,6 +91,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("clusters past the broadcast gate: shuffle-join hops produce identical labels") {
+    // the 100 TB fallback: when the induced subgraph outgrows the
+    // broadcast threshold, every propagation hop must run as plain
+    // shuffle equi-joins — same fixed point, no driver-sized table.
+    // broadcastMaxLabels=0 forces the gate; autoBroadcastJoinThreshold=-1
+    // keeps Catalyst from silently re-broadcasting the small fixture.
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", 32)
+    val expected = Dedup.clusters(docs, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Dedup.clusters(docs, pairs, "doc_id",
+        broadcastMaxLabels = 0L)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"final join still broadcasts past the gate:\n$plan")
+      assert(shuffled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = "/tmp/graft-bucketed"
     spark.sql("DROP TABLE IF EXISTS b_orders")
