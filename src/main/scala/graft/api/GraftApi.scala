@@ -139,4 +139,44 @@ final class GraftApi(spark: SparkSession, root: String) {
       case _ => df
     }
   }
+
+  /** GET /export chunked CSV serving (S8, `routes.py:74-96`): the
+    * reference yields the header line, then one CSV line per row from a
+    * generator, never materializing the result. Spark equivalent:
+    * rows are rendered to CSV text ON THE EXECUTORS by `to_csv` (the
+    * same univocity formatter the file sink uses, so the bytes match
+    * [[writeExport]]), and `toLocalIterator` pulls ONE partition at a
+    * time — driver memory stays bounded by a single partition however
+    * large the export. The HTTP layer wraps this iterator in a chunked
+    * response. */
+  def streamExportCsv(df: DataFrame): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val header = df.columns.mkString(",")
+    val rendered = df.select(to_csv(struct(df.columns.map(col): _*)).as("__line"))
+    // Iterator.++ takes its operand by name: no Spark job runs until the
+    // consumer advances past the header line
+    Iterator.single(header) ++ rendered.toLocalIterator().asScala.map(_.getString(0))
+  }
+
+  /** POST /api/cleanup (S10 retention + F12 cutoff, `web_app.py:207-222`):
+    * delete export artifacts older than `maxAgeHours` matching the
+    * reference's `pi_data_*` naming; returns the deleted count. Runs
+    * through the Hadoop FileSystem so the same sweep works on local
+    * disk, HDFS, or an object store. `nowMillis` is injectable for
+    * deterministic tests. */
+  def cleanupExports(outDir: String, maxAgeHours: Int = 24,
+      glob: String = "pi_data_*",
+      nowMillis: Long = System.currentTimeMillis()): Int = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else {
+      val cutoff = nowMillis - maxAgeHours.toLong * 3600L * 1000L
+      val matches = fs.globStatus(new Path(dir, glob))
+      if (matches == null) 0
+      else matches.count(st => st.getModificationTime < cutoff &&
+        fs.delete(st.getPath, true)) // exports are directories (writeExport)
+    }
+  }
 }
