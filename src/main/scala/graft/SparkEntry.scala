@@ -355,6 +355,13 @@ object SparkEntry {
         Seq("lang", "source"), 0.9)
         .orderBy("id_a", "id_b")),
 
+    // the PPJoin prefix-filtered plan must produce the identical result
+    // set — it shares d_jaccard's oracle SQL below
+    "d_jaccard_prefix" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 0.9, prefixFilter = true)
+        .orderBy("id_a", "id_b")),
+
     "d_jaccard_ngram" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
         Seq("lang", "source"), 0.8, n = 3)
@@ -1016,6 +1023,23 @@ object SparkEntry {
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
 
     "d_jaccard" -> {
+      val toks = TextOps.tokensSql("text")
+      s"WITH __u AS (SELECT doc_id, lang, source, unnest($toks) AS tok FROM documents), " +
+        s"uniq AS (SELECT DISTINCT doc_id, lang, source, ${TextOps.tokenHashSql("tok")} AS tok FROM __u), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM uniq GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+        "FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.9 " +
+        "ORDER BY id_a, id_b"
+    },
+
+    // identical statement: the prefix-filtered Spark plan is exact, so it
+    // sits under the same oracle as the full inverted-index plan
+    "d_jaccard_prefix" -> {
       val toks = TextOps.tokensSql("text")
       s"WITH __u AS (SELECT doc_id, lang, source, unnest($toks) AS tok FROM documents), " +
         s"uniq AS (SELECT DISTINCT doc_id, lang, source, ${TextOps.tokenHashSql("tok")} AS tok FROM __u), " +

@@ -96,17 +96,19 @@ object Dedup {
     * from the similarity itself (numerator and denominator both use the
     * capped sets, so the semantics stay self-consistent).
     *
-    * The next pruning rung at production scale is positional prefix
-    * filtering (AllPairs/PPJoin): index only each doc's
+    * `prefixFilter` turns on positional prefix filtering
+    * (AllPairs/PPJoin, Bayardo/Ma/Srikant WWW'07): index only each doc's
     * `n - ceil(t*n) + 1` rarest tokens under a global (df, tok) order —
-    * any pair meeting threshold t must collide in both prefixes — then
-    * verify candidates with a restricted intersection join. Exact, and
-    * cuts index join rows by the prefix fraction; unprofitable on these
-    * fixtures (dense shared vocabulary → candidates ≈ true pairs), so
-    * not the default plan here. */
+    * any pair with jaccard >= t shares at least ceil(t*n) tokens, so by
+    * pigeonhole it collides inside both prefixes — generate candidates
+    * from the PREFIX index only, then verify with an exact set
+    * intersection over per-doc hash arrays. Exact (a superset of
+    * candidates is verified), and cuts index join rows by the prefix
+    * fraction; unprofitable on dense-shared-vocabulary fixtures
+    * (candidates ≈ true pairs), so off by default. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double, n: Int = 1,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None, prefixFilter: Boolean = false): DataFrame = {
     // lazy localCheckpoint, not cache(): computed once even though three
     // branches read it, but NOT pinned in the CacheManager — the blocks
     // are released by the ContextCleaner when the result plan is GC'd,
@@ -122,11 +124,30 @@ object Dedup {
         dtAll.join(keep, tokKey, "left_semi").localCheckpoint(false)
     }
     val sizes = dt.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
-      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    val common = dt.as("a").join(dt.as("b"), joinKeys)
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+    val common =
+      if (!prefixFilter) {
+        val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+        dt.as("a").join(dt.as("b"), joinKeys)
+          .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("common"))
+      } else {
+        val prefix = jaccardPrefixIndex(dt, sizes, idCol, blockCols, threshold)
+        val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+        val cands = prefix.as("a").join(prefix.as("b"), joinKeys)
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct()
+        // exact verification: dt rows are distinct per doc, so the
+        // collected arrays are sets and the intersect size IS the common
+        // count — linear in candidates, never in pair token products
+        val tokSets = dt.groupBy(col(idCol)).agg(collect_list(col("tok")).as("__ts"))
+        cands
+          .join(tokSets.select(col(idCol).as("id_a"), col("__ts").as("__ta")), "id_a")
+          .join(tokSets.select(col(idCol).as("id_b"), col("__ts").as("__tb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("common"))
+      }
     common
       .join(broadcast(sizes.select(col(idCol).as("id_a"), col("n").as("n_a"))), "id_a")
       .join(broadcast(sizes.select(col(idCol).as("id_b"), col("n").as("n_b"))), "id_b")
@@ -134,6 +155,28 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** The PPJoin prefix index: each doc's `n - ceil(t*n) + 1` rarest
+    * tokens under the global (document frequency, token) total order —
+    * rarest-first ordering makes prefix buckets the SMALLEST buckets of
+    * the inverted index, which is where the candidate reduction comes
+    * from. The epsilon inside the ceil guards the float product from
+    * landing a hair ABOVE an exact integer (which would shorten the
+    * prefix by one and break the superset guarantee); erring the other
+    * way only lengthens the prefix. Exposed for the row-count assertion
+    * in the spec. */
+  private[graft] def jaccardPrefixIndex(dt: DataFrame, sizes: DataFrame,
+      idCol: String, blockCols: Seq[String], threshold: Double): DataFrame = {
+    val tokKey = "tok" +: blockCols
+    val tdf = dt.groupBy(tokKey.map(col): _*).agg(count(lit(1)).as("__tdf"))
+    dt.join(tdf, tokKey)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__tdf"), col("tok"))))
+      .join(sizes, Seq(idCol))
+      .filter(col("__pos") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select((idCol +: "tok" +: blockCols).map(col): _*)
   }
 
   /** Train/eval contamination check (decontamination): for each eval

@@ -80,6 +80,39 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) === 1.0)
   }
 
+  test("PPJoin prefix filter: identical pairs to the full index, strictly fewer index rows") {
+    val sess = spark
+    import sess.implicits._
+    // skewed fixture: every doc shares a boilerplate shingle block (the
+    // hot, high-df tokens a prefix filter exists to skip) plus distinct
+    // content; docs 1/2 and 5/6 are near-identical pairs
+    val boiler = "all rights reserved contact us terms of service"
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler alpha beta gamma delta zeta"),
+      (3L, s"$boiler completely different content here now"),
+      (4L, s"$boiler nothing like any other document text"),
+      (5L, s"$boiler red orange yellow green blue"),
+      (6L, s"$boiler red orange yellow green indigo")
+    ).toDF("doc_id", "text")
+    def run(prefix: Boolean) =
+      Dedup.jaccardPairs(df, "doc_id", "text", Nil, 0.7, prefixFilter = prefix)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val full = run(prefix = false)
+    assert(full.map(t => (t._1, t._2)) === Set((1L, 2L), (5L, 6L)))
+    assert(run(prefix = true) === full)
+    // the candidate reduction: the prefix index carries only the rarest
+    // n - ceil(t*n) + 1 tokens per doc — a strict subset of the inverted
+    // index, and none of the boilerplate (max-df) tokens survive
+    val dt = Dedup.docTokens(df, "doc_id", "text", Nil)
+    val sizes = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val prefixRows = Dedup.jaccardPrefixIndex(dt, sizes, "doc_id", Nil, 0.7).count()
+    assert(prefixRows < dt.count(),
+      s"prefix index ($prefixRows rows) did not shrink the inverted index (${dt.count()} rows)")
+  }
+
   test("minhash LSH candidates ⊇ identical docs and agree with signatures") {
     val sess = spark
     import sess.implicits._
