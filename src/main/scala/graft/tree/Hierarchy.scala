@@ -20,8 +20,22 @@ object Hierarchy {
     * Input: element(level, element_id, name, parent_id).
     * Output: (element_id, name, level, parent_id, path) where path =
     * root|child|...|node joined with `sep` (reference uses
-    * `array_to_string(path_array,'|')`, `populate.py:221-222`). */
-  def closure(element: DataFrame, sep: String = "|"): DataFrame = {
+    * `array_to_string(path_array,'|')`, `populate.py:221-222`).
+    *
+    * Dispatches to the native `WITH RECURSIVE` plan ([[closureSql]]) on
+    * Spark builds that support it (4.0+): ONE Catalyst plan instead of
+    * level-many self-joins with a driver round-trip per level. The
+    * iterative loop ([[closureLoop]]) stays as the fallback for older
+    * runtimes; the spec asserts both engines produce identical rows. */
+  def closure(element: DataFrame, sep: String = "|"): DataFrame =
+    if (nativeRecursiveSupported(element)) closureSql(element, sep)
+    else closureLoop(element, sep)
+
+  private def nativeRecursiveSupported(df: DataFrame): Boolean =
+    df.sparkSession.version.takeWhile(_ != '.').toIntOption.exists(_ >= 4)
+
+  /** J5 fallback engine — iterative level-bounded self-join loop. */
+  def closureLoop(element: DataFrame, sep: String = "|"): DataFrame = {
     // null aggregate = empty element table (fresh namespace): no roots,
     // zero iterations, empty closure — don't getInt an SQL NULL
     val maxRow = element.agg(max(col("level"))).head()

@@ -34,10 +34,19 @@ class HierarchySpec extends SparkSpec {
     assert(Hierarchy.closure(empty).isEmpty)
   }
 
-  test("closureSql (native WITH RECURSIVE) agrees with the iterative closure") {
-    val iter = Hierarchy.closure(element).orderBy("element_id").collect()
+  test("both closure engines agree; the default dispatches to native WITH RECURSIVE here") {
+    val iter = Hierarchy.closureLoop(element).orderBy("element_id").collect()
     val sql = Hierarchy.closureSql(element).orderBy("element_id").collect()
     assert(sql.toSeq === iter.toSeq)
+    // this build is Spark 4.x, so the default must take the one-plan
+    // native path (no per-level driver round-trips)
+    val plan = Hierarchy.closure(element).queryExecution.analyzed.toString
+    assert(plan.contains("CTERelation") || plan.contains("UnionLoop"),
+      s"default closure did not use the recursive CTE plan:\n$plan")
+    // the loop fallback handles the empty table too
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schemas.element)
+    assert(Hierarchy.closureLoop(empty).isEmpty)
   }
 
   test("reference leaf semantics: roots + max-level nodes") {
