@@ -311,6 +311,41 @@ class IngestStreamSpec extends SparkSpec {
     assert(byAttr(9) === 60.0) // derived recomputed from the NEW value
   }
 
+  test("T5 live trigger: PI source under ProcessingTime pacing, full re-delivery upserts cleanly") {
+    val dir = Files.createTempDirectory("graft_live").toString
+    val tagTemp = "\\\\AF\\Plant\\U1|temp"
+    val tagPress = "\\\\AF\\Plant\\U1|press"
+    val raw = spark.readStream.format("graft.sources.PiBatchSource")
+      .option("tags", s"$tagTemp,$tagPress")
+      .option("baseTime", "2024-01-01T00:00:00")
+      .option("intervalSeconds", "60")
+      .option("endTicks", "6")
+      .option("maxTicksPerBatch", "2") // pacing: 6 ticks need >= 3 batches
+      .load()
+    // the live path: latestOffset(start, limit) admission control, not
+    // AvailableNow's prepared end — processAllAvailable drains to endTicks
+    def runLive(ckpt: String): Int = {
+      val q = DerivedStream.start(raw, mapping, Seq(DerivedDef(9, "$1 + $2")),
+        s"$dir/archive", s"$dir/$ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    }
+    def snapshot() = spark.read.parquet(s"$dir/archive")
+      .select("attribute_id", "timestamp", "value").collect()
+      .map(r => (r.getInt(0), r.getAs[Any](1).toString, r.getDouble(2))).toSet
+    assert(runLive("ckpt1") >= 3, "admission control did not pace the live stream")
+    val first = snapshot()
+    assert(first.size === 18) // 2 tags x 6 ticks + 6 derived
+    // a FRESH checkpoint re-delivers every batch: the per-batch upsert
+    // must replace, not duplicate — same rows, still unique keys
+    runLive("ckpt2")
+    val replayed = snapshot()
+    assert(replayed === first)
+    assert(spark.read.parquet(s"$dir/archive")
+      .select("attribute_id", "timestamp").distinct().count() === 18)
+  }
+
   test("capstone: PI source → coerce → derive → store → interpolate, end to end") {
     val dir = Files.createTempDirectory("graft_capstone").toString
     val tagTemp = "\\\\AF\\Plant\\U1|temp"
