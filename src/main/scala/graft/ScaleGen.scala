@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve fixture generator: replicate the sf0.1 tables `factor`×
+  * with key offsets, so per-key structure (join fan-out, session shape,
+  * near-dup group size) is preserved while totals scale linearly — the
+  * honest way to measure the engine's scaling curve without inventing a
+  * new data distribution. Design choices that keep the curve meaningful:
+  *
+  *  - Dimensions (region/nation/customer/supplier/part) stay fixed —
+  *    realistic (dims grow far slower than facts) and it keeps the
+  *    broadcast-join side constant across scale points.
+  *  - Fact keys (order key, event id, user id, doc id, vec id) are
+  *    offset per replica, so each replica carries the original key
+  *    structure and cross-replica keys never collide.
+  *  - Document tokens are replica-tagged (every token prefixed) for
+  *    replicas > 0: token sets of different replicas are DISJOINT, so
+  *    near-dup pair density stays linear in the factor. Tagging whole
+  *    texts instead would leave cross-replica jaccard ≈ 1 and inflate
+  *    pairs quadratically — that would measure the fixture, not the
+  *    engine.
+  *  - Embedding block labels are offset per replica for the same
+  *    reason (the near-dup operator blocks on label); vectors are kept
+  *    bit-identical, which ANN handles fine (bucket population scales
+  *    linearly).
+  *  - events.ts stays raw int64 nanos (read with the legacy conf), so
+  *    the scaled fixture exercises the same nanos translation path as
+  *    the driver's fixture.
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+
+  private def rep(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+
+  /** key + rep * (max(key)+1): replica 0 keeps original keys. */
+  private def offsetBySpan(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val spans = keys.map(k => k -> (df.agg(max(col(k))).head().getLong(0) + 1L)).toMap
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + col("__rep") * spans(k)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("__rep").write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+
+    write(offsetBySpan(rep(spark.read.parquet(s"$src/orders.parquet"), factor),
+      Seq("o_orderkey")), "orders")
+    write(offsetBySpan(rep(spark.read.parquet(s"$src/lineitem.parquet"), factor),
+      Seq("l_orderkey")), "lineitem")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(offsetBySpan(rep(spark.read.parquet(s"$src/events.parquet"), factor),
+      Seq("event_id", "user_id")), "events")
+
+    val docs = offsetBySpan(rep(spark.read.parquet(s"$src/documents.parquet"), factor),
+      Seq("doc_id"))
+    write(docs.withColumn("text",
+      when(col("__rep") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(lit("q"), col("__rep"), t)), " "))), "documents")
+
+    val emb = offsetBySpan(rep(spark.read.parquet(s"$src/embeddings.parquet"), factor),
+      Seq("vec_id"))
+    val labelSpan = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("label"))).head().getInt(0) + 1
+    write(emb.withColumn("label",
+      (col("label") + col("__rep") * labelSpan).cast("int")), "embeddings")
+
+    println(s"""{"scalegen":"done","out":"$out","factor":$factor}""")
+    spark.stop()
+  }
+}

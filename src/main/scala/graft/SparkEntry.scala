@@ -147,7 +147,13 @@ object SparkEntry {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // fact×fact join: FORCE the shuffle merge join. Catalyst's static
+      // column-pruned size estimate keeps orders under the broadcast
+      // threshold well past the point where building its HashedRelation
+      // on the driver dominates the query (measured 3-25 s vs 1.9 s at
+      // 10× sf0.1) — and at real scale orders is never broadcastable.
+      // The dimension joins below stay explicit broadcasts.
+      li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
@@ -490,6 +496,15 @@ object SparkEntry {
     "d_cluster" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.clusters(docs.select("doc_id"),
+        Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+        .orderBy("id")
+    }),
+
+    // the O(log n)-round star-contraction engine must reach the same
+    // fixed point — it shares d_cluster's reachability oracle below
+    "d_cluster_star" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clustersStar(docs.select("doc_id"),
         Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
         .orderBy("id")
     }),
@@ -1153,6 +1168,16 @@ object SparkEntry {
         "FROM documents ORDER BY media_id"),
 
     "d_cluster" ->
+      (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
+        "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
+
+    // identical statement: star contraction computes the same components
+    "d_cluster_star" ->
       (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
         "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
         "__reach(src, dst) AS (" +

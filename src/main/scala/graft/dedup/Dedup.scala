@@ -371,6 +371,75 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the extreme-scale alternative to [[clusters]]' label
+    * propagation. Each round rewires edges toward component minima and
+    * converges in O(log n) rounds REGARDLESS of component diameter
+    * (min-label propagation needs diameter-many rounds on chain-shaped
+    * components), with every step a plain shuffle groupBy/join — no
+    * broadcast anywhere, nothing driver-sized. Same output contract as
+    * [[clusters]]: (id, cluster = min reachable id) for every node in
+    * `nodes`.
+    *
+    * large-star: every node points its LARGER neighbors at the minimum
+    * of its closed neighborhood; small-star: every node and its smaller
+    * neighbors collapse onto that minimum. Both preserve connectivity
+    * exactly; at the fixed point the edge set is a star per component
+    * rooted at the component minimum. */
+  def clustersStar(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint()
+    // stop when the canonical edge set stops changing; (count, xor of
+    // row hashes) detects that without a full set comparison per round
+    // (xor, not sum: overflow-free under ANSI mode and order-insensitive)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(edges)
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIters) {
+      // large-star: m = min(closed neighborhood of u); larger neighbors
+      // re-attach to m
+      val s1 = sym(edges)
+      val min1 = s1.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = canon(s1.filter(col("v") > col("u")).join(min1, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star on edges oriented larger→smaller: u and its smaller
+      // neighbors all attach to the neighborhood minimum
+      val s2 = sym(ls).filter(col("v") < col("u"))
+      val min2 = s2.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = canon(
+        s2.join(min2, "u").select(col("v").as("u"), col("m").as("v"))
+          .unionByName(min2.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      val cur = sig(ss)
+      stable = cur == prev
+      prev = cur
+      edges = ss
+      it += 1
+    }
+    // fixed point = stars rooted at component minima: a node's label is
+    // its minimum edge partner (only the root has a larger partner)
+    val labels = sym(edges).groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("mn"), col("id")).as("__c"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   val SimhashBits = 32

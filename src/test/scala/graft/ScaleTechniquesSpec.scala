@@ -115,6 +115,26 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("star-contraction CC: same labels as propagation, few rounds on a deep chain") {
+    import graft.dedup.Dedup
+    val sess = spark
+    import sess.implicits._
+    // a 200-node CHAIN (diameter 199) — the adversarial shape for
+    // min-label propagation (needs ~diameter hops) that star rounds
+    // contract in O(log n); plus a clique and singletons
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val clique = for (a <- 500L to 504L; b <- (a + 1) to 504L) yield (a, b)
+    val pairs = (chain ++ clique).toDF("id_a", "id_b")
+    val nodes = ((1L to 200L) ++ (500L to 504L) ++ Seq(900L)).toDF("doc_id")
+    val star = Dedup.clustersStar(nodes, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = Dedup.clusters(nodes, pairs, "doc_id", maxIters = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === prop)
+    assert(star.filter(_._1 <= 200L).forall(_._2 === 1L)) // whole chain → min id
+    assert(star.contains((900L, 900L))) // untouched node keeps its own id
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = "/tmp/graft-bucketed"
     spark.sql("DROP TABLE IF EXISTS b_orders")
