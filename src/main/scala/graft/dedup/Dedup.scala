@@ -501,10 +501,10 @@ object Dedup {
     val widths = (0 until bands).map(b =>
       SimhashBits / bands + (if (b < SimhashBits % bands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    def chunkOf(sig: Column, b: Int): Column =
+      shiftright(sig, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
     val blocks = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), offsets(b))
-          .bitwiseAND(lit((1L << widths(b)) - 1)).as("chunk"))
+      struct(lit(b).as("band"), chunkOf(col("simhash"), b).as("chunk"))
     }
     val exploded = sh
       .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bc"))
@@ -514,12 +514,20 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sim_a"))
     val eb = exploded.select(col("band"), col("chunk"),
       col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    // each qualifying pair is emitted ONLY from its lowest matching band
+    // (for the join band b, every earlier band's chunks must differ) — a
+    // codegen'd filter instead of a distinct, so duplicate candidates
+    // from multi-band matches never shuffle. On dense near-dup inputs
+    // (many pairs matching in all bands) this is the difference between
+    // one output-sized stage and shuffling bands× the output.
+    val firstMatchOnly = (0 until bands - 1).map { bp =>
+      (col("band") <= bp) || (chunkOf(col("sim_a"), bp) =!= chunkOf(col("sim_b"), bp))
+    }.reduceOption(_ && _).getOrElse(lit(true))
     ea.join(eb, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming && firstMatchOnly)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .distinct()
   }
 
   /** Oracle twin for [[simhashPairs]]. */
