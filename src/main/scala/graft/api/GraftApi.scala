@@ -74,12 +74,20 @@ final class GraftApi(spark: SparkSession, root: String) {
   }
 
   /** Export sinks (S5/S6): CSV/parquet with the reference's timestamped
-    * naming (`web_app.py:167-175`). */
-  def writeExport(df: DataFrame, outDir: String, baseName: String, format: String): String = {
+    * naming (`web_app.py:167-175`).
+    *
+    * `singleFile` (default true for CSV) mirrors the reference's
+    * one-file download contract — an EXPLICIT serving choice that
+    * funnels the write through one task. Pass false for a bulk export
+    * at scale: every partition writes in parallel and the consumer
+    * globs the directory (or streams via [[streamExportCsv]]). */
+  def writeExport(df: DataFrame, outDir: String, baseName: String,
+      format: String, singleFile: Boolean = true): String = {
     val fname = s"$outDir/$baseName.$format"
     format match {
-      case "csv" => df.coalesce(1).write.option("header", "true")
-        .mode("overwrite").csv(fname)
+      case "csv" =>
+        (if (singleFile) df.coalesce(1) else df)
+          .write.option("header", "true").mode("overwrite").csv(fname)
       case "parquet" => df.write.mode("overwrite").parquet(fname)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
