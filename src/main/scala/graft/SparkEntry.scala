@@ -820,6 +820,20 @@ object SparkEntry {
         .crossJoin(broadcast(ev.agg(count_distinct(col("user_id")).as("exact"))))
     }),
 
+    // grouped HLL — the streaming-dashboard shape (distinct users per
+    // (hour, event_type)) as its deterministic batch twin: registers are
+    // per-group integer maxima, so even grouped estimates are cell-exact
+    "k_hll_window" -> ((s, d) =>
+      graft.sketch.Sketches.hllEstimateBy(
+        graft.sketch.Sketches.hllRegistersBy(
+          Tables.events(s, d)
+            .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+              col("user_id").cast("string").as("uid"))
+            .select(col("hour"), col("event_type"), TextOps.tokenHash("uid").as("h")),
+          Seq("hour", "event_type"), 64),
+        Seq("hour", "event_type"), 64)
+        .orderBy("hour", "event_type")),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -1347,6 +1361,14 @@ object SparkEntry {
       val regs = graft.sketch.Sketches.hllRegistersSql(hashed, 64)
       s"SELECT e.estimate, x.exact FROM (${graft.sketch.Sketches.hllEstimateSql(regs, 64)}) e " +
         "CROSS JOIN (SELECT count(DISTINCT user_id) AS exact FROM events) x"
+    },
+
+    "k_hll_window" -> {
+      val hashed = "SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        s"${TextOps.tokenHashSql("CAST(user_id AS VARCHAR)")} AS h FROM events"
+      val regs = graft.sketch.Sketches.hllRegistersBySql(hashed, Seq("hour", "event_type"), 64)
+      s"SELECT * FROM (${graft.sketch.Sketches.hllEstimateBySql(regs, Seq("hour", "event_type"), 64)}) " +
+        "ORDER BY hour, event_type"
     },
 
     "pipe_pack" ->

@@ -180,4 +180,55 @@ object Sketches {
        |           END) AS INTEGER) AS register
        |FROM ($hashedSql) GROUP BY $mixed % $m""".stripMargin
   }
+
+  /** Grouped HLL registers — ONE register set per group key: the
+    * windowed/dashboard shape ("distinct users per (hour, event type)").
+    * Identical register arithmetic to [[hllRegisters]]; the group key
+    * simply joins the bucket in the groupBy, so a 100 TB stream
+    * aggregates map-side into (groups × m) rows total, and per-group
+    * sketches merge by register max exactly like the global one. */
+  def hllRegistersBy(hashed: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val quotBits = 31 - Integer.numberOfTrailingZeros(m)
+    val mixed = (col("h") * HllMixA) % HllMixMod
+    val quot = floor(mixed / m).cast("long")
+    val rho = when(quot === 0, lit(quotBits + 1))
+      .otherwise(lit(quotBits + 1) - length(bin(quot)))
+    hashed.select(groupCols.map(col) :+ (mixed % m).as("bucket") :+ rho.cast("int").as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Per-group estimates from [[hllRegistersBy]] output: the same
+    * bias-corrected harmonic mean as [[hllEstimate]], grouped. */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("register"))).as("__sum"),
+        count(lit(1)).as("__nonEmpty"))
+      .select(groupCols.map(col) :+
+        ((lit(alpha) * m * m /
+          (col("__sum") + (lit(m) - col("__nonEmpty")))).as("estimate")): _*)
+  }
+
+  /** Oracle twins for the grouped forms: same expressions, same order. */
+  def hllRegistersBySql(hashedSql: String, groupCols: Seq[String], m: Int): String = {
+    val quotBits = 31 - Integer.numberOfTrailingZeros(m)
+    val mixed = s"((h * $HllMixA) % $HllMixMod)"
+    val quot = s"CAST(floor($mixed / $m) AS BIGINT)"
+    val g = groupCols.mkString(", ")
+    s"""SELECT $g, $mixed % $m AS bucket,
+       |       CAST(max(CASE WHEN $quot = 0 THEN ${quotBits + 1}
+       |                ELSE ${quotBits + 1} - length(bin($quot))
+       |           END) AS INTEGER) AS register
+       |FROM ($hashedSql) GROUP BY $g, $mixed % $m""".stripMargin
+  }
+
+  def hllEstimateBySql(registersSql: String, groupCols: Seq[String], m: Int): String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val g = groupCols.mkString(", ")
+    s"SELECT $g, CAST($alpha AS DOUBLE) * $m * $m / (sum(pow(2.0, -register)) + ($m - count(*))) AS estimate " +
+      s"FROM ($registersSql) GROUP BY $g"
+  }
 }

@@ -107,6 +107,36 @@ object DerivedStream {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("attribute_id"), col("n"))
 
+  /** Approximate-distinct rollup: per-(window, attribute) HyperLogLog
+    * registers maintained under a watermark — the streaming face of
+    * [[graft.sketch.Sketches.hllRegistersBy]] (registers are integer
+    * maxima, which Structured Streaming merges incrementally per
+    * micro-batch for free). State is (windows × attributes × m) rows
+    * REGARDLESS of event volume — the constant-size property that makes
+    * a distinct-users dashboard viable over a 100 TB stream where exact
+    * per-window distinct state would be unbounded. Feed the output to
+    * [[graft.sketch.Sketches.hllEstimateBy]] for the estimates; on a
+    * drained stream both match the batch twin bit-exactly (spec). */
+  def hllRollup(hashed: DataFrame, window: String = "1 hour", m: Int = 64,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val quotBits = 31 - Integer.numberOfTrailingZeros(m)
+    val mixed = (col("h") * graft.sketch.Sketches.HllMixA) % graft.sketch.Sketches.HllMixMod
+    val quot = floor(mixed / m).cast("long")
+    val rho = when(quot === 0, lit(quotBits + 1))
+      .otherwise(lit(quotBits + 1) - length(bin(quot)))
+    hashed
+      .withWatermark("timestamp", watermarkDelay)
+      .select(col("timestamp"), col("attribute_id"),
+        (mixed % m).as("bucket"), rho.cast("int").as("rho"))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("timestamp"), window).as("w"),
+        col("attribute_id"), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+      .select(col("w.start").as("window_start"), col("attribute_id"),
+        col("bucket"), col("register"))
+  }
+
   /** T3 streaming-native dedup: watermarked
     * `dropDuplicatesWithinWatermark` on the archive key. The batch
     * pipeline dedups within a micro-batch ([[Ingest.coerceBatch]]);

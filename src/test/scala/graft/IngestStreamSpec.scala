@@ -206,6 +206,37 @@ class IngestStreamSpec extends SparkSpec {
     assert(starts.toSeq === Seq("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0"))
   }
 
+  test("hllRollup: streaming per-window registers equal the batch sketch bit-exactly") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Long)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two windows, repeated users within a window (max is idempotent —
+    // re-observation must not change a register)
+    val rows = Seq(
+      (1, ts("2024-01-01 00:05:00"), 101L), (1, ts("2024-01-01 00:10:00"), 102L),
+      (1, ts("2024-01-01 00:20:00"), 101L), (1, ts("2024-01-01 01:05:00"), 103L),
+      (2, ts("2024-01-01 00:30:00"), 201L))
+    mem.addData(rows: _*)
+    val hashed = mem.toDF.toDF("attribute_id", "timestamp", "h")
+    val q = graft.streaming.DerivedStream.hllRollup(hashed, "1 hour", 64)
+      .writeStream.format("memory").queryName("hll").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hll")
+      .select("window_start", "attribute_id", "bucket", "register")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = graft.sketch.Sketches.hllRegistersBy(
+      rows.toDF("attribute_id", "timestamp", "h")
+        .withColumn("hour", date_trunc("hour", col("timestamp"))),
+      Seq("hour", "attribute_id"), 64)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(t => (t._1, t._2)).size >= 3) // (window, attr) groups present
+  }
+
   test("sessionRollup merges bursts and splits on gaps") {
     val sess = spark
     import sess.implicits._
