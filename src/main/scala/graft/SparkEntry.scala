@@ -288,6 +288,20 @@ object SparkEntry {
         .withColumn("src_back", element_at(split(col("path"), "\\|"), 1))
         .orderBy("doc_id")),
 
+    // JSON-path extraction on the semi-structured props column (the
+    // get_json_object fast path: no schema inference, string in → string
+    // out, cast after) aggregated per event type; avg is an explicit
+    // sum/count division so both engines round the same single division
+    "f_json_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("sum_k"),
+          (col("sum_k").cast("double") / col("n")).as("avg_k"), col("n"))
+        .orderBy("event_type")),
+
     "f7_tz_shift" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -1005,6 +1019,12 @@ object SparkEntry {
         "CAST(length(text) AS INTEGER) AS n, source || '|' || lang AS path, " +
         "string_split(source || '|' || lang, '|')[1] AS src_back " +
         "FROM documents ORDER BY doc_id"),
+
+    "f_json_agg" ->
+      ("SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, " +
+        "CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*) AS avg_k, count(*) AS n " +
+        "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     "f7_tz_shift" ->
       ("SELECT event_id, ts + INTERVAL 7 HOUR AS local_ts, " +

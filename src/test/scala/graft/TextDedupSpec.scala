@@ -255,6 +255,8 @@ class TextDedupSpec extends SparkSpec {
       val pairs = edges.toDF("id_a", "id_b")
       val got = Dedup.clusters(nodes, pairs, "doc_id")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotStar = Dedup.clustersStar(nodes, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // union-find reference
       val parent = Array.tabulate(n.toInt)(identity)
       def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
@@ -263,7 +265,7 @@ class TextDedupSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = (0L until n).map(i => i -> find(i.toInt).toLong).toMap
-      got == want
+      got == want && gotStar == want
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
