@@ -435,6 +435,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward as-of: each purchase picks up the user's EARLIEST click at
+    // or after it (inclusive; smallest (ts, event_id) wins ties)
+    "o_asof_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      Relational.asofJoinForward(purchases, clicks, "user_id", "ts",
+        Seq("click_ts", "click_id", "click_value"), Seq("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Range (interval) join: clicks landing inside any [error, error+6h]
     // incident window of the same user — cell-bucketed equi-join, exact
     // BETWEEN semantics, no key×range pair explosion.
@@ -591,6 +605,12 @@ object SparkEntry {
     // interpolation between bracketing observations, no extrapolation.
     "ts_interp" -> ((s, d) =>
       graft.ops.TimeSeries.resampleInterpolate(archiveDim(s, d), 900L)
+        .orderBy("attribute_id", "timestamp")),
+
+    // PI stepped-attribute read semantics: previous value carried forward
+    // onto the grid (LOCF) — bit-exact carries, no arithmetic
+    "ts_step" -> ((s, d) =>
+      graft.ops.TimeSeries.resampleStep(archiveDim(s, d), 900L)
         .orderBy("attribute_id", "timestamp")),
 
     // Gap detection — the probe behind the reference's T2 recovery loop
@@ -1145,6 +1165,16 @@ object SparkEntry {
         "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS cc ON true " +
         "ORDER BY p.event_id"),
 
+    "o_asof_fwd" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.user_id, p.ts, p.event_id, p.value, cc.click_ts, cc.click_id, cc.click_value " +
+        "FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value " +
+        "FROM c WHERE c.user_id = p.user_id AND c.ts >= p.ts " +
+        "ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS cc ON true " +
+        "ORDER BY p.event_id"),
+
     "o_range_join" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
         "i AS (SELECT user_id, ts AS win_start, ts + INTERVAL 6 HOUR AS win_end, " +
@@ -1270,6 +1300,12 @@ object SparkEntry {
     "ts_interp" ->
       (s"WITH $archiveSqlCte SELECT * FROM (" +
         graft.ops.TimeSeries.interpolateSql(
+          "SELECT attribute_id, timestamp, value FROM archive", 900L) +
+        ") ORDER BY attribute_id, timestamp"),
+
+    "ts_step" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        graft.ops.TimeSeries.stepSql(
           "SELECT attribute_id, timestamp, value FROM archive", 900L) +
         ") ORDER BY attribute_id, timestamp"),
 

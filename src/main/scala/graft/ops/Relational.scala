@@ -155,6 +155,38 @@ object Relational {
         payload.map(c => col(s"__pl.$c").as(c)): _*)
   }
 
+  /** Forward as-of join: each left row picks the EARLIEST right row with
+    * `right.ts >= left.ts` (inclusive; smallest (ts, tiebreak) wins) —
+    * the "next reading after the query instant" lookup, the mirror of
+    * [[asofJoin]]. Same union-sort shape: right rows get side 2 so they
+    * sort AFTER a left row at the same timestamp (making the match
+    * inclusive), and one `first` over the following window carries the
+    * next payload back — linear per key partition, no pair join. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payload: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val plType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+    val l = left.select(
+      Seq(col(key), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(plType).as("__pl")) ++
+        leftCols.map(col) ++
+        tiebreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(tsCol), lit(2).as("__side"),
+        struct(payload.map(col): _*).as("__pl")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol) +: col("__side") +: tiebreak.map(c => col(s"__tb_$c")): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__pl", first(col("__pl"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(tsCol)) ++ leftCols.map(col) ++
+        payload.map(c => col(s"__pl.$c").as(c)): _*)
+  }
+
   /** Range (interval) join — match each left row to the right intervals
     * containing its timestamp under the same key: `start <= ts <= end`
     * (inclusive both ends, like SQL BETWEEN). The second time-series

@@ -81,6 +81,65 @@ object TimeSeries {
           .as("value"))
   }
 
+  /** Stepped (previous-value / LOCF) resampling — the PI "stepped
+    * attribute" read semantics (the Web API's other interpolation mode
+    * for discrete tags, where a value holds until the next observation;
+    * reference `src/pi/extraction/ingest.py:236` pulls `interval=1m`
+    * grids whose shape is mode-independent). Same union-sort carry as
+    * [[resampleInterpolate]], but each grid point takes the LAST
+    * observation at-or-before it verbatim — no second bracket, no
+    * arithmetic, so values are bit-exact carries by construction. */
+  def resampleStep(archive: DataFrame, gridSeconds: Long): DataFrame = {
+    val g = gridSeconds * 1000000L
+    val obs = archive.filter(col("value").isNotNull)
+      .select(col("attribute_id"),
+        unix_micros(col("timestamp").cast("timestamp")).as("t"),
+        col("value").cast("double").as("v"))
+      .groupBy(col("attribute_id"), col("t")).agg(min(col("v")).as("v"))
+    val grid = obs.groupBy(col("attribute_id"))
+      .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+      .select(col("attribute_id"),
+        (-floor(-col("t_min") / g) * g).cast("long").as("g_lo"),
+        (floor(col("t_max") / g) * g).cast("long").as("g_hi"))
+      .filter(col("g_lo") <= col("g_hi"))
+      .select(col("attribute_id"), explode(sequence(col("g_lo"), col("g_hi"), lit(g))).as("t"))
+    val unioned = obs.withColumn("side", lit(0))
+      .unionByName(grid.select(col("attribute_id"), col("t"),
+        lit(null).cast("double").as("v"), lit(1).as("side")))
+    val wPrev = Window.partitionBy("attribute_id").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("v0", last(when(col("side") === 0, col("v")), ignoreNulls = true).over(wPrev))
+      .filter(col("side") === 1)
+      .select(col("attribute_id"),
+        timestamp_micros(col("t")).cast("timestamp_ntz").as("timestamp"),
+        col("v0").as("value"))
+  }
+
+  /** DuckDB oracle twin of [[resampleStep]]. */
+  def stepSql(archiveSql: String, gridSeconds: Long): String = {
+    val g = gridSeconds * 1000000L
+    s"""WITH __obs AS (
+       |  SELECT attribute_id, t, min(v) AS v FROM (
+       |    SELECT attribute_id, epoch_us(CAST(timestamp AS TIMESTAMP)) AS t,
+       |           CAST(value AS DOUBLE) AS v
+       |    FROM ($archiveSql) WHERE value IS NOT NULL
+       |  ) GROUP BY attribute_id, t
+       |), __grid AS (
+       |  SELECT attribute_id, CAST(unnest(range(((min_t + $g - 1) // $g) * $g, (max_t // $g) * $g + 1, $g)) AS BIGINT) AS t
+       |  FROM (SELECT attribute_id, min(t) AS min_t, max(t) AS max_t FROM __obs GROUP BY attribute_id)
+       |), __u AS (
+       |  SELECT attribute_id, t, v, 0 AS side FROM __obs
+       |  UNION ALL
+       |  SELECT attribute_id, t, NULL, 1 FROM __grid
+       |)
+       |SELECT attribute_id, make_timestamp(t) AS timestamp,
+       |       last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+       |         OVER (PARTITION BY attribute_id ORDER BY t, side
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       |FROM __u QUALIFY side = 1""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[resampleInterpolate]]: identical grid
     * arithmetic (integer ceil/floor alignment on epoch micros), the same
     * union + IGNORE NULLS window carry, and the same double expression

@@ -149,6 +149,63 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).isNullAt(4)) // NOT 1.0 from rid=100
   }
 
+  test("asofJoinForward attaches the earliest right row at or after each left ts") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(("u1", 4L, 1), ("u1", 9L, 2), ("u2", 7L, 3))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      ("u1", 9L, 100, Option(1.0)),
+      ("u1", 9L, 101, Option(3.0)), // same ts as 100: SMALLER rid wins
+      ("u1", 12L, 102, Option(2.0)))
+      .toDF("k", "ts", "rid", "rv")
+    val out = Relational.asofJoinForward(left, right, "k", "ts",
+      Seq("rid", "rv"), Seq("rid"))
+      .orderBy("lid").collect()
+    // left(ts=4): earliest right at-or-after is ts=9, tie → rid 100
+    assert(out(0).getInt(3) === 100 && out(0).getDouble(4) === 1.0)
+    // left(ts=9): inclusive — right at exactly ts=9 matches
+    assert(out(1).getInt(3) === 100)
+    // u2 has no right rows → NULL payload (left-outer)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
+  test("property: asofJoinForward equals the per-row brute-force reference") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows = for {
+      nL <- Gen.choose(1, 8)
+      nR <- Gen.choose(0, 8)
+      lks <- Gen.listOfN(nL, Gen.oneOf("a", "b"))
+      lts <- Gen.listOfN(nL, Gen.choose(0L, 10L))
+      rks <- Gen.listOfN(nR, Gen.oneOf("a", "b"))
+      rts <- Gen.listOfN(nR, Gen.choose(0L, 10L))
+      rvs <- Gen.listOfN(nR, Gen.option(Gen.choose(0, 9).map(_.toDouble)))
+    } yield (
+      lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (k, t, i) },
+      rks.zip(rts).zipWithIndex.map { case ((k, t), i) => (k, t, 100 + i, rvs(i)) })
+    val prop = Prop.forAll(genRows) { case (ls, rs) =>
+      val got = Relational.asofJoinForward(
+        ls.toDF("k", "ts", "lid"), rs.toDF("k", "ts", "rid", "rv"),
+        "k", "ts", Seq("rid", "rv"), Seq("rid"))
+        .collect().map { r =>
+          r.getInt(2) -> (if (r.isNullAt(3)) None
+            else Some((r.getInt(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        }.toMap
+      val want = ls.map { case (k, t, lid) =>
+        val cand = rs.filter(r => r._1 == k && r._2 >= t)
+        lid -> (if (cand.isEmpty) None else {
+          val best = cand.minBy(r => (r._2, r._3))
+          Some((best._3, best._4))
+        })
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: asofJoin equals the per-row brute-force reference") {
     val sess = spark
     import sess.implicits._

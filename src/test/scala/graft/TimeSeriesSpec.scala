@@ -48,6 +48,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === Seq(0.0, 15.0, 30.0))
   }
 
+  test("resampleStep carries the previous value; exact hits return it verbatim") {
+    val out = TimeSeries.resampleStep(archive(Seq(
+      (1, "2024-01-01 00:00:00", Some(10.0)),
+      (1, "2024-01-01 00:20:00", Some(30.0)),
+      (1, "2024-01-01 00:50:00", Some(50.0)))), 900L)
+      .orderBy("timestamp").collect()
+    // 00:00 exact → 10; 00:15 holds 10; 00:30/00:45 hold the 00:20 value
+    assert(out.map(_.getDouble(2)).toSeq === Seq(10.0, 10.0, 30.0, 30.0))
+    // same grid bounds as the linear resampler: [ceil(min), floor(max)]
+    assert(out.map(_.getAs[java.time.LocalDateTime](1).getMinute).toSeq ===
+      Seq(0, 15, 30, 45))
+    // a null observation is a gap, not a carried value
+    val gap = TimeSeries.resampleStep(archive(Seq(
+      (1, "2024-01-01 00:00:00", Some(1.0)),
+      (1, "2024-01-01 00:14:00", None),
+      (1, "2024-01-01 00:30:00", Some(2.0)))), 900L)
+      .orderBy("timestamp").collect()
+    assert(gap.map(_.getDouble(2)).toSeq === Seq(1.0, 1.0, 2.0))
+  }
+
   test("matches a brute-force per-attribute reference on random series") {
     val rnd = new scala.util.Random(7)
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
