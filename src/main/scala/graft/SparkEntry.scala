@@ -500,6 +500,13 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // class geometry over the embedding corpus: per-label quantized-mean
+    // centroids (bit-reproducible) and their pairwise cosine matrix
+    "s_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroidCosines(
+        Similarity.labelCentroids(Tables.embeddings(s, d), 64), 64)
+        .orderBy("label_a", "label_b")),
+
     // ---- §7.1.8 multimodal -------------------------------------------------
     "m_media_meta" -> ((s, d) =>
       Multimodal.metaQuery(Tables.documents(s, d))
@@ -1210,6 +1217,10 @@ object SparkEntry {
 
     "s_knn_ivf" ->
       Similarity.ivfTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+
+    "s_label_centroids" ->
+      (s"SELECT * FROM (${Similarity.labelCentroidCosinesSql("embeddings", 64)}) " +
+        "ORDER BY label_a, label_b"),
 
     "m_media_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, " +

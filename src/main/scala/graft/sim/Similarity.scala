@@ -336,6 +336,69 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Per-label class centroids with the same bit-reproducible
+    * quantized-integer means as [[ivfCentroids]] — the "class geometry"
+    * report a training pipeline runs over its embedding corpus (drift
+    * detection, label-confusion candidates). ONE map-side-combinable
+    * hash aggregate over the corpus (dim positional long sums); output
+    * is (labels × dim) — catalog-sized. */
+  def labelCentroids(corpus: DataFrame, dim: Int, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col(vecCol), i + 1).cast("double") * CentroidQ)
+        .cast("long")).as(s"__s$i"))
+    corpus.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col(labelCol), col("n"),
+        array((0 until dim).map(i =>
+          col(s"__s$i").cast("double") / (col("n").cast("double") * CentroidQ)): _*)
+        .as("centroid"))
+  }
+
+  /** Pairwise cosine between label centroids (label_a < label_b). The
+    * centroid table is label-count-sized, so the pair matrix is a tiny
+    * computation regardless of corpus size; every dot is the same
+    * index-order fold as the SQL twin, so the doubles match bitwise. */
+  def labelCentroidCosines(centroids: DataFrame, dim: Int,
+      labelCol: String = "label"): DataFrame = {
+    def dotDD(x: String, y: String): Column =
+      aggregate(
+        transform(sequence(lit(1), lit(dim)),
+          i => element_at(col(x), i) * element_at(col(y), i)),
+        lit(0.0), (acc, v) => acc + v)
+    val a = centroids.select(col(labelCol).as("label_a"), col("n").as("n_a"),
+      col("centroid").as("__ca"))
+    val b = centroids.select(col(labelCol).as("label_b"), col("n").as("n_b"),
+      col("centroid").as("__cb"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .withColumn("cos", dotDD("__ca", "__cb") /
+        (sqrt(dotDD("__ca", "__ca")) * sqrt(dotDD("__cb", "__cb"))))
+      .select("label_a", "label_b", "n_a", "n_b", "cos")
+  }
+
+  /** Oracle twin for [[labelCentroids]] → [[labelCentroidCosines]]:
+    * identical quantized sums, means, and index-order dot folds. */
+  def labelCentroidCosinesSql(table: String, dim: Int): String = {
+    val q = CentroidQ
+    def dotDD(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+        s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+    s"""WITH __q AS (
+       |  SELECT label, i, CAST(round(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS qv
+       |  FROM $table CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS i) __i
+       |), __c AS (
+       |  SELECT label, list(c ORDER BY i) AS cl, any_value(n) AS n FROM (
+       |    SELECT label, i, CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $q) AS c,
+       |           count(*) AS n
+       |    FROM __q GROUP BY label, i) GROUP BY label
+       |)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |       ${dotDD("a.cl", "b.cl")} /
+       |         (sqrt(${dotDD("a.cl", "a.cl")}) * sqrt(${dotDD("b.cl", "b.cl")})) AS cos
+       |FROM __c a JOIN __c b ON a.label < b.label""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs within a block key (see
     * [[graft.dedup.Dedup]] scale notes): cosine >= threshold. */
   def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double, dim: Int,

@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.filter(!col("cluster").isin(clusters.toSeq: _*)).isEmpty)
   }
 
+  test("labelCentroids: centroid of identical vectors is the vector; cosines are symmetric-complete") {
+    val sess = spark
+    import sess.implicits._
+    val v1 = Array.fill(64)(0.5f); val v2 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val df = Seq((1L, v1, 0), (2L, v1, 0), (3L, v2, 1), (4L, v2, 2))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(df, 64)
+    val c0 = cents.filter(col("label") === 0).head()
+    assert(c0.getLong(1) === 2)
+    c0.getSeq[Double](2).foreach(x => assert(math.abs(x - 0.5) < 1e-5)) // quantized mean
+    val cos = Similarity.labelCentroidCosines(cents, 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(cos.keySet === Set((0, 1), (0, 2), (1, 2))) // label_a < label_b, complete
+    assert(math.abs(cos((1, 2)) - 1.0) < 1e-9) // identical centroids
+    assert(cos((0, 1)) < 1.0 && cos((0, 1)) > 0.0)
+  }
+
   test("nearDupPairs respects the block column") {
     val pairs = Similarity.nearDupPairs(emb, "label", -2.0, 64) // threshold -2: all in-block pairs
       .select("label", "id_a", "id_b").limit(100).collect()
