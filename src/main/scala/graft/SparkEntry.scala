@@ -861,6 +861,13 @@ object SparkEntry {
         .crossJoin(broadcast(ev.agg(count_distinct(col("user_id")).as("exact"))))
     }),
 
+    // mergeable equi-width-histogram quantile sketch: bounded-error
+    // quantiles with a bins-integer shuffle instead of a full sort
+    "k_quantile_hist" -> ((s, d) =>
+      graft.sketch.Sketches.histogramQuantiles(
+        Tables.orders(s, d), "o_totalprice", 64, Seq(0.5, 0.9, 0.99))
+        .orderBy("q")),
+
     // grouped HLL — the streaming-dashboard shape (distinct users per
     // (hour, event_type)) as its deterministic batch twin: registers are
     // per-group integer maxima, so even grouped estimates are cell-exact
@@ -1429,6 +1436,10 @@ object SparkEntry {
       s"SELECT e.estimate, x.exact FROM (${graft.sketch.Sketches.hllEstimateSql(regs, 64)}) e " +
         "CROSS JOIN (SELECT count(DISTINCT user_id) AS exact FROM events) x"
     },
+
+    "k_quantile_hist" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.histogramQuantilesSql(
+        "orders", "o_totalprice", 64, Seq(0.5, 0.9, 0.99))}) ORDER BY q"),
 
     "k_hll_window" -> {
       val hashed = "SELECT date_trunc('hour', ts) AS hour, event_type, " +

@@ -231,4 +231,72 @@ object Sketches {
     s"SELECT $g, CAST($alpha AS DOUBLE) * $m * $m / (sum(pow(2.0, -register)) + ($m - count(*))) AS estimate " +
       s"FROM ($registersSql) GROUP BY $g"
   }
+
+  /** Approximate quantiles from an equi-width histogram — the mergeable
+    * quantile sketch (bin counts add across partitions/partial sketches,
+    * exactly like CMS counters; error is bounded by one bin width).
+    * Two passes: a (min, max, n) aggregate fixes the bin boundaries,
+    * then one map-side-combinable count per bin; the quantile walk runs
+    * on the BINS-row cumulative table, never the data. Exact `percentile`
+    * needs a full sort of every group — this reads the data twice
+    * sequentially and shuffles only `bins` integers, the standard
+    * 100 TB quantile trade. Deterministic (integer counts + fixed-order
+    * double arithmetic) → cell-exact oracle like the other sketches.
+    * Returns (q, estimate) per requested quantile, linearly interpolated
+    * inside the covering bin. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(bins > 0 && qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val v = col(valueCol).cast("double")
+    val mm = broadcast(df.agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")))
+    val width = (col("hi") - col("lo")) / bins
+    val counts = df.select(v.as("__v")).crossJoin(mm)
+      .select(when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(floor((col("__v") - col("lo")) / width).cast("int"),
+          lit(bins - 1))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val r = col("q") * col("n").cast("double")
+    counts.withColumn("cum", sum(col("c")).over(w)) // bins rows: tiny window
+      .crossJoin(mm)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      // the covering bin: first whose cumulative count reaches rank q*n
+      .filter(col("cum").cast("double") >= r &&
+        (col("cum") - col("c")).cast("double") < r)
+      .select(col("q"),
+        (col("lo") + col("bin").cast("double") * width +
+          ((r - (col("cum") - col("c")).cast("double")) / col("c").cast("double")) * width)
+          .as("estimate"))
+  }
+
+  /** Oracle twin for [[histogramQuantiles]]: same binning, same
+    * cumulative walk, same interpolation expression order. Quantile
+    * literals are CAST AS DOUBLE (DuckDB types bare float literals
+    * DECIMAL); the window cum is cast back to BIGINT (DuckDB sums
+    * BIGINT into HUGEINT). */
+  def histogramQuantilesSql(table: String, valueCol: String, bins: Int,
+      qs: Seq[Double]): String = {
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    val width = s"((hi - lo) / $bins)"
+    s"""WITH __mm AS (
+       |  SELECT min(CAST($valueCol AS DOUBLE)) AS lo, max(CAST($valueCol AS DOUBLE)) AS hi,
+       |         count($valueCol) AS n FROM $table
+       |), __b AS (
+       |  SELECT CASE WHEN hi = lo THEN 0
+       |         ELSE least(CAST(floor((CAST($valueCol AS DOUBLE) - lo) / $width) AS INTEGER), ${bins - 1})
+       |         END AS bin
+       |  FROM $table CROSS JOIN __mm
+       |), __c AS (
+       |  SELECT bin, count(*) AS c FROM __b GROUP BY bin
+       |), __cum AS (
+       |  SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM __c
+       |), __q AS (SELECT unnest([$qList]) AS q)
+       |SELECT q, lo + CAST(bin AS DOUBLE) * $width +
+       |       ((q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) * $width AS estimate
+       |FROM __cum CROSS JOIN __mm CROSS JOIN __q
+       |WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+       |  AND CAST(cum - c AS DOUBLE) < q * CAST(n AS DOUBLE)""".stripMargin
+  }
 }

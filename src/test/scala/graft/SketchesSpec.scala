@@ -82,4 +82,27 @@ class SketchesSpec extends SparkSpec {
     // standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
     assert(math.abs(est - 2000) / 2000 < 0.4, s"estimate $est vs 2000")
   }
+
+  test("histogram quantiles are within one bin width of the exact quantile") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 1000.0)
+    val df = vals.toDF("v")
+    val bins = 64
+    val got = Sketches.histogramQuantiles(df, "v", bins, Seq(0.1, 0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val binWidth = (vals.max - vals.min) / bins
+    val sorted = vals.sorted
+    for ((q, est) <- got) {
+      val exact = sorted(math.min(sorted.size - 1, math.ceil(q * sorted.size).toInt
+        - (if (q > 0) 1 else 0)))
+      assert(math.abs(est - exact) <= binWidth + 1e-9,
+        s"q=$q est=$est exact=$exact binWidth=$binWidth")
+    }
+    // degenerate input: constant column estimates the constant at every q
+    val const = Seq.fill(10)(42.0).toDF("v")
+    Sketches.histogramQuantiles(const, "v", bins, Seq(0.0, 0.5, 1.0))
+      .collect().foreach(r => assert(r.getDouble(1) === 42.0))
+  }
 }
