@@ -117,6 +117,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of and stepped resampling keep the union-sort shape (no pair join)") {
+    for (q <- Seq("o_asof_fwd", "ts_step")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a pair join:\n$p")
+      assert(p.contains("Window"), s"$q lost its window carry:\n$p")
+    }
+  }
+
+  test("label centroids are ONE hash aggregate over the corpus — no explode, no pair scan") {
+    val p = plan("s_label_centroids")
+    // the corpus-sized stage must be positional sums, never a dim-times
+    // row explosion; the pair matrix afterwards is centroid-table-sized
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(!p.toLowerCase.contains("generate"), // Spark's explode operator
+      s"centroid aggregation explodes the corpus:\n$p")
+  }
+
+  test("histogram quantile sketch shuffles bin counts, not data (partial aggregation)") {
+    val p = plan("k_quantile_hist")
+    // the (lo, hi, n) scalar attaches to the data via a 1-row broadcast
+    // nested loop — constant-size build side, legitimate; what must hold
+    // is map-side partial aggregation of the bin counts and a scan
+    // pruned to the value column
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bin counts not partially aggregated:\n$p")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"quantile scan reads more than the value column:\n$p")
+  }
+
   test("pipe_corpus_clean evaluates its text predicate AFTER the fan-out, not on the raw scan") {
     val p = plan("pipe_corpus_clean")
     // the staged langid/quality predicate re-inlined below the fan-out
