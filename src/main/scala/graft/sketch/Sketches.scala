@@ -258,7 +258,10 @@ object Sketches {
     val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val r = col("q") * col("n").cast("double")
+    // 1-based rank, floored at 1: q = 0 means "the minimum" (rank 1) —
+    // a plain q*n rank of 0 satisfies no bin's (cum_before < r) and the
+    // quantile would silently vanish from the output
+    val r = greatest(col("q") * col("n").cast("double"), lit(1.0))
     counts.withColumn("cum", sum(col("c")).over(w)) // bins rows: tiny window
       .crossJoin(mm)
       .withColumn("q", explode(array(qs.map(lit): _*)))
@@ -294,9 +297,9 @@ object Sketches {
        |  SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM __c
        |), __q AS (SELECT unnest([$qList]) AS q)
        |SELECT q, lo + CAST(bin AS DOUBLE) * $width +
-       |       ((q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) * $width AS estimate
+       |       ((greatest(q * CAST(n AS DOUBLE), CAST(1 AS DOUBLE)) - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) * $width AS estimate
        |FROM __cum CROSS JOIN __mm CROSS JOIN __q
-       |WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
-       |  AND CAST(cum - c AS DOUBLE) < q * CAST(n AS DOUBLE)""".stripMargin
+       |WHERE CAST(cum AS DOUBLE) >= greatest(q * CAST(n AS DOUBLE), CAST(1 AS DOUBLE))
+       |  AND CAST(cum - c AS DOUBLE) < greatest(q * CAST(n AS DOUBLE), CAST(1 AS DOUBLE))""".stripMargin
   }
 }

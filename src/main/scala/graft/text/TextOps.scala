@@ -21,9 +21,17 @@ object TextOps {
   val TokenMul = 1000003L
 
   /** Whitespace tokenization of trimmed text (pandas-free analog of the
-    * reference's string handling; the pipeline-standard tokenizer). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
-  def tokensSql(text: String): String = s"regexp_split_to_array(trim($text), '\\s+')"
+    * reference's string handling; the pipeline-standard tokenizer).
+    * The empty-token filter closes the split("") == [""] quirk: without
+    * it an empty/whitespace-only document carries one phantom ""
+    * token — it counts 1 token, and two blank documents score
+    * jaccard 1.0 through a token that doesn't exist. Non-empty trimmed
+    * text never produces "" from a \\s+ split, so only the degenerate
+    * case changes (both engines, identically). */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
+  def tokensSql(text: String): String =
+    s"list_filter(regexp_split_to_array(trim($text), '\\s+'), __t -> __t <> '')"
 
   /** A BPE-ish lexer: letter runs | single digits | single punct marks.
     * Counting these approximates subword token counts without a vocab. */
@@ -69,7 +77,14 @@ object TextOps {
 
   /** Length / punctuation / stopword-ratio quality features + a composite
     * score. Ratios are double divisions of exact ints → bit-identical
-    * across engines. */
+    * across engines. A degenerate document (0 tokens / 0 chars) gets
+    * NULL ratios — ANSI mode otherwise THROWS on the zero divisor, and
+    * one blank row must never kill a corpus-wide job; NULL is visible
+    * and filterable downstream (quality gates drop it). */
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("double"))
+      .otherwise(num.cast("double") / den.cast("double"))
+
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nTok = size(toks)
@@ -79,9 +94,9 @@ object TextOps {
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTok,
-      "stop_ratio" -> nStop.cast("double") / nTok.cast("double"),
-      "punct_ratio" -> nPunct.cast("double") / nChars.cast("double"),
-      "mean_tok_len" -> nChars.cast("double") / nTok.cast("double"))
+      "stop_ratio" -> safeRatio(nStop, nTok),
+      "punct_ratio" -> safeRatio(nPunct, nChars),
+      "mean_tok_len" -> safeRatio(nChars, nTok))
   }
 
   /** Heuristic quality score in [0,1]-ish: rewards stopword presence and
@@ -97,17 +112,16 @@ object TextOps {
     * stop_ratio, punct_ratio, mean_tok_len, score. */
   def withQualityFeatures(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val d = (c: Column) => c.cast("double")
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_chars", length(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
-      .withColumn("stop_ratio",
-        d(size(filter(col("__toks"), t => array_contains(lit(Stopwords.toArray), t)))) /
-          d(col("n_tokens")))
-      .withColumn("punct_ratio",
-        d(size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))) /
-          d(col("n_chars")))
-      .withColumn("mean_tok_len", d(col("n_chars")) / d(col("n_tokens")))
+      .withColumn("stop_ratio", safeRatio(
+        size(filter(col("__toks"), t => array_contains(lit(Stopwords.toArray), t))),
+        col("n_tokens")))
+      .withColumn("punct_ratio", safeRatio(
+        size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0))),
+        col("n_chars")))
+      .withColumn("mean_tok_len", safeRatio(col("n_chars"), col("n_tokens")))
       .withColumn("score",
         col("stop_ratio") * lit(2.0) + col("mean_tok_len") / lit(10.0) -
           col("punct_ratio") * lit(5.0))
@@ -120,9 +134,12 @@ object TextOps {
     Map(
       "n_chars" -> s"CAST(length($text) AS INTEGER)",
       "n_tokens" -> s"CAST(len($toks) AS INTEGER)",
-      "stop_ratio" -> s"CAST(len(list_filter($toks, t -> list_contains($inList, t))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)",
-      "punct_ratio" -> s"CAST(len(regexp_extract_all($text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length($text) AS DOUBLE)",
-      "mean_tok_len" -> s"CAST(length($text) AS DOUBLE) / CAST(len($toks) AS DOUBLE)")
+      "stop_ratio" -> (s"CASE WHEN len($toks) = 0 THEN NULL ELSE " +
+        s"CAST(len(list_filter($toks, t -> list_contains($inList, t))) AS DOUBLE) / CAST(len($toks) AS DOUBLE) END"),
+      "punct_ratio" -> (s"CASE WHEN length($text) = 0 THEN NULL ELSE " +
+        s"CAST(len(regexp_extract_all($text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length($text) AS DOUBLE) END"),
+      "mean_tok_len" -> (s"CASE WHEN len($toks) = 0 THEN NULL ELSE " +
+        s"CAST(length($text) AS DOUBLE) / CAST(len($toks) AS DOUBLE) END"))
   }
 
   def qualityScoreSql(text: String): String = {

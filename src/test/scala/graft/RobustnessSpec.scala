@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.{Relational, TimeSeries}
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Degenerate-input hardening: every operator family fed NULL text,
+  * empty strings, empty frames, and single-element groups. The
+  * contract is "malformed rows degrade to empty/absent output" — one
+  * bad row must never fail a 100 TB job (the same class of hazard as
+  * the inverted-interval rangeJoin guard).
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("text ops: NULL propagates (SQL semantics), empty text counts zero — never a failure") {
+    val df = docs((1L, null), (2L, ""), (3L, "   "), (4L, "real tokens here"))
+    // contract: NULL text → NULL metric (visible, filterable downstream);
+    // empty/whitespace text → 0; and nothing throws
+    val rows = df.select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(rows(1L) === None)
+    assert(rows(2L) === Some(0) && rows(3L) === Some(0))
+    assert(rows(4L) === Some(3))
+    // langId and quality survive the same degenerate rows
+    assert(df.select(TextOps.langId(col("text"))).count() === 4)
+    assert(df.select(TextOps.qualityScore(col("text"))).count() === 4)
+  }
+
+  test("dedup ops: NULL/empty docs vanish from pair generation instead of failing") {
+    val df = docs((1L, null), (2L, ""), (3L, "alpha beta gamma"), (4L, "alpha beta gamma"))
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", Nil, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac === Set((3L, 4L)))
+    val pref = Dedup.jaccardPairs(df, "doc_id", "text", Nil, 0.5, prefixFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref === Set((3L, 4L)))
+    val sim = Dedup.simhashPairs(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim === Set((3L, 4L)))
+    val lsh = Dedup.minhashLshCandidates(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === Set((3L, 4L)))
+    // contamination: an eval set with no shingles emits no rows
+    assert(Dedup.contamination(df, docs((9L, null), (10L, "")), "doc_id", "text", 2)
+      .isEmpty)
+  }
+
+  test("clusters on an empty pair list label every node with itself (both engines)") {
+    val sess = spark
+    import sess.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    for (f <- Seq(
+        Dedup.clusters(nodes, noPairs, "doc_id"),
+        Dedup.clustersStar(nodes, noPairs, "doc_id"))) {
+      assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    }
+  }
+
+  test("time series: all-NULL series and single observations degrade to empty/zero grids") {
+    val sess = spark
+    import sess.implicits._
+    def arch(rows: (Int, String, Option[Double])*) =
+      rows.toSeq.toDF("attribute_id", "ts_s", "value")
+        .select(col("attribute_id"), col("ts_s").cast("timestamp").as("timestamp"),
+          col("value").cast("double"))
+    // every value NULL → no observations → no grid rows, no failure
+    assert(TimeSeries.resampleInterpolate(
+      arch((1, "2024-01-01 00:00:00", None), (1, "2024-01-01 01:00:00", None)), 900L).isEmpty)
+    assert(TimeSeries.resampleStep(
+      arch((1, "2024-01-01 00:00:00", None)), 900L).isEmpty)
+    // a single grid-aligned observation is its own 1-point grid
+    val one = TimeSeries.resampleInterpolate(
+      arch((1, "2024-01-01 01:00:00", Some(5.0))), 900L).collect()
+    assert(one.length === 1 && one(0).getDouble(2) === 5.0)
+  }
+
+  test("as-of joins: empty right side yields all-NULL payloads, empty left yields nothing") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(("u1", 5L, 1)).toDF("k", "ts", "lid")
+    val right = Seq.empty[(String, Long, Int)].toDF("k", "ts", "rid")
+    for (f <- Seq(
+        Relational.asofJoin(left, right, "k", "ts", Seq("rid"), Seq("rid")),
+        Relational.asofJoinForward(left, right, "k", "ts", Seq("rid"), Seq("rid")))) {
+      val out = f.collect()
+      assert(out.length === 1 && out(0).isNullAt(3))
+    }
+    val noLeft = Seq.empty[(String, Long, Int)].toDF("k", "ts", "lid")
+    val someRight = Seq(("u1", 5L, 100)).toDF("k", "ts", "rid")
+    assert(Relational.asofJoin(noLeft, someRight, "k", "ts", Seq("rid"), Seq("rid")).isEmpty)
+    assert(Relational.asofJoinForward(noLeft, someRight, "k", "ts", Seq("rid"), Seq("rid")).isEmpty)
+  }
+
+  test("similarity: empty corpus and empty query set are empty results, not errors") {
+    val sess = spark
+    import sess.implicits._
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    val someEmb = Seq((1L, Array.fill(4)(1.0f), 0), (2L, Array.fill(4)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.bruteForceTopK(someEmb, emptyEmb, 3, 4).isEmpty)
+    assert(Similarity.bruteForceTopK(emptyEmb, someEmb, 3, 4).isEmpty)
+    assert(Similarity.labelCentroidCosines(
+      Similarity.labelCentroids(emptyEmb, 4), 4).isEmpty)
+  }
+
+  test("histogram quantiles: empty input yields no rows; single value estimates itself") {
+    val sess = spark
+    import sess.implicits._
+    import graft.sketch.Sketches
+    assert(Sketches.histogramQuantiles(
+      Seq.empty[Double].toDF("v"), "v", 16, Seq(0.5)).isEmpty)
+    val one = Sketches.histogramQuantiles(Seq(7.5).toDF("v"), "v", 16, Seq(0.0, 0.5, 1.0))
+      .collect()
+    assert(one.length === 3 && one.forall(_.getDouble(1) === 7.5))
+  }
+}
