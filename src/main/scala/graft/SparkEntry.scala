@@ -112,6 +112,13 @@ object SparkEntry {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
 
+    // typo-tolerant catalog lookup: nearest names by case-insensitive
+    // edit distance — the misremembered-tag search ILIKE can't express
+    "p_fuzzy_lookup" -> ((s, d) =>
+      Relational.fuzzyLookup(Tables.part(s, d), "p_name", "red widgt", 4)
+        .select("p_partkey", "p_name", "dist")
+        .orderBy("dist", "p_name", "p_partkey")),
+
     "p6_leaves_reference" -> ((s, d) =>
       Hierarchy.leavesReferenceSemantics(elementDim(s, d))
         .select("element_id", "name", "level")
@@ -918,6 +925,11 @@ object SparkEntry {
 
     "p5_ilike" ->
       "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE lower('%GEAR%') ORDER BY p_partkey",
+
+    "p_fuzzy_lookup" ->
+      ("SELECT p_partkey, p_name, CAST(levenshtein(lower(p_name), 'red widgt') AS INTEGER) AS dist " +
+        "FROM part WHERE levenshtein(lower(p_name), 'red widgt') <= 4 " +
+        "ORDER BY dist, p_name, p_partkey"),
 
     "p6_leaves_reference" ->
       (s"WITH $elementSqlCte " +

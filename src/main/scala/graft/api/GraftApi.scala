@@ -107,6 +107,19 @@ final class GraftApi(spark: SparkSession, root: String) {
     else df.filter(col(nameCol) === name)
   }
 
+  /** Typo-tolerant variant of [[lookup]]: catalog entries within
+    * `maxDist` case-insensitive edit distance of the query, nearest
+    * first — the search behavior a misremembered tag needs, which the
+    * exact/ILIKE grammar can't express. */
+  def fuzzyLookup(db: String, kind: String, name: String, maxDist: Int = 2): DataFrame = {
+    val (df, nameCol) = kind match {
+      case "element" => (catalog(db).elements, "name")
+      case "attribute" => (allAttributes(db), "name")
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+    Relational.fuzzyLookup(df, nameCol, name, maxDist)
+  }
+
   // POST /api/element/insert, /api/attribute/insert, deletes, update
   // (web_app.py:260-313, 335-420) — thin passthroughs to the catalog DML
   def insertElement(db: String, name: String, level: Int, parentId: Option[Int]): Int =

@@ -155,6 +155,21 @@ object Relational {
         payload.map(c => col(s"__pl.$c").as(c)): _*)
   }
 
+  /** Typo-tolerant lookup: rows whose `nameCol` is within `maxDist`
+    * case-insensitive edit distance of the query, nearest first (ties by
+    * name). Complements the exact/ILIKE lookups — the catalog-search
+    * behavior users expect when a sensor tag is misremembered by a
+    * character. `levenshtein`'s codegen'd and capped in Spark via the
+    * threshold overload, so the scan stays a linear projection + filter;
+    * at catalog size this is trivially cheap, and even on a large
+    * dimension it's scan-shaped (no join). */
+  def fuzzyLookup(df: DataFrame, nameCol: String, query: String,
+      maxDist: Int): DataFrame =
+    df.withColumn("__dist", levenshtein(lower(col(nameCol)), lit(query.toLowerCase)))
+      .filter(col("__dist") <= maxDist)
+      .withColumnRenamed("__dist", "dist")
+      .orderBy(col("dist"), col(nameCol))
+
   /** Forward as-of join: each left row picks the EARLIEST right row with
     * `right.ts >= left.ts` (inclusive; smallest (ts, tiebreak) wins) —
     * the "next reading after the query instant" lookup, the mirror of
