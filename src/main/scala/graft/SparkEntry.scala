@@ -627,6 +627,12 @@ object SparkEntry {
       graft.ops.TimeSeries.resampleStep(archiveDim(s, d), 900L)
         .orderBy("attribute_id", "timestamp")),
 
+    // PI summaries-API time-weighted average: hold-duration weighting
+    // with quantized-long accumulation (order-free, oracle-exact)
+    "ts_twa" -> ((s, d) =>
+      graft.ops.TimeSeries.timeWeightedAvg(archiveDim(s, d))
+        .orderBy("attribute_id")),
+
     // Gap detection — the probe behind the reference's T2 recovery loop
     // (ingest.py:256-269 re-pulls hourly chunks after a density failure):
     // consecutive points per attribute further apart than the threshold
@@ -1338,6 +1344,12 @@ object SparkEntry {
         graft.ops.TimeSeries.stepSql(
           "SELECT attribute_id, timestamp, value FROM archive", 900L) +
         ") ORDER BY attribute_id, timestamp"),
+
+    "ts_twa" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        graft.ops.TimeSeries.timeWeightedAvgSql(
+          "SELECT attribute_id, timestamp, value FROM archive") +
+        ") ORDER BY attribute_id"),
 
     "ts_gaps" ->
       (s"WITH $archiveSqlCte, __pts AS (SELECT DISTINCT attribute_id, timestamp FROM archive), " +

@@ -81,6 +81,60 @@ object TimeSeries {
           .as("value"))
   }
 
+  /** Time-weighted average per attribute — the PI summaries-API
+    * semantic (a value holds until the next observation, so sparse slow
+    * signals aren't drowned by dense fast ones the way a plain AVG
+    * drowns them). Weight = hold duration in seconds over the observed
+    * span [min_t, max_t] (the last point holds nothing); step
+    * semantics, matching [[resampleStep]].
+    *
+    * Exactness: `sum(v * dur)` in doubles is summation-order-dependent —
+    * not oracle-comparable — so the value is quantized once
+    * (`round(v·2^20)` as long), the weighted sum accumulates as exact
+    * long products (order-free), and ONE double division at the end is
+    * correctly rounded in both engines. Magnitudes: |qv| < 2^31,
+    * dur_s < 2^22 (a 48-day hold) → each product < 2^53, so ~2^10 rows
+    * per attribute of headroom even at extreme density; far inside
+    * int64 for any real series. One window + one aggregate, all
+    * map-side-combinable after the shuffle on the key. */
+  def timeWeightedAvg(archive: DataFrame): DataFrame = {
+    val obs = archive.filter(col("value").isNotNull)
+      .select(col("attribute_id"),
+        (unix_micros(col("timestamp").cast("timestamp")) / 1000000L).cast("long").as("t"),
+        col("value").cast("double").as("v"))
+      .groupBy(col("attribute_id"), col("t")).agg(min(col("v")).as("v"))
+    val w = Window.partitionBy("attribute_id").orderBy("t")
+    obs
+      .withColumn("__dur", coalesce(lead(col("t"), 1).over(w) - col("t"), lit(0L)))
+      .groupBy(col("attribute_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(round(col("v") * 1048576.0).cast("long") * col("__dur")).as("__qs"),
+        sum(col("__dur")).as("__ds"))
+      .filter(col("__ds") > 0) // single-point series have no held span
+      .select(col("attribute_id"), col("n_points"),
+        (col("__qs").cast("double") / (col("__ds").cast("double") * 1048576.0)).as("twa"))
+  }
+
+  /** DuckDB oracle twin of [[timeWeightedAvg]]: identical quantization,
+    * identical long arithmetic, one identical final division. */
+  def timeWeightedAvgSql(archiveSql: String): String =
+    s"""WITH __obs AS (
+       |  SELECT attribute_id, t, min(v) AS v FROM (
+       |    SELECT attribute_id, epoch_us(CAST(timestamp AS TIMESTAMP)) // 1000000 AS t,
+       |           CAST(value AS DOUBLE) AS v
+       |    FROM ($archiveSql) WHERE value IS NOT NULL
+       |  ) GROUP BY attribute_id, t
+       |), __d AS (
+       |  SELECT attribute_id, v,
+       |         coalesce(lead(t) OVER (PARTITION BY attribute_id ORDER BY t) - t, 0) AS dur
+       |  FROM __obs
+       |)
+       |SELECT attribute_id, count(*) AS n_points,
+       |       CAST(CAST(sum(CAST(round(v * 1048576.0) AS BIGINT) * dur) AS BIGINT) AS DOUBLE) /
+       |         (CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) * 1048576.0) AS twa
+       |FROM __d GROUP BY attribute_id
+       |HAVING CAST(sum(dur) AS BIGINT) > 0""".stripMargin
+
   /** Stepped (previous-value / LOCF) resampling — the PI "stepped
     * attribute" read semantics (the Web API's other interpolation mode
     * for discrete tags, where a value holds until the next observation;

@@ -68,6 +68,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(gap.map(_.getDouble(2)).toSeq === Seq(1.0, 1.0, 2.0))
   }
 
+  test("timeWeightedAvg weights by hold duration, not sample count") {
+    // value 10 holds 00:00→00:10 (600s), value 0 holds 00:10→01:00
+    // (3000s): plain AVG of the 3 samples = (10+0+7)/3; TWA must be
+    // (10*600 + 0*3000) / 3600 = 5/3. The last point holds nothing.
+    val out = TimeSeries.timeWeightedAvg(archive(Seq(
+      (1, "2024-01-01 00:00:00", Some(10.0)),
+      (1, "2024-01-01 00:10:00", Some(0.0)),
+      (1, "2024-01-01 01:00:00", Some(7.0)),
+      (2, "2024-01-01 00:00:00", Some(99.0))))) // single point: no span
+      .collect()
+    assert(out.length === 1 && out(0).getInt(0) === 1)
+    assert(out(0).getLong(1) === 3)
+    assert(math.abs(out(0).getDouble(2) - 5.0 / 3.0) < 1e-6)
+  }
+
   test("matches a brute-force per-attribute reference on random series") {
     val rnd = new scala.util.Random(7)
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
