@@ -44,13 +44,18 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
-    val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factorS.toInt)
+    println(s"""{"scalegen":"done","out":"$out","factor":$factorS}""")
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def write(df: DataFrame, name: String): Unit =
       df.drop("__rep").write.mode("overwrite").parquet(s"$out/$name.parquet")
 
@@ -79,8 +84,5 @@ object ScaleGen {
       .agg(max(col("label"))).head().getInt(0) + 1
     write(emb.withColumn("label",
       (col("label") + col("__rep") * labelSpan).cast("int")), "embeddings")
-
-    println(s"""{"scalegen":"done","out":"$out","factor":$factor}""")
-    spark.stop()
   }
 }

@@ -107,6 +107,28 @@ object DerivedStream {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("attribute_id"), col("n"))
 
+  /** Watermarked stream-STREAM correlation: pair readings from two live
+    * streams on the same key whose event times lie within `maxLagSeconds`
+    * of each other — "which command preceded this sensor spike", the
+    * two-source question stream-static joins can't answer. Both sides
+    * carry watermarks AND the join predicate bounds event-time distance,
+    * which is exactly what lets Spark evict join state once the
+    * watermark passes (unbounded state otherwise — the stream-stream
+    * join trap). Inner join, append semantics; output columns:
+    * key, timestamp, value, r_timestamp, r_value. */
+  def correlateStreams(left: DataFrame, right: DataFrame, key: String,
+      maxLagSeconds: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("timestamp", watermarkDelay)
+    val r = right.select(col(key).as("__rk"),
+        col("timestamp").as("r_timestamp"), col("value").as("r_value"))
+      .withWatermark("r_timestamp", watermarkDelay)
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_timestamp") >= col("timestamp") - expr(s"INTERVAL $maxLagSeconds SECONDS") &&
+        col("r_timestamp") <= col("timestamp") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .drop("__rk")
+  }
+
   /** Approximate-distinct rollup: per-(window, attribute) HyperLogLog
     * registers maintained under a watermark — the streaming face of
     * [[graft.sketch.Sketches.hllRegistersBy]] (registers are integer

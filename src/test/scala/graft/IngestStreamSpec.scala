@@ -206,6 +206,35 @@ class IngestStreamSpec extends SparkSpec {
     assert(starts.toSeq === Seq("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0"))
   }
 
+  test("correlateStreams: stream-stream join pairs readings within the lag bound only") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val memL = MemoryStream[(Int, Timestamp, Double)]
+    val memR = MemoryStream[(Int, Timestamp, Double)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    memL.addData(
+      (1, ts("2024-01-01 00:10:00"), 1.0),
+      (2, ts("2024-01-01 00:10:00"), 2.0))
+    memR.addData(
+      (1, ts("2024-01-01 00:12:00"), 10.0), // +2m: within 5m lag
+      (1, ts("2024-01-01 00:30:00"), 20.0), // +20m: outside
+      (2, ts("2024-01-01 00:06:00"), 30.0), // -4m: within
+      (3, ts("2024-01-01 00:10:00"), 40.0)) // different key
+    val q = graft.streaming.DerivedStream.correlateStreams(
+      memL.toDF.toDF("attribute_id", "timestamp", "value"),
+      memR.toDF.toDF("attribute_id", "timestamp", "value"),
+      "attribute_id", maxLagSeconds = 300)
+      .writeStream.format("memory").queryName("corr").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("corr")
+      .select("attribute_id", "value", "r_value")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(rows === Set((1, 1.0, 10.0), (2, 2.0, 30.0)))
+  }
+
   test("hllRollup: streaming per-window registers equal the batch sketch bit-exactly") {
     val sess = spark
     import sess.implicits._
