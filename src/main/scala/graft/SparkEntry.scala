@@ -561,6 +561,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // Exact-N stratified sample: the first 50 docs per source under the
+    // deterministic hash order (not a rate — a COUNT guarantee per
+    // stratum; resharding-stable, auditable, no RNG). WindowGroupLimit
+    // keeps only the per-stratum top rows on the map side at scale.
+    "pipe_stratified" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("doc_id").cast("string").as("__id_s"))
+        .withColumn("__h", TextOps.tokenHash("__id_s"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    }),
+
     // Corpus reporting rollup: per-(source, lang), per-source subtotal,
     // and grand total in ONE aggregation pass (partial aggregates expand
     // to the grouping sets map-side — not three scans unioned).
@@ -1295,6 +1312,12 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "pipe_stratified" ->
+      (s"SELECT doc_id, source, rk FROM (" +
+        s"SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+        s"ORDER BY ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS INTEGER) AS rk " +
+        "FROM documents) WHERE rk <= 50 ORDER BY source, rk"),
 
     "v3_unpivot" -> {
       val wideCte =

@@ -77,7 +77,7 @@ class PlanAuditSpec extends SparkSpec {
   test("keyed keep-first dedups use WindowGroupLimit (rank pushed into the shuffle)") {
     // Spark 4's WindowGroupLimit keeps only the per-key top row on the
     // map side — without it every duplicate crosses the wire
-    for (q <- Seq("d_exact", "a7_dedup_first")) {
+    for (q <- Seq("d_exact", "a7_dedup_first", "pipe_stratified")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q shuffles all duplicates:\n$p")
     }
