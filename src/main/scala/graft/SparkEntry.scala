@@ -898,6 +898,14 @@ object SparkEntry {
         Tables.orders(s, d), "o_totalprice", 64, Seq(0.5, 0.9, 0.99))
         .orderBy("q")),
 
+    // the grouped form: per-day value percentiles over the event stream —
+    // per-group boundaries, same bounded-error walk
+    "k_quantile_daily" -> ((s, d) =>
+      graft.sketch.Sketches.histogramQuantilesBy(
+        Tables.events(s, d).select(to_date(col("ts")).as("day"), col("value")),
+        "value", Seq("day"), 32, Seq(0.5, 0.95))
+        .orderBy("day", "q")),
+
     // grouped HLL — the streaming-dashboard shape (distinct users per
     // (hour, event_type)) as its deterministic batch twin: registers are
     // per-group integer maxima, so even grouped estimates are cell-exact
@@ -1487,6 +1495,11 @@ object SparkEntry {
     "k_quantile_hist" ->
       (s"SELECT * FROM (${graft.sketch.Sketches.histogramQuantilesSql(
         "orders", "o_totalprice", 64, Seq(0.5, 0.9, 0.99))}) ORDER BY q"),
+
+    "k_quantile_daily" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.histogramQuantilesBySql(
+        "(SELECT CAST(ts AS DATE) AS day, value FROM events)",
+        "value", Seq("day"), 32, Seq(0.5, 0.95))}) ORDER BY day, q"),
 
     "k_hll_window" -> {
       val hashed = "SELECT date_trunc('hour', ts) AS hour, event_type, " +

@@ -274,6 +274,71 @@ object Sketches {
           .as("estimate"))
   }
 
+  /** Grouped [[histogramQuantiles]] — per-group bin boundaries and per-
+    * group quantile walks (daily/monthly latency percentiles, the
+    * monitoring shape). The per-group (lo, hi, n) table is groups-sized
+    * (broadcastable by Catalyst); bin counts stay one map-side-
+    * combinable aggregate; the cumulative walk partitions by group over
+    * the (groups × bins)-row table. */
+  def histogramQuantilesBy(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins > 0 && qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val v = col(valueCol).cast("double")
+    val mm = df.groupBy(groupCols.map(col): _*)
+      .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n"))
+    val width = (col("hi") - col("lo")) / bins
+    val counts = df.select(groupCols.map(col) :+ v.as("__v"): _*)
+      .join(mm, groupCols)
+      .select(groupCols.map(col) :+
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("__v") - col("lo")) / width).cast("int"),
+            lit(bins - 1))).as("bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val r = greatest(col("q") * col("n").cast("double"), lit(1.0))
+    counts.withColumn("cum", sum(col("c")).over(w))
+      .join(mm, groupCols)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum").cast("double") >= r &&
+        (col("cum") - col("c")).cast("double") < r)
+      .select(groupCols.map(col) :+ col("q") :+
+        ((col("lo") + col("bin").cast("double") * width +
+          ((r - (col("cum") - col("c")).cast("double")) / col("c").cast("double")) * width)
+          .as("estimate")): _*)
+  }
+
+  /** Oracle twin for [[histogramQuantilesBy]]. */
+  def histogramQuantilesBySql(table: String, valueCol: String,
+      groupCols: Seq[String], bins: Int, qs: Seq[Double]): String = {
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    val g = groupCols.mkString(", ")
+    val width = s"((hi - lo) / $bins)"
+    val rank = "greatest(q * CAST(n AS DOUBLE), CAST(1 AS DOUBLE))"
+    s"""WITH __mm AS (
+       |  SELECT $g, min(CAST($valueCol AS DOUBLE)) AS lo, max(CAST($valueCol AS DOUBLE)) AS hi,
+       |         count($valueCol) AS n FROM $table GROUP BY $g
+       |), __b AS (
+       |  SELECT $g, CASE WHEN hi = lo THEN 0
+       |         ELSE least(CAST(floor((CAST($valueCol AS DOUBLE) - lo) / $width) AS INTEGER), ${bins - 1})
+       |         END AS bin
+       |  FROM $table JOIN __mm USING ($g)
+       |), __c AS (
+       |  SELECT $g, bin, count(*) AS c FROM __b GROUP BY $g, bin
+       |), __cum AS (
+       |  SELECT $g, bin, c,
+       |         CAST(sum(c) OVER (PARTITION BY $g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM __c
+       |), __q AS (SELECT unnest([$qList]) AS q)
+       |SELECT $g, q, lo + CAST(bin AS DOUBLE) * $width +
+       |       (($rank - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) * $width AS estimate
+       |FROM __cum JOIN __mm USING ($g) CROSS JOIN __q
+       |WHERE CAST(cum AS DOUBLE) >= $rank
+       |  AND CAST(cum - c AS DOUBLE) < $rank""".stripMargin
+  }
+
   /** Oracle twin for [[histogramQuantiles]]: same binning, same
     * cumulative walk, same interpolation expression order. Quantile
     * literals are CAST AS DOUBLE (DuckDB types bare float literals
