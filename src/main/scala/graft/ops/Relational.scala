@@ -236,6 +236,21 @@ object Relational {
       .drop("__cell")
   }
 
+  /** Materialize a frame bucketed+sorted by its join key — the layout
+    * that lets two big fact tables join with NO shuffle exchange on
+    * either side (co-located sort-merge join), the 100 TB alternative
+    * to shuffling both sides on every query. One write-time shuffle
+    * buys every subsequent join; `ScaleTechniquesSpec` proves the
+    * zero-exchange plan. Registers `tableName` in the session catalog
+    * (bucket metadata lives in the catalog, not the files — a plain
+    * `spark.read.parquet` of the path would NOT get the bucketed plan). */
+  def materializeBucketed(df: DataFrame, path: String, tableName: String,
+      key: String, buckets: Int): DataFrame = {
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path).mode("overwrite").saveAsTable(tableName)
+    df.sparkSession.table(tableName)
+  }
+
   /** Skew-safe equi-join (the 100 TB tool for hot keys, e.g. one sensor
     * producing most archive rows): the big side's hot partitions are split
     * by a salt derived from a per-row expression, the small side is

@@ -139,17 +139,17 @@ class ScaleTechniquesSpec extends SparkSpec {
     val wh = "/tmp/graft-bucketed"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/b_orders").mode("overwrite").saveAsTable("b_orders")
-    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
-      .withColumnRenamed("l_orderkey", "o_orderkey")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/b_lineitem").mode("overwrite").saveAsTable("b_lineitem")
+    val bOrders = Relational.materializeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+      s"$wh/b_orders", "b_orders", "o_orderkey", 8)
+    val bLineitem = Relational.materializeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      s"$wh/b_lineitem", "b_lineitem", "o_orderkey", 8)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      val joined = spark.table("b_lineitem").join(spark.table("b_orders"), Seq("o_orderkey"))
+      val joined = bLineitem.join(bOrders, Seq("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
       assert(!plan.contains("Exchange"),
