@@ -240,6 +240,35 @@ class TextDedupSpec extends SparkSpec {
     assert(a > 0 && a < docs.filter(col("source") === "src0").count())
   }
 
+  test("property: banded simhashPairs equals the brute-force all-pairs reference") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small vocab → clustered signatures → multi-band matches and
+    // near-boundary hamming distances, the cases banding must not drop
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val genCase = for {
+      n <- Gen.choose(2, 7)
+      ds <- Gen.listOfN(n, doc)
+      maxH <- Gen.choose(0, 6)
+    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }, maxH)
+    val prop = Prop.forAll(genCase) { case (ds, maxH) =>
+      val df = ds.toDF("doc_id", "text")
+      val got = Dedup.simhashPairs(df, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= maxH
+      } yield (a, b, h)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: clusters equals union-find on random graphs") {
     val sess = spark
     import sess.implicits._
