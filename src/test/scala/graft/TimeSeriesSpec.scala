@@ -83,6 +83,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 5.0 / 3.0) < 1e-6)
   }
 
+  test("resampleStep matches a brute-force LOCF reference on random series") {
+    val rnd = new scala.util.Random(13)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      attr <- 1 to 3
+      i <- 0 until 30
+    } yield (attr,
+      new Timestamp(base + rnd.nextInt(24 * 3600) * 1000L).toString,
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextDouble() * 50))
+    val got = TimeSeries.resampleStep(archive(rows), 3600L)
+      .collect().map(r => (r.getInt(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val g = 3600L * 1000L
+    val obs = rows.collect { case (a, ts, Some(v)) => (a, Timestamp.valueOf(ts).getTime, v) }
+      .groupBy(_._1).map { case (a, rs) =>
+        // random instants may collide: keep-min per instant mirrors the
+        // engine's dedup-to-unique-(attribute, t) pre-step
+        a -> rs.groupBy(_._2).map { case (t, vs) => (t, vs.map(_._3).min) }
+          .toSeq.sortBy(_._1)
+      }
+    val want = obs.toSeq.flatMap { case (a, series) =>
+      val lo = math.ceil(series.head._1.toDouble / g).toLong * g
+      val hi = math.floor(series.last._1.toDouble / g).toLong * g
+      (lo to hi by g).map { t => (a, t, series.filter(_._1 <= t).last._2) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
   test("matches a brute-force per-attribute reference on random series") {
     val rnd = new scala.util.Random(7)
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
