@@ -83,6 +83,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 5.0 / 3.0) < 1e-6)
   }
 
+  test("timeWeightedAvg matches a brute-force reference bit-exactly on random series") {
+    val rnd = new scala.util.Random(17)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      attr <- 1 to 3
+      i <- 0 until 25
+    } yield (attr,
+      new Timestamp(base + rnd.nextInt(24 * 3600) * 1000L).toString,
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextDouble() * 100))
+    val got = TimeSeries.timeWeightedAvg(archive(rows))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val want = rows.collect { case (a, ts, Some(v)) => (a, Timestamp.valueOf(ts).getTime / 1000L, v) }
+      .groupBy(_._1).flatMap { case (a, rs) =>
+        val series = rs.groupBy(_._2).map { case (t, vs) => (t, vs.map(_._3).min) }
+          .toSeq.sortBy(_._1)
+        val durs = series.zip(series.tail).map { case ((t0, v0), (t1, _)) => (v0, t1 - t0) }
+        val dsum = durs.map(_._2).sum
+        if (dsum == 0) None
+        else {
+          val qsum = durs.map { case (v, d) => math.round(v * 1048576.0) * d }.sum
+          Some(a -> qsum.toDouble / (dsum.toDouble * 1048576.0))
+        }
+      }
+    assert(got === want) // identical quantized arithmetic → exact equality
+  }
+
   test("resampleStep matches a brute-force LOCF reference on random series") {
     val rnd = new scala.util.Random(13)
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
