@@ -105,4 +105,36 @@ class SketchesSpec extends SparkSpec {
     Sketches.histogramQuantiles(const, "v", bins, Seq(0.0, 0.5, 1.0))
       .collect().foreach(r => assert(r.getDouble(1) === 42.0))
   }
+
+  test("grouped histogram quantiles equal a per-group brute reference bit-exactly") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 1 to 400)
+      yield (g, rnd.nextDouble() * (if (g == "b") 10.0 else 500.0))
+    val bins = 16
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = Sketches.histogramQuantilesBy(rows.toDF("g", "v"), "v", Seq("g"), bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // brute reference with the IDENTICAL arithmetic (same fp op order)
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val vs = rs.map(_._2)
+      val (lo, hi, n) = (vs.min, vs.max, vs.size)
+      val width = (hi - lo) / bins
+      val counts = vs.groupBy(v =>
+          if (hi == lo) 0 else math.min(math.floor((v - lo) / width).toInt, bins - 1))
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val sorted = counts.toSeq.sortBy(_._1)
+      val cums = sorted.scanLeft(0L)(_ + _._2).tail
+      qs.map { q =>
+        val r = math.max(q * n.toDouble, 1.0)
+        val idx = sorted.indices.find(i => cums(i).toDouble >= r &&
+          (cums(i) - sorted(i)._2).toDouble < r).get
+        val (bin, c) = sorted(idx)
+        val before = cums(idx) - c
+        (g, q) -> (lo + bin.toDouble * width + ((r - before.toDouble) / c.toDouble) * width)
+      }
+    }
+    assert(got === want)
+  }
 }
