@@ -173,7 +173,10 @@ final class GraftApi(spark: SparkSession, root: String) {
   def streamExportCsv(df: DataFrame): Iterator[String] = {
     import scala.jdk.CollectionConverters._
     val header = df.columns.mkString(",")
-    val rendered = df.select(to_csv(struct(df.columns.map(col): _*)).as("__line"))
+    // struct(col("*")) packs every column positionally WITHOUT re-parsing
+    // names — a pivoted attribute named "a.b" would otherwise be read as
+    // a nested-field path and fail resolution
+    val rendered = df.select(to_csv(struct(col("*"))).as("__line"))
     // Iterator.++ takes its operand by name: no Spark job runs until the
     // consumer advances past the header line
     Iterator.single(header) ++ rendered.toLocalIterator().asScala.map(_.getString(0))

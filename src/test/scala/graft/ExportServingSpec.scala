@@ -29,6 +29,14 @@ class ExportServingSpec extends SparkSpec {
     ).toDF("id", "label", "score", "ts").coalesce(1)
   }
 
+  test("S8: streamExportCsv survives dotted column names (no nested-field parse)") {
+    val a = api()
+    val df = fixtureFrame().withColumnRenamed("score", "unit.1|score")
+    val lines = a.streamExportCsv(df).toList
+    assert(lines.head === "id,label,unit.1|score,ts")
+    assert(lines.size === 4)
+  }
+
   test("S8: streamExportCsv is byte-identical to the writeExport file sink") {
     val a = api()
     val df = fixtureFrame()
