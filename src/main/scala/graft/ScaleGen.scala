@@ -36,10 +36,18 @@ object ScaleGen {
   private def rep(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
 
+  /** max(key)+1 as Long — cast-safe for any integral key type, 0 for an
+    * empty or all-null table (replication of nothing is nothing). */
+  private def span(df: DataFrame, k: String): Long =
+    Option(df.agg(max(col(k).cast("long"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long] + 1L)
+
   /** key + rep * (max(key)+1): replica 0 keeps original keys. */
   private def offsetBySpan(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val spans = keys.map(k => k -> (df.agg(max(col(k))).head().getLong(0) + 1L)).toMap
-    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + col("__rep") * spans(k)))
+    val spans = keys.map(k => k -> span(df, k)).toMap
+    keys.foldLeft(df)((d, k) =>
+      d.withColumn(k, (col(k).cast("long") + col("__rep") * spans(k))
+        .cast(d.schema(k).dataType)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,8 +88,7 @@ object ScaleGen {
 
     val emb = offsetBySpan(rep(spark.read.parquet(s"$src/embeddings.parquet"), factor),
       Seq("vec_id"))
-    val labelSpan = spark.read.parquet(s"$src/embeddings.parquet")
-      .agg(max(col("label"))).head().getInt(0) + 1
+    val labelSpan = span(spark.read.parquet(s"$src/embeddings.parquet"), "label")
     write(emb.withColumn("label",
       (col("label") + col("__rep") * labelSpan).cast("int")), "embeddings")
   }

@@ -172,7 +172,19 @@ final class GraftApi(spark: SparkSession, root: String) {
     * response. */
   def streamExportCsv(df: DataFrame): Iterator[String] = {
     import scala.jdk.CollectionConverters._
-    val header = df.columns.mkString(",")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // Header rendered through the SAME univocity formatter as the rows:
+    // to_csv over a one-row driver-local relation (LocalTableScan — no
+    // job, never touches df's data), so a column name containing a
+    // delimiter/quote/newline is escaped byte-identically to the
+    // writeExport file sink's header line.
+    val hdrSchema = StructType(
+      df.columns.indices.map(i => StructField(s"c$i", StringType)).toArray)
+    val header = spark.createDataFrame(
+        java.util.Collections.singletonList(Row.fromSeq(df.columns.toIndexedSeq)),
+        hdrSchema)
+      .select(to_csv(struct(col("*"))).as("__h")).head().getString(0)
     // struct(col("*")) packs every column positionally WITHOUT re-parsing
     // names — a pivoted attribute named "a.b" would otherwise be read as
     // a nested-field path and fail resolution

@@ -100,7 +100,10 @@ object TimeSeries {
   def timeWeightedAvg(archive: DataFrame): DataFrame = {
     val obs = archive.filter(col("value").isNotNull)
       .select(col("attribute_id"),
-        (unix_micros(col("timestamp").cast("timestamp")) / 1000000L).cast("long").as("t"),
+        // integral `div`, not double `/`+cast: both engines truncate
+        // toward zero (verified: DuckDB -7//2 = -3), but the double
+        // roundtrip loses exactness past 2^53 µs — div stays in longs
+        expr("unix_micros(CAST(timestamp AS TIMESTAMP)) div 1000000").as("t"),
         col("value").cast("double").as("v"))
       .groupBy(col("attribute_id"), col("t")).agg(min(col("v")).as("v"))
     val w = Window.partitionBy("attribute_id").orderBy("t")

@@ -250,7 +250,10 @@ object Sketches {
     val v = col(valueCol).cast("double")
     val mm = broadcast(df.agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")))
     val width = (col("hi") - col("lo")) / bins
-    val counts = df.select(v.as("__v")).crossJoin(mm)
+    // NULLs are excluded from n = count(v); binning them would create a
+    // NULL bin that the NULLS-FIRST cumulative window counts ahead of
+    // every real bin, shifting every estimate — filter before binning.
+    val counts = df.select(v.as("__v")).filter(col("__v").isNotNull).crossJoin(mm)
       .select(when(col("hi") === col("lo"), lit(0))
         .otherwise(least(floor((col("__v") - col("lo")) / width).cast("int"),
           lit(bins - 1))).as("bin"))
@@ -287,7 +290,9 @@ object Sketches {
     val mm = df.groupBy(groupCols.map(col): _*)
       .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n"))
     val width = (col("hi") - col("lo")) / bins
+    // same NULL exclusion as the global form: n excludes NULLs, so must the bins
     val counts = df.select(groupCols.map(col) :+ v.as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .join(mm, groupCols)
       .select(groupCols.map(col) :+
         when(col("hi") === col("lo"), lit(0))
@@ -325,6 +330,7 @@ object Sketches {
        |         ELSE least(CAST(floor((CAST($valueCol AS DOUBLE) - lo) / $width) AS INTEGER), ${bins - 1})
        |         END AS bin
        |  FROM $table JOIN __mm USING ($g)
+       |  WHERE $valueCol IS NOT NULL
        |), __c AS (
        |  SELECT $g, bin, count(*) AS c FROM __b GROUP BY $g, bin
        |), __cum AS (
@@ -356,6 +362,7 @@ object Sketches {
        |         ELSE least(CAST(floor((CAST($valueCol AS DOUBLE) - lo) / $width) AS INTEGER), ${bins - 1})
        |         END AS bin
        |  FROM $table CROSS JOIN __mm
+       |  WHERE $valueCol IS NOT NULL
        |), __c AS (
        |  SELECT bin, count(*) AS c FROM __b GROUP BY bin
        |), __cum AS (

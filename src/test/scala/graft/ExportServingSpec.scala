@@ -49,6 +49,21 @@ class ExportServingSpec extends SparkSpec {
     assert(streamed === fileLines)
   }
 
+  test("S8: CSV-hostile COLUMN NAMES are escaped identically by stream and file sink") {
+    val a = api()
+    // a comma and a quote in the header line itself — the stream renders
+    // the header through the same univocity formatter as the file sink
+    val df = fixtureFrame().withColumnRenamed("label", "name, \"quoted\"")
+    val out = Files.createTempDirectory("graft_exp").toString
+    val dir = a.writeExport(df, out, "pi_data_s8h", "csv")
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val fileLines = Files.readAllLines(part).asScala.toList
+    val streamed = a.streamExportCsv(df).toList
+    assert(streamed.head === fileLines.head)
+    assert(streamed === fileLines)
+  }
+
   test("S8: the stream is a lazy iterator — header costs zero Spark jobs") {
     val a = api()
     var jobs = 0

@@ -125,4 +125,29 @@ class RobustnessSpec extends SparkSpec {
       .collect()
     assert(one.length === 3 && one.forall(_.getDouble(1) === 7.5))
   }
+
+  test("histogram quantiles ignore NULL values (global and grouped forms)") {
+    val sess = spark
+    import sess.implicits._
+    import graft.sketch.Sketches
+    // NULLs must not form a phantom bin that the cumulative walk counts
+    // ahead of real bins while n = count(v) excludes them
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val withNulls = (vals.map(Option(_)) ++ Seq.fill(7)(Option.empty[Double])).toDF("v")
+    val clean = vals.toDF("v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = Sketches.histogramQuantiles(withNulls, "v", 8, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val want = Sketches.histogramQuantiles(clean, "v", 8, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    // grouped: the null-bearing group matches its clean twin; an
+    // all-NULL group contributes no rows (count(v) = 0, no bins)
+    val grouped = (vals.map(v => ("a", Option(v))) ++
+      Seq(("a", Option.empty[Double]), ("b", Option.empty[Double]))).toDF("g", "v")
+    val byG = Sketches.histogramQuantilesBy(grouped, "v", Seq("g"), 8, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(byG.keys.forall(_._1 == "a"))
+    assert(byG.map { case ((_, q), e) => q -> e } === want)
+  }
 }
