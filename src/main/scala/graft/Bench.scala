@@ -36,16 +36,27 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    // best-of-2: this VM sees bursty CPU steal from the host (visible in
-    // /proc/stat); the min over two passes measures the engine, not the
-    // neighbor. Passes are full sweeps so pass 2 also reuses nothing.
-    val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val pass2 = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // n passes (default 3, SPARK_GRAFT_BENCH_RUNS): this VM sees bursty
+    // CPU steal from the host, so a single pass is ~25% noise
+    // round-over-round. The headline per-query number is the MEDIAN
+    // (robust to one stolen pass in either direction); the min is kept
+    // alongside as the low-noise floor. Passes are full sweeps so later
+    // passes reuse nothing.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val passes = (1 to runs).map(_ => names.map(n => n -> timeOne(n)).toMap)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val med = names.map(n => n -> median(passes.map(_(n))))
+    val mins = names.map(n => n -> passes.map(_(n)).min)
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
+    val totalMin = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""queries":${obj(med)},"queries_min":${obj(mins)},"total_min":$totalMin,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces copy on disk: the stdout line is the contract, but a
     // consumer that line-scans a build tool's decorated output can miss it

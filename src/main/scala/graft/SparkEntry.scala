@@ -410,6 +410,14 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
+    // The 64-bit signature variant: radius-3 banding over 64 bits gives
+    // 16-bit chunks (65k bucket values per band vs 256 at 32 bits) —
+    // the hot-bucket lever for dense 100 TB corpora. Same banding code
+    // path, exact by the same pigeonhole argument.
+    "d_simhash_pairs_w64" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3, bits = 64)
+        .orderBy("id_a", "id_b")),
+
     // Train/eval decontamination: per eval doc, the fraction of its
     // distinct 3-gram shingles that occur anywhere in the train corpus
     // (train = every other source). Hash-keyed equi-join probe, no
@@ -610,6 +618,13 @@ object SparkEntry {
 
     // Exact interpolated percentiles per group (no approx sketch: the
     // exact sort-based form, which is what an oracle can pin down).
+    // Memory bound: `percentile` is an ImperativeAggregate buffering
+    // every distinct (value, count) of ONE GROUP in that group's final
+    // task — per-group state, fine while groups are bounded (event
+    // types here), a hazard only if a single group's distinct values
+    // are data-proportional. The scale-safe twin for that regime is
+    // Sketches.histogramQuantilesBy (bin counts only, proven cell-exact
+    // against the same DuckDB walk by k_quantile_daily).
     "a_percentile" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -776,9 +791,18 @@ object SparkEntry {
     // Quantile-driven quality gate: keep documents scoring above the
     // global median quality — the data-curation cut expressed as a
     // scalar-aggregate gate, never a driver-side collect of the corpus.
+    // The median is the bounded-error histogram-sketch estimate, NOT
+    // exact `percentile`: the exact form is an ImperativeAggregate that
+    // buffers every distinct score in the one final-aggregation task
+    // (memory scales with data — the last such aggregate in the
+    // pipeline suite); the sketch shuffles only bin counts and its
+    // error is one bin width (score ∈ [0,1] → ≤ 1/256 here). Oracle
+    // parity of the sketch itself is proven by k_quantile_hist.
     "pipe_quality_gate" -> ((s, d) => {
       val staged = TextOps.withQualityFeatures(Tables.documents(s, d), "text")
-      val med = staged.agg(expr("percentile(score, 0.5)").as("__med"))
+      val med = graft.sketch.Sketches
+        .histogramQuantiles(staged, "score", 256, Seq(0.5))
+        .select(col("estimate").as("__med"))
       staged.crossJoin(broadcast(med))
         .filter(col("score") > col("__med"))
         .groupBy("source")
@@ -1207,6 +1231,9 @@ object SparkEntry {
     "d_simhash_pairs" ->
       (s"SELECT * FROM (${Dedup.simhashPairsSql("documents", "doc_id", "text", 3)}) ORDER BY id_a, id_b"),
 
+    "d_simhash_pairs_w64" ->
+      (s"SELECT * FROM (${Dedup.simhashPairsSql("documents", "doc_id", "text", 3, bits = 64)}) ORDER BY id_a, id_b"),
+
     "d_contam" ->
       (s"SELECT * FROM (${Dedup.contaminationSql("documents",
         "source <> 'src0'", "source = 'src0'", "doc_id", "text", 3)}) " +
@@ -1527,9 +1554,12 @@ object SparkEntry {
 
     "pipe_quality_gate" -> {
       val score = TextOps.qualityScoreSql("text")
+      // identical histogram walk as the Spark side (k_quantile_hist parity recipe)
+      val medSql = graft.sketch.Sketches
+        .histogramQuantilesSql("staged", "score", 256, Seq(0.5))
       s"WITH staged AS (SELECT doc_id, source, $score AS score FROM documents) " +
         "SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
-        "FROM staged WHERE score > (SELECT quantile_cont(score, 0.5) FROM staged) " +
+        s"FROM staged WHERE score > (SELECT estimate FROM ($medSql) __med) " +
         "GROUP BY source ORDER BY source"
     },
 

@@ -357,14 +357,16 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      // TWO hops per materialized round: the convergence count (an
-      // action) then amortizes over both, and the final no-change
-      // confirmation round costs one round, not two
-      val next = hop(hop(labels.withColumn("__old", col("cluster"))))
+      // ONE hop per materialized round, convergence checked after each:
+      // the changed-count is a single aggregate over the checkpointed
+      // subgraph-sized table — far cheaper than a hop's join+groupBy —
+      // so the final no-change confirmation costs exactly one hop
+      // (a fused two-hop round would run a second, provably idle hop)
+      val next = hop(labels.withColumn("__old", col("cluster")))
         .localCheckpoint()
       changed = next.filter(col("cluster") =!= col("__old")).count()
       labels = next.select("id", "cluster")
-      it += 2
+      it += 1
     }
     nodes.select(col(idCol).as("id"))
       .join(hint(labels.withColumnRenamed("cluster", "__c")), Seq("id"), "left")
@@ -442,36 +444,54 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
+  /** Default signature width. 32 bits suits corpora where the expected
+    * (band, chunk) bucket population stays modest; at 100 TB-class
+    * density pass `bits = 64` — radius-3 banding then yields 16-bit
+    * chunks (65k bucket values per band instead of 256), the hot-bucket
+    * skew lever. Both widths share one token hash (the low `bits` bits
+    * of the 64-bit hash) and one code path. */
   val SimhashBits = 32
 
-  /** 32-bit SimHash per doc over distinct tokens: bit b of the result is
-    * 1 iff more token-hashes have bit b set than cleared. One explode +
-    * one aggregation with 32 conditional sums — linear and codegen'd. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `bits`-wide SimHash per doc over distinct tokens: bit b of the
+    * result is 1 iff more token-hashes have bit b set than cleared. One
+    * explode + one aggregation with `bits` conditional sums — linear and
+    * codegen'd. Disjoint powers of two recombine by addition: with bit
+    * 63 the sum starts at Long.MinValue and only moves toward zero, so
+    * 64-bit signatures never overflow (ANSI-safe). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = SimhashBits): DataFrame = {
+    require(bits > 0 && bits <= 64, "simhash width must be in [1, 64]")
+    // > 32 bits needs the wide token hash: the default fold mod 2^31-1
+    // leaves bits 31..63 constant, which would make every high band one
+    // corpus-sized bucket (see TextOps.tokenHashWide)
     val dt = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .distinct()
-      .withColumn("h", TextOps.tokenHash("tok"))
-    val bitSums = (0 until SimhashBits).map { b =>
+      .withColumn("h",
+        if (bits > 32) TextOps.tokenHashWide("tok") else TextOps.tokenHash("tok"))
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
     }
     dt.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until SimhashBits).map(b =>
+        (0 until bits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  def simhashSql(table: String, idCol: String, textCol: String): String = {
-    val bitSums = (0 until SimhashBits).map { b =>
+  def simhashSql(table: String, idCol: String, textCol: String,
+      bits: Int = SimhashBits): String = {
+    val hashSql = if (bits > 32) TextOps.tokenHashWideSql("tok")
+      else TextOps.tokenHashSql("tok")
+    val bitSums = (0 until bits).map { b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
-    val recombine = (0 until SimhashBits).map { b =>
+    val recombine = (0 until bits).map { b =>
       s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
     s"""WITH __dt AS (
        |  SELECT DISTINCT $idCol, unnest(${TextOps.tokensSql(textCol)}) AS tok FROM $table
        |), __h AS (
-       |  SELECT $idCol, ${TextOps.tokenHashSql("tok")} AS h FROM __dt
+       |  SELECT $idCol, $hashSql AS h FROM __dt
        |), __s AS (
        |  SELECT $idCol, $bitSums FROM __h GROUP BY $idCol
        |)
@@ -491,25 +511,48 @@ object Dedup {
     * nested-loop. The signature table is persisted (one explode+agg, not
     * one per join side); the band explode adds `maxHamming + 1` rows per
     * doc, constant per document. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < SimhashBits,
-      s"maxHamming must be in [0, $SimhashBits)")
-    val sh = simhash(df, idCol, textCol).localCheckpoint(false) // reused, auto-released
-    val bands = maxHamming + 1
-    // widths as even as possible, covering all SimhashBits exactly once
+  /** Band layout for a `bits`-wide signature split into `bands` chunks:
+    * widths as even as possible, covering all bits exactly once. */
+  private def bandLayout(bits: Int, bands: Int): (Seq[Int], Seq[Int]) = {
     val widths = (0 until bands).map(b =>
-      SimhashBits / bands + (if (b < SimhashBits % bands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def chunkOf(sig: Column, b: Int): Column =
-      shiftright(sig, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+      bits / bands + (if (b < bits % bands) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** Chunk `b` of a signature. shiftright sign-extends on longs; the
+    * mask cuts the extension bits, and a full-width (64-bit, single-
+    * band) chunk masks with -1 since 1L<<64 wraps to 1. */
+  private def chunkAt(sig: Column, widths: Seq[Int], offsets: Seq[Int],
+      b: Int): Column = {
+    val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
+    shiftright(sig, offsets(b)).bitwiseAND(lit(mask))
+  }
+
+  /** The banded signature index [[simhashPairs]] joins on: one row per
+    * (doc, band) keyed by (band, chunk). Public so bucket-population
+    * skew — the scale hazard of banding — is directly observable. */
+  def simhashBands(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits)")
+    val bands = maxHamming + 1
+    val (widths, offsets) = bandLayout(bits, bands)
     val blocks = (0 until bands).map { b =>
-      struct(lit(b).as("band"), chunkOf(col("simhash"), b).as("chunk"))
+      struct(lit(b).as("band"), chunkAt(col("simhash"), widths, offsets, b).as("chunk"))
     }
-    val exploded = sh
+    simhash(df, idCol, textCol, bits)
       .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bc"))
       .select(col(idCol), col("simhash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
+    val bands = maxHamming + 1
+    val (widths, offsets) = bandLayout(bits, bands)
+    // reused by both join sides; auto-released
+    val exploded = simhashBands(df, idCol, textCol, maxHamming, bits)
+      .localCheckpoint(false)
     val ea = exploded.select(col("band"), col("chunk"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))
     val eb = exploded.select(col("band"), col("chunk"),
@@ -521,7 +564,9 @@ object Dedup {
     // (many pairs matching in all bands) this is the difference between
     // one output-sized stage and shuffling bands× the output.
     val firstMatchOnly = (0 until bands - 1).map { bp =>
-      (col("band") <= bp) || (chunkOf(col("sim_a"), bp) =!= chunkOf(col("sim_b"), bp))
+      (col("band") <= bp) ||
+        (chunkAt(col("sim_a"), widths, offsets, bp) =!=
+          chunkAt(col("sim_b"), widths, offsets, bp))
     }.reduceOption(_ && _).getOrElse(lit(true))
     ea.join(eb, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
@@ -532,8 +577,8 @@ object Dedup {
 
   /** Oracle twin for [[simhashPairs]]. */
   def simhashPairsSql(table: String, idCol: String, textCol: String,
-      maxHamming: Int): String =
-    s"""WITH __sh AS (${simhashSql(table, idCol, textCol)})
+      maxHamming: Int, bits: Int = SimhashBits): String =
+    s"""WITH __sh AS (${simhashSql(table, idCol, textCol, bits)})
        |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM __sh a JOIN __sh b ON a.$idCol < b.$idCol

@@ -46,9 +46,9 @@ object TextOps {
   private def charFoldExpr(tok: String): String =
     s"aggregate(transform(sequence(1, length($tok)), i -> bigint(ascii(substring($tok, i, 1)))), " +
       s"0L, (a, c) -> (a * $CharMul + c) % $P)"
-  private def charFoldSql(tok: String): String =
+  private def charFoldSql(tok: String, mul: Long = CharMul): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($tok) + 1), " +
-      s"i -> CAST(ascii(substr($tok, i, 1)) AS BIGINT))), (a, c) -> (a * $CharMul + c) % $P)"
+      s"i -> CAST(ascii(substr($tok, i, 1)) AS BIGINT))), (a, c) -> (a * $mul + c) % $P)"
 
   /** Hash one token column value (used by dedup minhash/simhash too).
     * Native codegen'd expression ([[graft.functions.PolyHash]]); the
@@ -57,6 +57,21 @@ object TextOps {
   def tokenHash(tokCol: String): Column =
     graft.functions.NativeExprs.polyHash(col(tokCol), CharMul, P)
   def tokenHashSql(tokCol: String): String = charFoldSql(tokCol)
+
+  /** 62-bit token hash for WIDE (64-bit) simhash signatures: the default
+    * [[tokenHash]] is a fold mod P = 2^31-1, so its bits 31..63 are
+    * constant zero — a 64-bit simhash built on it would have dead high
+    * bands (every doc agreeing on the top chunks = all-pairs candidate
+    * buckets). Two independent 31-bit folds (char multipliers 31 / 37)
+    * packed as `h1 + (h2 << 31)` fill bits 0..61 with NO wrap-around
+    * multiply: h2·2^31 < 2^62, so the sum is overflow-free under Spark
+    * ANSI and DuckDB BIGINT alike. */
+  val CharMul2 = 37L
+  def tokenHashWide(tokCol: String): Column =
+    graft.functions.NativeExprs.polyHash(col(tokCol), CharMul, P) +
+      shiftleft(graft.functions.NativeExprs.polyHash(col(tokCol), CharMul2, P), 31)
+  def tokenHashWideSql(tokCol: String): String =
+    s"(${charFoldSql(tokCol)} + (${charFoldSql(tokCol, CharMul2)} << 31))"
 
   /** Document fingerprint: rolling polynomial hash over the token stream
     * (order-sensitive — reordered words change the fingerprint). The

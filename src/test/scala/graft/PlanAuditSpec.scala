@@ -160,4 +160,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(barrierHolds && p.contains("Scan ExistingRDD"),
       s"text predicate reached the pre-fan-out scan:\n$p")
   }
+
+  test("archiveRange prunes whole date partitions: PartitionFilters on p_date") {
+    // the date-partitioned ArchiveStore layout is only a 100 TB lever if
+    // a time-ranged scan actually prunes directories at planning time —
+    // pin PartitionFilters the same way the P3 pushdown assert pins
+    // PushedFilters on the events scan
+    val sess = spark
+    import sess.implicits._
+    val cat = new graft.api.GraftApi(spark,
+      java.nio.file.Files.createTempDirectory("graft_prune").toString).catalog("site1")
+    cat.appendArchive(Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 2.0),
+      (1, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 3.0)
+    ).toDF("attribute_id", "timestamp", "value"))
+    val ranged = cat.archiveRange(Some("2024-01-02 00:00:00"), Some("2024-01-02 23:59:59"))
+    val p = ranged.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, s"no PartitionFilters section in the archive scan:\n$p")
+    assert(pf.get.contains("p_date") && pf.get.contains(">=") && pf.get.contains("<="),
+      s"p_date bounds missing from PartitionFilters:\n${pf.get}")
+    // and the pruned scan still returns exactly the boundary-day rows
+    assert(ranged.collect().map(_.getDouble(2)).toSeq === Seq(2.0))
+  }
 }

@@ -252,12 +252,13 @@ class TextDedupSpec extends SparkSpec {
       n <- Gen.choose(2, 7)
       ds <- Gen.listOfN(n, doc)
       maxH <- Gen.choose(0, 6)
-    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }, maxH)
-    val prop = Prop.forAll(genCase) { case (ds, maxH) =>
+      bits <- Gen.oneOf(32, 64) // both signature widths share the band path
+    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }, maxH, bits)
+    val prop = Prop.forAll(genCase) { case (ds, maxH, bits) =>
       val df = ds.toDF("doc_id", "text")
-      val got = Dedup.simhashPairs(df, "doc_id", "text", maxH)
+      val got = Dedup.simhashPairs(df, "doc_id", "text", maxH, bits)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      val sigs = Dedup.simhash(df, "doc_id", "text")
+      val sigs = Dedup.simhash(df, "doc_id", "text", bits)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = (for {
         a <- sigs.keys; b <- sigs.keys if a < b
@@ -267,6 +268,23 @@ class TextDedupSpec extends SparkSpec {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("64-bit simhash banding spreads bucket populations vs 32-bit") {
+    // the hot-bucket skew lever: radius-3 banding chunks a 64-bit
+    // signature into 16-bit blocks (65k bucket values per band) vs
+    // 8-bit blocks at 32 bits — on the real corpus the most-populated
+    // (band, chunk) bucket must shrink and the bucket count must grow,
+    // or the wider width buys nothing
+    def buckets(bits: Int) =
+      Dedup.simhashBands(docs, "doc_id", "text", maxHamming = 3, bits = bits)
+        .groupBy("band", "chunk").agg(count(lit(1)).as("n"))
+    val n32 = buckets(32).agg(max("n"), count(lit(1))).head()
+    val n64 = buckets(64).agg(max("n"), count(lit(1))).head()
+    assert(n64.getLong(0) < n32.getLong(0),
+      s"64-bit max bucket ${n64.getLong(0)} not below 32-bit ${n32.getLong(0)}")
+    assert(n64.getLong(1) > n32.getLong(1),
+      s"64-bit bucket count ${n64.getLong(1)} not above 32-bit ${n32.getLong(1)}")
   }
 
   test("property: clusters equals union-find on random graphs") {
