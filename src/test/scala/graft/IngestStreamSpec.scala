@@ -437,4 +437,94 @@ class IngestStreamSpec extends SparkSpec {
       Seq(base + 0.0, base + 2.0, base + 4.0, base + 6.0, base + 8.0))
     assert(interp.head.getAs[java.time.LocalDateTime](1).getHour === 7) // +7h shift held
   }
+
+  test("stateful paths hold under the RocksDB state store (state off-heap, not in executor memory)") {
+    // the default in-memory provider caps streaming state at the heap;
+    // RocksDB is the 100 TB configuration (state spills to local disk).
+    // Same statefulDerived scenario as T4 and the hllRollup bit-parity
+    // check, assertions unchanged — only the provider differs.
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // statefulDerived: straggler completion then last-write-wins re-emit
+      val dir = Files.createTempDirectory("graft_rocks").toString
+      val mem = MemoryStream[(Int, Timestamp, Double)]
+      val coerced = mem.toDF.toDF("attribute_id", "timestamp", "value")
+        .withWatermark("timestamp", "1 hour")
+      def run(): Unit = {
+        val q = DerivedStream.statefulDerived(coerced, DerivedDef(9, "$1 + $2"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$dir/emitted"); ()
+          }
+          .start()
+        q.awaitTermination(120000)
+      }
+      def emitted: Seq[Double] =
+        if (new java.io.File(s"$dir/emitted").exists())
+          spark.read.parquet(s"$dir/emitted").collect().map(_.getDouble(2)).toSeq.sorted
+        else Seq.empty
+      mem.addData((1, ts("2024-01-01 00:00:00"), 10.0))
+      run()
+      assert(emitted === Seq.empty)
+      mem.addData((2, ts("2024-01-01 00:00:00"), 5.0))
+      run()
+      assert(emitted === Seq(15.0))
+      mem.addData((1, ts("2024-01-01 00:00:00"), 20.0))
+      run()
+      assert(emitted === Seq(15.0, 25.0))
+
+      // hllRollup: streaming registers still equal the batch sketch bit-exactly
+      val memH = MemoryStream[(Int, Timestamp, Long)]
+      val rows = Seq(
+        (1, ts("2024-01-01 00:05:00"), 101L), (1, ts("2024-01-01 00:10:00"), 102L),
+        (1, ts("2024-01-01 00:20:00"), 101L), (1, ts("2024-01-01 01:05:00"), 103L),
+        (2, ts("2024-01-01 00:30:00"), 201L))
+      memH.addData(rows: _*)
+      val q = graft.streaming.DerivedStream.hllRollup(
+        memH.toDF.toDF("attribute_id", "timestamp", "h"), "1 hour", 64)
+        .writeStream.format("memory").queryName("hll_rocks").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("hll_rocks")
+        .select("window_start", "attribute_id", "bucket", "register")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      val batch = graft.sketch.Sketches.hllRegistersBy(
+        rows.toDF("attribute_id", "timestamp", "h")
+          .withColumn("hour", date_trunc("hour", col("timestamp"))),
+        Seq("hour", "attribute_id"), 64)
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      assert(streamed === batch)
+
+      // correlateStreams: dual-watermark join state lives in RocksDB too
+      val memL = MemoryStream[(Int, Timestamp, Double)]
+      val memR = MemoryStream[(Int, Timestamp, Double)]
+      memL.addData((1, ts("2024-01-01 00:10:00"), 1.0))
+      memR.addData(
+        (1, ts("2024-01-01 00:12:00"), 10.0), // within 5m lag
+        (1, ts("2024-01-01 00:30:00"), 20.0)) // outside
+      val qc = graft.streaming.DerivedStream.correlateStreams(
+        memL.toDF.toDF("attribute_id", "timestamp", "value"),
+        memR.toDF.toDF("attribute_id", "timestamp", "value"),
+        "attribute_id", maxLagSeconds = 300)
+        .writeStream.format("memory").queryName("corr_rocks").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qc.awaitTermination(120000)
+      val corr = spark.table("corr_rocks").select("attribute_id", "value", "r_value")
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(corr === Set((1, 1.0, 10.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
