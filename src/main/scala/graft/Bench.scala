@@ -14,7 +14,12 @@ object Bench {
     // otherwise whichever query runs first is charged ~30s of warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep — used for the
+    // 100× scale spot-bench where only the pair-generation suite matters
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // sweep every query once at the smallest fixture first: identical plan
     // shapes compile identical generated code, so the Janino/JIT cost of
     // all ~50 queries is paid on tiny data instead of inside pass 1

@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   private def rep(df: DataFrame, factor: Int): DataFrame =
+    // repartition on the replica id AFTER the explode: without it the
+    // output keeps the source's partitioning (sf0.1 tables are 1-2
+    // files), so a 100× fact table funnels through 1-2 write tasks —
+    // at that factor the generator itself becomes the bottleneck
     df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .repartition(col("__rep"))
 
   /** max(key)+1 as Long — cast-safe for any integral key type, 0 for an
     * empty or all-null table (replication of nothing is nothing). */
