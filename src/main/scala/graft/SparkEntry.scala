@@ -418,6 +418,21 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3, bits = 64)
         .orderBy("id_a", "id_b")),
 
+    // Streaming near-dup suppression, batch kernel: even doc_ids play the
+    // already-ingested registry, odd doc_ids the arriving micro-batch
+    // (ts = doc_id). First-writer-wins, register-all-seen semantics —
+    // the per-micro-batch unit of streaming.StreamingDedup.
+    "d_stream_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reg = Dedup.bandClaims(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("__ts", col("doc_id"))
+      val (kept, _) =
+        Dedup.nearDupSuppress(batch, reg, "doc_id", "__ts", "text", 3)
+      kept.select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // Train/eval decontamination: per eval doc, the fraction of its
     // distinct 3-gram shingles that occur anywhere in the train corpus
     // (train = every other source). Hash-keyed equi-join probe, no
@@ -1233,6 +1248,10 @@ object SparkEntry {
 
     "d_simhash_pairs_w64" ->
       (s"SELECT * FROM (${Dedup.simhashPairsSql("documents", "doc_id", "text", 3, bits = 64)}) ORDER BY id_a, id_b"),
+
+    "d_stream_neardup" ->
+      (s"SELECT * FROM (${Dedup.nearDupSuppressSql("documents", "doc_id", "text", 3,
+        "doc_id % 2 = 0", "d.doc_id, d.n_chars")}) ORDER BY doc_id"),
 
     "d_contam" ->
       (s"SELECT * FROM (${Dedup.contaminationSql("documents",

@@ -583,4 +583,139 @@ object Dedup {
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM __sh a JOIN __sh b ON a.$idCol < b.$idCol
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  // ---- streaming near-dup suppression -----------------------------------
+
+  /** Stateless (pure-projection, no aggregation) MinHash signature:
+    * the SAME K permutation params and hash arithmetic as
+    * [[minhashSignatures]], computed as `array_min` folds over the
+    * shingle array instead of an explode + hash-aggregate. min over the
+    * shingle MULTISET equals min over the shingle SET, so the two forms
+    * are bit-identical wherever both are defined (spec-pinned); a
+    * document with fewer than n tokens has no shingles and gets NULL
+    * m-columns (the agg form simply emits no row).
+    *
+    * This is the streaming-ingest form: a micro-batch computes
+    * signatures with ZERO shuffles (tokenize → shingle → K folds, all
+    * whole-stage codegen), where the agg form would put a streaming
+    * aggregation (= a state store) in front of every downstream step.
+    * Each intermediate (tokens, shingles, shingle hashes) is bound in
+    * its own projection so no lambda re-evaluates a non-cheap subtree
+    * (see [[shinglesFromTokens]]). */
+  def minhashSignatureStateless(df: DataFrame, carryCols: Seq[String],
+      textCol: String, n: Int): DataFrame = {
+    val toks = df.select(carryCols.map(col) :+
+      TextOps.tokens(col(textCol)).as("__toks"): _*)
+    val sh = toks.select(carryCols.map(col) :+
+      shinglesFromTokens(col("__toks"), n).as("__sh"): _*)
+    val hs = sh.select(carryCols.map(col) :+
+      transform(col("__sh"),
+        t => graft.functions.NativeExprs.polyHash(t, TextOps.CharMul, TextOps.P))
+        .as("__hs"): _*)
+    val mins = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__hs"), h => (h * a + b) % TextOps.P)).as(s"m$i")
+    }
+    hs.select(carryCols.map(col) ++ mins: _*)
+  }
+
+  /** LSH band-bucket rows (band, k0..k{B-1}) for each document — the
+    * same banding as [[minhashLshCandidates]], factored so the streaming
+    * suppressor and the candidate join share one definition. Documents
+    * with NULL signatures (< n tokens) produce no rows. */
+  def bandRows(sig: DataFrame, carryCols: Seq[String]): DataFrame = {
+    val nBands = MinhashParams.size / BandSize
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until BandSize).map(k => col(s"m${b * BandSize + k}").as(s"k$k")): _*)
+    }: _*)
+    val keyCols = Seq("band") ++ (0 until BandSize).map(k => s"k$k")
+    sig.filter(col("m0").isNotNull)
+      .select(carryCols.map(col) :+ explode(bandStructs).as("bs"): _*)
+      .select(carryCols.map(col) ++ keyCols.map(k => col(s"bs.$k")): _*)
+  }
+
+  /** Distinct band-bucket claims of a document set — the registry rows
+    * an already-ingested corpus contributes to [[nearDupSuppress]]. */
+  def bandClaims(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    bandRows(minhashSignatureStateless(df, Seq(idCol), textCol, n), Seq(idCol))
+      .select("band", "k0", "k1").distinct()
+
+  /** First-writer-wins near-dup suppression of one (micro-)batch against
+    * a persistent bucket-claim registry — the streaming dedup kernel.
+    *
+    * Semantics (order-independent, hence parallelizable): a document is
+    * DROPPED iff any of its LSH band buckets was already claimed by the
+    * registry, or is also hit by a strictly earlier document — smaller
+    * (tsCol, idCol) — in the same batch. ALL arriving documents then
+    * claim their buckets (register-all-seen): in a chain a~b~c where b
+    * collides with a and c only with b, c is still suppressed — exactly
+    * what a sequential one-by-one ingest would do (spec-pinned against a
+    * sequential fold).
+    *
+    * Returns (kept rows of `batch`, new claims to append to the
+    * registry: band, k0, k1, claimed_ts = min claiming ts, for
+    * retention sweeps).
+    *
+    * 100 TB shape: signatures are stateless projections (no shuffle);
+    * the within-batch first-claimant window and the registry probe are
+    * both keyed on the SAME (band, k0, k1) bucket key, so one exchange
+    * co-partitions both; the verdict is a groupBy on the doc id whose
+    * result anti-joins the batch on that same id. Candidate volume is
+    * bounded by bucket collisions (the LSH lever), never docs². The
+    * registry is a TABLE, not executor state: dedup-against-all-history
+    * state lives in storage and scales with distinct buckets, not with
+    * stream lifetime × heap. */
+  def nearDupSuppress(batch: DataFrame, registry: DataFrame, idCol: String,
+      tsCol: String, textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val carry = Seq(idCol, tsCol)
+    val bands = bandRows(minhashSignatureStateless(batch, carry, textCol, n), carry)
+      .localCheckpoint(false) // reused by verdict AND claims
+    val keyCols = Seq("band", "k0", "k1")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val me = struct(col(tsCol), col(idCol))
+    val regHit = registry.select(keyCols.map(col) :+ lit(true).as("__claimed"): _*)
+      .distinct()
+    val verdict = bands
+      .withColumn("__first", min(me).over(w))
+      .join(regHit, keyCols, "left")
+      .withColumn("__hit", (me > col("__first")) || col("__claimed").isNotNull)
+      .groupBy(col(idCol)).agg(max(col("__hit")).as("__dup"))
+      .filter(col("__dup"))
+    val kept = batch.join(verdict.select(idCol), Seq(idCol), "left_anti")
+    val claims = bands.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tsCol)).as("claimed_ts"))
+      .join(registry.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    (kept, claims)
+  }
+
+  /** Oracle twin for [[nearDupSuppress]] over a SQL-expressible split of
+    * one table: rows with `<registryPred>` form the registry, the rest
+    * are the batch ordered by idCol (ts = id). Kept doc ids. */
+  def nearDupSuppressSql(table: String, idCol: String, textCol: String,
+      n: Int, registryPred: String, selectCols: String): String = {
+    val nBands = MinhashParams.size / BandSize
+    val bandSel = (0 until nBands).map { b =>
+      s"SELECT $idCol, $b AS band, m${b * BandSize} AS k0, " +
+        s"m${b * BandSize + 1} AS k1 FROM __sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH __sig AS (${minhashSignaturesSql(table, idCol, textCol, n)}),
+       |__bands AS ($bandSel),
+       |__reg AS (SELECT DISTINCT band, k0, k1 FROM __bands
+       |          WHERE $idCol IN (SELECT $idCol FROM $table WHERE $registryPred)),
+       |__batch AS (SELECT * FROM __bands
+       |            WHERE $idCol NOT IN (SELECT $idCol FROM $table WHERE $registryPred)),
+       |__first AS (SELECT band, k0, k1, min($idCol) AS first_id
+       |            FROM __batch GROUP BY band, k0, k1),
+       |__verdict AS (
+       |  SELECT b.$idCol,
+       |         max(b.$idCol > f.first_id OR r.band IS NOT NULL) AS dup
+       |  FROM __batch b
+       |  JOIN __first f ON b.band = f.band AND b.k0 = f.k0 AND b.k1 = f.k1
+       |  LEFT JOIN __reg r ON b.band = r.band AND b.k0 = r.k0 AND b.k1 = r.k1
+       |  GROUP BY b.$idCol)
+       |SELECT $selectCols
+       |FROM (SELECT * FROM $table WHERE NOT ($registryPred)) d
+       |LEFT JOIN __verdict v ON d.$idCol = v.$idCol
+       |WHERE NOT coalesce(v.dup, false)""".stripMargin
+  }
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.Dedup
+
+/** Streaming near-duplicate suppression: continuously ingest documents,
+  * keep only those that are not near-dups of ANY previously ingested
+  * document, first-writer wins (reference has no streaming dedup; this
+  * is the streaming face of the batch MinHash-LSH path —
+  * [[Dedup.minhashLshCandidates]] — for a corpus that arrives as a feed
+  * rather than a snapshot).
+  *
+  * Architecture: foreachBatch over a registry TABLE, not a state-store
+  * operator. Per micro-batch: stateless signatures (zero shuffles),
+  * first-claimant window + registry probe on the same bucket key, then
+  * two partitioned writes. The bucket-claim registry lives in storage —
+  * at 100 TB, dedup-against-all-history state is hundreds of billions of
+  * buckets, which belongs in a table co-bucketed with the probe join,
+  * not in executor state-store heap/disk; compaction of the batch_id
+  * partitions into a bucketed layout is ordinary table maintenance
+  * (see `ScaleTechniques.materializeBucketed`).
+  *
+  * Exactly-once without a transaction log: both outputs are partitioned
+  * by `batch_id` and written with per-partition OVERWRITE, and the
+  * registry read EXCLUDES the current batch id — so a replayed batch
+  * (crash between the two writes, restart from checkpoint) never
+  * collides with its own half-written claims and simply rewrites both
+  * partitions byte-identically (spec-pinned).
+  */
+object StreamingDedup {
+
+  /** One idempotent micro-batch step (also the unit the spec drives
+    * directly): suppress `batch` against all claims from OTHER batches,
+    * then overwrite this batch's kept/claims partitions. */
+  def batchStep(spark: SparkSession, registryDir: String, keptDir: String,
+      idCol: String, tsCol: String, textCol: String, n: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val registry = readPartitioned(spark, registryDir)
+      .filter(col("batch_id") =!= batchId)
+      .select("band", "k0", "k1")
+    val (kept, claims) =
+      Dedup.nearDupSuppress(batch, registry, idCol, tsCol, textCol, n)
+    kept.write.mode("overwrite").parquet(s"$keptDir/batch_id=$batchId")
+    claims.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** All batches of a batch_id-partitioned output (empty frame with the
+    * right columns when nothing has been written yet). */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.option("basePath", dir).parquet(dir)
+    else
+      spark.range(0)
+        .select(lit(0L).as("band"), lit(0L).as("k0"), lit(0L).as("k1"),
+          lit(0L).as("claimed_ts"), lit(0L).as("batch_id"))
+        .limit(0)
+  }
+
+  /** Wire a streaming document source through the suppressor. `docs`
+    * must carry (idCol, tsCol, textCol); kept documents land under
+    * `keptDir/batch_id=*`, bucket claims under `registryDir/batch_id=*`. */
+  def start(docs: DataFrame, registryDir: String, keptDir: String,
+      checkpointPath: String, idCol: String = "doc_id", tsCol: String = "ts",
+      textCol: String = "text", n: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batchStep(spark, registryDir, keptDir, idCol, tsCol, textCol, n)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+}
