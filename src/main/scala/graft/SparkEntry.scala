@@ -601,6 +601,18 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // DSIR-shaped corpus selection: score every document by how much its
+    // hashed-unigram distribution leans toward the src0 target corpus vs
+    // the corpus at large — add-one-smoothed integer count ratios summed
+    // per token occurrence (quantized-exact end to end; rationale and
+    // scale shape in TextOps.importanceScores).
+    "pipe_importance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.importanceScores(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Corpus reporting rollup: per-(source, lang), per-source subtotal,
     // and grand total in ONE aggregation pass (partial aggregates expand
     // to the grouping sets map-side — not three scans unioned).
@@ -1372,6 +1384,10 @@ object SparkEntry {
         s"SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
         s"ORDER BY ${TextOps.tokenHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS INTEGER) AS rk " +
         "FROM documents) WHERE rk <= 50 ORDER BY source, rk"),
+
+    "pipe_importance" ->
+      (s"SELECT * FROM (${TextOps.importanceScoresSql("documents",
+        "source = 'src0'", "doc_id", "text")}) ORDER BY doc_id"),
 
     "v3_unpivot" -> {
       val wideCte =

@@ -209,6 +209,79 @@ object TextOps {
     s"$h < $pct"
   }
 
+  // ---- importance scoring (DSIR-shaped corpus selection) ----------------
+
+  /** Hashed-unigram importance scores for corpus selection — the shape of
+    * Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    * rank raw documents by how much their token distribution leans toward
+    * a small target corpus's unigram model versus the raw corpus's own,
+    * then keep the top of the ranking as training data.
+    *
+    * Statistic (deliberate deviation from the paper's log weights): the
+    * per-token weight is the add-one-smoothed count ratio quantized to an
+    * integer, `w_q(t) = ((c_tgt(t)+1) * scale) div (c_raw(t)+1)`, and a
+    * document's score is the exact long sum of `w_q` over its token
+    * occurrences — not a sum of `ln` ratios. Both are monotone in
+    * per-token target-vs-raw affinity; the integer form is chosen because
+    * `ln` is a libm call whose last ulp differs across engines, which
+    * would make the cross-engine oracle flaky, while integer multiply /
+    * integer divide / long sums are bit-identical everywhere (the same
+    * quantized-exactness discipline as the TWA and histogram sketches).
+    *
+    * Scale shape: two map-side-combinable token-count aggregations, one
+    * vocabulary-sized left join to form the weight table, one fixed-width
+    * (8-byte hashed token) equi-join back to the token stream, and one
+    * per-doc long-sum — every shuffle is linear in token occurrences or
+    * vocabulary, nothing is ever pairwise in documents. Overflow bound:
+    * `(c_tgt+1)*scale` stays under 2^63 while the target corpus holds
+    * fewer than ~9e12 occurrences of one token at the default scale;
+    * per-doc sums stay under 2^63 for any document shorter than ~9e12 /
+    * max(w_q) tokens.
+    *
+    * Output: one row per raw document that has at least one token —
+    * (id, n_toks, score); tokenless documents emit no row (they carry no
+    * evidence either way; gate them on [[qualityFeatures]] instead). */
+  def importanceScores(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val rawToks = raw
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), tokenHash("__tok").as("tok"))
+    val tgtToks = target
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .select(tokenHash("__tok").as("tok"))
+    val cRaw = rawToks.groupBy("tok").agg(count(lit(1)).as("__cr"))
+    val cTgt = tgtToks.groupBy("tok").agg(count(lit(1)).as("__ct"))
+    val weights = cRaw.join(cTgt, Seq("tok"), "left_outer")
+      .select(col("tok"),
+        expr(s"((coalesce(__ct, 0L) + 1L) * ${scale}L) div (__cr + 1L)").as("__wq"))
+    rawToks.join(weights, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("__wq")).as("score"))
+  }
+
+  /** DuckDB twin of [[importanceScores]]: identical hashed-unigram
+    * counts, identical integer ratio quantization (`//` is DuckDB's
+    * integer floor division — both operands are positive, so it agrees
+    * with Spark's `div` truncation), identical long sums. `targetPred`
+    * selects the target subset of `table`. */
+  def importanceScoresSql(table: String, targetPred: String, id: String,
+      text: String, scale: Long = 1000000L): String = {
+    val toks = tokensSql(text)
+    val h = tokenHashSql("__tok")
+    s"WITH __rt AS (SELECT $id, $h AS tok FROM " +
+      s"(SELECT $id, unnest($toks) AS __tok FROM $table)), " +
+      s"__tt AS (SELECT $h AS tok FROM " +
+      s"(SELECT unnest($toks) AS __tok FROM $table WHERE $targetPred)), " +
+      "__cr AS (SELECT tok, count(*) AS c_r FROM __rt GROUP BY tok), " +
+      "__ct AS (SELECT tok, count(*) AS c_t FROM __tt GROUP BY tok), " +
+      s"__w AS (SELECT __cr.tok, ((COALESCE(__ct.c_t, 0) + 1) * $scale) // (__cr.c_r + 1) AS w_q " +
+      "FROM __cr LEFT JOIN __ct ON __cr.tok = __ct.tok) " +
+      s"SELECT __rt.$id, CAST(count(*) AS BIGINT) AS n_toks, " +
+      "CAST(sum(__w.w_q) AS BIGINT) AS score " +
+      s"FROM __rt JOIN __w ON __rt.tok = __w.tok GROUP BY __rt.$id"
+  }
+
   // ---- language ID ------------------------------------------------------
 
   /** Marker-token profiles (standard function-word n-gram heuristic).

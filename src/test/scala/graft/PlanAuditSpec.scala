@@ -91,6 +91,13 @@ class PlanAuditSpec extends SparkSpec {
       s"asofJoin lost its window carry:\n$p")
   }
 
+  test("importance scoring is equi-joins + hash aggregates, never pairwise in docs") {
+    val p = plan("pipe_importance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pipe_importance degenerated to a cross join:\n$p")
+    assert(p.contains("HashAggregate"), s"pipe_importance has no hash aggregation:\n$p")
+  }
+
   test("contamination probe is an equi-join with map-side partial aggregation") {
     val p = plan("d_contam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

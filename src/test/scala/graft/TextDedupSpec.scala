@@ -56,6 +56,43 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) === Seq())
   }
 
+  test("importanceScores: directional on synthetic docs, degenerate-safe") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "tgt", "alpha beta alpha"),
+      (2L, "raw", "alpha beta gamma"),   // target-leaning tokens
+      (3L, "raw", "zeta yota omicron"),  // tokens the target never uses
+      (4L, "raw", "   ")                 // tokenless: must emit no row
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.importanceScores(df,
+      df.filter(col("source") === "tgt"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(4L))
+    assert(got(2L)._1 === 3L && got(3L)._1 === 3L)
+    assert(got(2L)._2 > got(3L)._2)
+  }
+
+  test("importanceScores matches a brute-force reference on the fixture") {
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[Long] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        .map(_.foldLeft(0L)((a, c) => (a * TextOps.CharMul + c.toLong) % TextOps.P))
+    val rawToks = rows.map { case (id, _, t) => id -> toks(t) }
+    val cRaw = rawToks.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cTgt = rows.filter(_._2 == "src0").flatMap(r => toks(r._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = rawToks.filter(_._2.nonEmpty).map { case (id, ts) =>
+      id -> ((ts.size.toLong,
+        ts.map(t => (cTgt.getOrElse(t, 0L) + 1L) * 1000000L / (cRaw(t) + 1L)).sum))
+    }.toMap
+    val got = TextOps.importanceScores(docs,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
   test("exact dedup keeps lowest id per duplicate text") {
     val sess = spark
     import sess.implicits._
