@@ -613,6 +613,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ...and the selection step composed on top: keep the top-50 docs by
+    // importance (deterministic (score DESC, doc_id) order — TakeOrdered,
+    // no global sort) and report the realized per-source mixture of the
+    // kept set — the full select-then-audit loop of importance resampling.
+    "pipe_importance_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scores = TextOps.importanceScores(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      Relational.topK(scores, 50, col("score").desc, col("doc_id"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"),
+          max("score").as("best_score"))
+        .orderBy("source")
+    }),
+
     // Corpus reporting rollup: per-(source, lang), per-source subtotal,
     // and grand total in ONE aggregation pass (partial aggregates expand
     // to the grouping sets map-side — not three scans unioned).
@@ -1388,6 +1404,15 @@ object SparkEntry {
     "pipe_importance" ->
       (s"SELECT * FROM (${TextOps.importanceScoresSql("documents",
         "source = 'src0'", "doc_id", "text")}) ORDER BY doc_id"),
+
+    "pipe_importance_select" ->
+      (s"WITH __sc AS (SELECT * FROM (${TextOps.importanceScoresSql("documents",
+        "source = 'src0'", "doc_id", "text")})), " +
+        "__kept AS (SELECT doc_id, score FROM __sc ORDER BY score DESC, doc_id LIMIT 50) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "min(d.doc_id) AS first_doc, max(k.score) AS best_score " +
+        "FROM __kept k JOIN documents d ON d.doc_id = k.doc_id " +
+        "GROUP BY d.source ORDER BY source"),
 
     "v3_unpivot" -> {
       val wideCte =

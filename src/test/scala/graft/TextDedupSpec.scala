@@ -93,6 +93,41 @@ class TextDedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: importanceScores equals a brute-force reference on random corpora") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val genCase = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n, doc)
+      srcs <- Gen.listOfN(n, Gen.oneOf("tgt", "raw"))
+    } yield docs.zip(srcs).zipWithIndex.map { case ((t, s), i) => (i.toLong, s, t) }
+    def hash(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.P)
+    def toks(t: String): Seq[Long] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty).map(hash)
+    val prop = Prop.forAll(genCase) { case rows =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val got = TextOps.importanceScores(df,
+        df.filter(col("source") === "tgt"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val cRaw = rows.flatMap(r => toks(r._3)).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val cTgt = rows.filter(_._2 == "tgt").flatMap(r => toks(r._3))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val want = rows.flatMap { case (id, _, t) =>
+        val ts = toks(t)
+        if (ts.isEmpty) None
+        else Some(id -> ((ts.size.toLong,
+          ts.map(k => (cTgt.getOrElse(k, 0L) + 1L) * 1000000L / (cRaw(k) + 1L)).sum)))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("exact dedup keeps lowest id per duplicate text") {
     val sess = spark
     import sess.implicits._
