@@ -371,6 +371,28 @@ object SparkEntry {
           .groupBy("tok").agg(count(lit(1)).as("n")),
         20, col("n").desc, col("tok"))),
 
+    // PII scrub: per-class audit counts + redacted text. The fixture text
+    // carries no PII, so the query injects a synthetic contact suffix
+    // derived from doc_id IDENTICALLY in both engines — the oracle then
+    // genuinely exercises match-span agreement (Java regex vs RE2), not
+    // just a no-op replace.
+    "t_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 at 10.0.0."),
+        (col("doc_id") % 256).cast("string"))
+      val cols = TextOps.redactPii(aug).map { case (n, c) => c.as(n) }
+      Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window token chunking: long docs → overlapping training
+    // windows (32 tokens, overlap 8) — the doc-splitting partner of
+    // pipe_pack's doc-packing.
+    "t_chunks" -> ((s, d) =>
+      TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // ---- §7.1.8 dedup ----------------------------------------------------
     "d_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -1209,6 +1231,18 @@ object SparkEntry {
         s"CASE WHEN len($sh) > 0 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($sh)) AS DOUBLE) / CAST(len($sh) AS DOUBLE) END AS rep_ratio " +
         "FROM documents ORDER BY doc_id"
     },
+
+    "t_redact" -> {
+      val aug = "(text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR))"
+      val f = TextOps.redactPiiSql(aug)
+      s"SELECT doc_id, ${f("n_emails")} AS n_emails, ${f("n_phones")} AS n_phones, " +
+        s"${f("n_ips")} AS n_ips, ${f("clean")} AS clean FROM documents ORDER BY doc_id"
+    },
+
+    "t_chunks" ->
+      (s"SELECT * FROM (${TextOps.chunkTokensSql("documents", "doc_id", "text", 32, 8)}) " +
+        "ORDER BY doc_id, chunk_id"),
 
     "d_exact" ->
       ("SELECT doc_id, n_chars FROM (" +

@@ -282,6 +282,86 @@ object TextOps {
       s"FROM __rt JOIN __w ON __rt.tok = __w.tok GROUP BY __rt.$id"
   }
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Redaction patterns: emails, NNN-NNN-NNNN phone numbers, IPv4-shaped
+    * dotted quads. Alternation-free character-class regexes on purpose:
+    * Spark matches with Java's backtracking-greedy engine and DuckDB with
+    * RE2's leftmost-longest engine, and for patterns of this shape (each
+    * alternative-free, quantifiers over disjoint-enough classes) the two
+    * disciplines select identical spans — which is what lets the redacted
+    * TEXT itself be oracle-checked, not just the counts. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub for a text column: per-class match counts (the audit
+    * trail a redaction pass must emit) + the text with every match
+    * replaced by a typed placeholder. Counts are measured on the input
+    * text independently per class; replacement is sequential
+    * email → phone → IP (identical order in the SQL twin). Scan-shaped:
+    * pure projections, no shuffle, no UDF. */
+  def redactPii(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    "clean" -> regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>"))
+
+  def redactPiiSql(text: String): Map[String, String] = Map(
+    "n_emails" -> s"CAST(len(regexp_extract_all($text, '$EmailRe')) AS INTEGER)",
+    "n_phones" -> s"CAST(len(regexp_extract_all($text, '$PhoneRe')) AS INTEGER)",
+    "n_ips" -> s"CAST(len(regexp_extract_all($text, '$Ipv4Re')) AS INTEGER)",
+    "clean" -> ("regexp_replace(regexp_replace(regexp_replace(" +
+      s"$text, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g')"))
+
+  // ---- token chunking ---------------------------------------------------
+
+  /** Sliding-window token chunking: split each document's token stream
+    * into training-window rows of `chunkSize` tokens overlapping by
+    * `overlap` (stride = chunkSize − overlap). Chunk k starts at token
+    * k·stride; a document of n > 0 tokens yields
+    * 1 + ceil(max(0, n − chunkSize) / stride) chunks (the last may be
+    * short); tokenless documents yield none. Pure explode — linear in
+    * token count, shuffle-free until whatever consumes the chunks. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, (greatest(0, __n - $chunkSize) + ${stride - 1}) div $stride)")))
+      .withColumn("chunk_id", col("chunk_id").cast("int"))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"slice(__toks, chunk_id * $stride + 1, $chunkSize)").as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).as("n_toks"),
+        array_join(col("__c"), " ").as("chunk"))
+  }
+
+  /** DuckDB twin of [[chunkTokens]]: identical chunk-count arithmetic
+    * (`//` floor division on non-negative ints ≡ Spark `div`), identical
+    * 1-based inclusive slicing (both engines clamp at the list end). */
+  def chunkTokensSql(table: String, id: String, text: String,
+      chunkSize: Int, overlap: Int): String = {
+    val stride = chunkSize - overlap
+    s"SELECT $id, chunk_id, CAST(len(__c) AS INTEGER) AS n_toks, " +
+      "array_to_string(__c, ' ') AS chunk FROM (" +
+      s"SELECT $id, CAST(k AS INTEGER) AS chunk_id, " +
+      s"list_slice(__toks, k * $stride + 1, k * $stride + $chunkSize) AS __c FROM (" +
+      s"SELECT $id, __toks, unnest(range(0, " +
+      s"(greatest(0, len(__toks) - $chunkSize) + ${stride - 1}) // $stride + 1)) AS k " +
+      s"FROM (SELECT $id, ${tokensSql(text)} AS __toks FROM $table) " +
+      "WHERE len(__toks) > 0))"
+  }
+
   // ---- language ID ------------------------------------------------------
 
   /** Marker-token profiles (standard function-word n-gram heuristic).

@@ -128,6 +128,49 @@ class TextDedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("redactPii: counts and typed placeholders, untouched text passes through") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.co.uk now"),
+      (2L, "call 555-123-4567 or 555-999-0000"),
+      (3L, "host 192.168.0.1 up"),
+      (4L, "plain text only"),
+      (5L, "a@b.io 111-222-3333 1.2.3.4")).toDF("doc_id", "text")
+    val cols = TextOps.redactPii(col("text")).map { case (n, c) => c.as(n) }
+    val got = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) === ((1, 0, 0, "mail <EMAIL> now")))
+    assert(got(2L) === ((0, 2, 0, "call <PHONE> or <PHONE>")))
+    assert(got(3L) === ((0, 0, 1, "host <IP> up")))
+    assert(got(4L) === ((0, 0, 0, "plain text only")))
+    assert(got(5L) === ((1, 1, 1, "<EMAIL> <PHONE> <IP>")))
+  }
+
+  test("chunkTokens: sliding windows with overlap, short/empty docs behave") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks
+      (2L, "a b c"),                          // fits one chunk
+      (3L, "   ")                             // tokenless: no rows
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    // stride 2: chunks at offsets 0,2,4,6 — full coverage, last chunk full
+    assert(got.keys.count(_._1 == 1L) === 4)
+    assert(got((1L, 0)) === ((4, "t0 t1 t2 t3")))
+    assert(got((1L, 1)) === ((4, "t2 t3 t4 t5")))
+    assert(got((1L, 3)) === ((4, "t6 t7 t8 t9")))
+    assert(got((2L, 0)) === ((3, "a b c")))
+    assert(!got.keys.exists(_._1 == 3L))
+    // a ragged tail stays short, never pads or drops
+    val ragged = TextOps.chunkTokens(Seq((9L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .collect().map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(ragged === Map(0 -> "x1 x2 x3 x4", 1 -> "x3 x4 x5"))
+  }
+
   test("exact dedup keeps lowest id per duplicate text") {
     val sess = spark
     import sess.implicits._
