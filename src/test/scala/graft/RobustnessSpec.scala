@@ -36,6 +36,34 @@ class RobustnessSpec extends SparkSpec {
     assert(df.select(TextOps.qualityScore(col("text"))).count() === 4)
   }
 
+  test("redact/chunk/importance: NULL and tokenless docs degrade, never fail") {
+    val df = docs((1L, null), (2L, ""), (3L, "   "),
+      (4L, "write a@b.io now"), (5L, "plain words only"))
+    // redaction: NULL text → NULL counts and NULL clean (SQL semantics);
+    // empty text passes through with zero counts
+    val red = df.select(col("doc_id") +:
+      TextOps.redactPii(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some((r.getInt(1), r.getString(4))))).toMap
+    assert(red(1L) === None)
+    assert(red(2L) === Some((0, "")))
+    assert(red(4L) === Some((1, "write <EMAIL> now")))
+    assert(red(5L) === Some((0, "plain words only")))
+    // chunking and importance scoring: NULL/empty/whitespace docs emit no
+    // rows; the real docs still come through
+    val ch = TextOps.chunkTokens(df, "doc_id", "text", 4, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ch === Set(4L, 5L))
+    val imp = TextOps.importanceScores(df, df.filter(col("doc_id") === 4L),
+      "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(imp === Set(4L, 5L))
+    // empty target corpus: every weight falls back to smoothing, no failure
+    val noTgt = TextOps.importanceScores(df, df.filter(col("doc_id") < 0L),
+      "doc_id", "text")
+    assert(noTgt.count() === 2)
+  }
+
   test("dedup ops: NULL/empty docs vanish from pair generation instead of failing") {
     val df = docs((1L, null), (2L, ""), (3L, "alpha beta gamma"), (4L, "alpha beta gamma"))
     val jac = Dedup.jaccardPairs(df, "doc_id", "text", Nil, 0.5)
