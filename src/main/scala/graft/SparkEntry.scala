@@ -635,6 +635,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The hashed-bigram unit (the DSIR paper's n-gram form): same plan,
+    // shingle occurrences instead of token occurrences.
+    "pipe_importance_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.importanceScores(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
     // ...and the selection step composed on top: keep the top-50 docs by
     // importance (deterministic (score DESC, doc_id) order — TakeOrdered,
     // no global sort) and report the realized per-source mixture of the
@@ -1438,6 +1447,10 @@ object SparkEntry {
     "pipe_importance" ->
       (s"SELECT * FROM (${TextOps.importanceScoresSql("documents",
         "source = 'src0'", "doc_id", "text")}) ORDER BY doc_id"),
+
+    "pipe_importance_ngram" ->
+      (s"SELECT * FROM (${TextOps.importanceScoresSql("documents",
+        "source = 'src0'", "doc_id", "text", n = 2)}) ORDER BY doc_id"),
 
     "pipe_importance_select" ->
       (s"WITH __sc AS (SELECT * FROM (${TextOps.importanceScoresSql("documents",

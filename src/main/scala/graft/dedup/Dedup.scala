@@ -59,29 +59,19 @@ object Dedup {
   }
 
   /** N-gram shingle array from an ALREADY-MATERIALIZED token-array
-    * column. `toks` must be a plain column reference, never an inline
-    * `split(...)` expression: every `element_at(toks, i+k)` inside the
-    * transform lambda re-evaluates its subtree, so an inline split makes
-    * shingling O(tokens²) regex work per document (observed as a 10-50×
-    * slowdown on real documents). */
+    * column — shared text machinery, lives in [[TextOps]] (importance
+    * scoring shingles with the same recipe); kept here as the dedup
+    * suite's entry point. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array())
+    TextOps.shinglesFromTokens(toks, n)
 
   /** N-gram (token shingle) array, n consecutive tokens joined by ' '.
     * Only safe on a pre-projected token column — see
     * [[shinglesFromTokens]]; prefer that entry point. */
   def shingles(textCol: Column, n: Int): Column =
     shinglesFromTokens(TextOps.tokens(textCol), n)
-  def shinglesSql(text: String, n: Int): String = {
-    val toks = TextOps.tokensSql(text)
-    val parts = (0 until n).map(k => s"($toks)[i + $k]").mkString(" || ' ' || ")
-    s"CASE WHEN len($toks) >= $n THEN " +
-      s"list_transform(range(1, len($toks) - ${n - 1} + 1), i -> $parts) " +
-      s"ELSE [] END"
-  }
+  def shinglesSql(text: String, n: Int): String =
+    TextOps.shinglesSql(text, n)
 
   /** N-gram-Jaccard near-dup pairs via inverted index (n = 1 → unigram),
     * optionally blocked. Output: (id_a, id_b, common, n_a, n_b,

@@ -209,6 +209,28 @@ object TextOps {
     s"$h < $pct"
   }
 
+  // ---- n-gram shingles --------------------------------------------------
+
+  /** N-gram shingle array from an ALREADY-MATERIALIZED token-array
+    * column. `toks` must be a plain column reference, never an inline
+    * `split(...)` expression: every `element_at(toks, i+k)` inside the
+    * transform lambda re-evaluates its subtree, so an inline split makes
+    * shingling O(tokens²) regex work per document (observed as a 10-50×
+    * slowdown on real documents). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array())
+
+  def shinglesSql(text: String, n: Int): String = {
+    val toks = tokensSql(text)
+    val parts = (0 until n).map(k => s"($toks)[i + $k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $n THEN " +
+      s"list_transform(range(1, len($toks) - ${n - 1} + 1), i -> $parts) " +
+      s"ELSE [] END"
+  }
+
   // ---- importance scoring (DSIR-shaped corpus selection) ----------------
 
   /** Hashed-unigram importance scores for corpus selection — the shape of
@@ -243,12 +265,17 @@ object TextOps {
     * evidence either way; gate them on [[qualityFeatures]] instead). */
   def importanceScores(raw: org.apache.spark.sql.DataFrame,
       target: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    val rawToks = raw
-      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      scale: Long = 1000000L, n: Int = 1): org.apache.spark.sql.DataFrame = {
+    // n > 1 scores hashed n-gram occurrences (the DSIR paper's unit);
+    // shingle arrays are built from a materialized token column (the
+    // same O(tokens) discipline as the dedup suite)
+    def units(df: org.apache.spark.sql.DataFrame, pre: Seq[Column]) =
+      if (n == 1) df.select(pre :+ explode(tokens(col(textCol))).as("__tok"): _*)
+      else df.select(pre :+ tokens(col(textCol)).as("__toks"): _*)
+        .select(pre :+ explode(shinglesFromTokens(col("__toks"), n)).as("__tok"): _*)
+    val rawToks = units(raw, Seq(col(idCol)))
       .select(col(idCol), tokenHash("__tok").as("tok"))
-    val tgtToks = target
-      .select(explode(tokens(col(textCol))).as("__tok"))
+    val tgtToks = units(target, Seq.empty)
       .select(tokenHash("__tok").as("tok"))
     val cRaw = rawToks.groupBy("tok").agg(count(lit(1)).as("__cr"))
     val cTgt = tgtToks.groupBy("tok").agg(count(lit(1)).as("__ct"))
@@ -266,8 +293,8 @@ object TextOps {
     * with Spark's `div` truncation), identical long sums. `targetPred`
     * selects the target subset of `table`. */
   def importanceScoresSql(table: String, targetPred: String, id: String,
-      text: String, scale: Long = 1000000L): String = {
-    val toks = tokensSql(text)
+      text: String, scale: Long = 1000000L, n: Int = 1): String = {
+    val toks = if (n == 1) tokensSql(text) else shinglesSql(text, n)
     val h = tokenHashSql("__tok")
     s"WITH __rt AS (SELECT $id, $h AS tok FROM " +
       s"(SELECT $id, unnest($toks) AS __tok FROM $table)), " +

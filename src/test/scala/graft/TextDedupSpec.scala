@@ -73,6 +73,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L)._2 > got(3L)._2)
   }
 
+  test("importanceScores n=2 scores bigram occurrences exactly") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "tgt", "a b c"),      // target bigrams: "a b", "b c"
+      (2L, "raw", "a b x"),      // shares "a b"
+      (3L, "raw", "y z")         // disjoint bigram "y z"
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.importanceScores(df,
+      df.filter(col("source") === "tgt"), "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // raw counts: "a b"=2, "b c"=1, "a b x"? bigrams of doc2: "a b","b x";
+    // doc3: "y z". tgt counts: "a b"=1, "b c"=1.
+    // doc1: (2*1e6)/3 + (2*1e6)/2 ; doc2: (2*1e6)/3 + (1*1e6)/2 ; doc3: 1e6/2
+    assert(got(1L) === ((2L, 2000000L / 3 + 1000000L)))
+    assert(got(2L) === ((2L, 2000000L / 3 + 500000L)))
+    assert(got(3L) === ((1L, 500000L)))
+  }
+
   test("importanceScores matches a brute-force reference on the fixture") {
     val rows = docs.select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
