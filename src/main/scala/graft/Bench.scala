@@ -1,22 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // let AQE pick reduce-side parallelism by bytes, not by a fixed
-      // count: a big shuffle (the 100× inverted-index / banded pair
-      // joins) fans out to 8× cores and avoids per-task spill, while at
-      // small SF AQE coalesces right back down — measured at 100×:
-      // d_simhash_pairs 24.2→16.6 s, total pair suite −19%, sf0.1 flat
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the benched configuration IS the recommended deployment config —
+    // scale-proportional reduce parallelism rationale in GraftSession
+    val spark = GraftSession.local(cpus.toInt, "graft-bench")
     // absorb JVM/codegen/parquet-reader init outside the timed region —
     // otherwise whichever query runs first is charged ~30s of warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()

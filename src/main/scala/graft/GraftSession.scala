@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The recommended session configuration for this engine, in one place —
+  * what a deployment would put behind `--conf`, and what the harness
+  * mains (`Bench`/`Verify`/`ProfileQuery`) apply so the benched
+  * configuration IS the recommended one.
+  *
+  *  - `shuffle.partitions = cores`: the AQE floor; fine for small inputs.
+  *  - `initialPartitionNum = 8 × cores`: the scale lever — large shuffles
+  *    fan out to byte-sized reduce tasks (no per-task spill when the data
+  *    grows 100×) and AQE coalesces small shuffles right back down, so
+  *    one config is correct across orders of magnitude of input. Measured
+  *    (BENCH_SCALE.md): −19% on the two heaviest 100× pair queries and
+  *    −22% on the full sf0.1 sweep vs the fixed-count config.
+  *  - UTC session time zone: every temporal oracle twin assumes it.
+  *  - `graft.functions.GraftExtensions` registers the native SQL
+  *    functions (`poly_hash`, `float_vec_dot`, ...) at session build.
+  *
+  * On a real cluster replace `cores` with the executor-core total; the
+  * ratios carry.
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores * 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+
+  /** A local session with the recommended configuration (the harness
+    * shape: `local[cores]`, UI off). */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = configure(SparkSession.builder(), cores)
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
