@@ -386,6 +386,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style line filter: the fixture text is single-line, so the query
+    // appends a known multi-line tail identically in both engines — one
+    // line too short, one keepable, one unpunctuated — and the oracle
+    // checks counts AND the filtered text itself.
+    "t_line_filter" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit("\nshort line\nThis tail line has enough words and ends well.\nno punct line here"))
+      val cols = TextOps.lineQualityFilter(aug).map { case (n, c) => c.as(n) }
+      Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
     // Sliding-window token chunking: long docs → overlapping training
     // windows (32 tokens, overlap 8) — the doc-splitting partner of
     // pipe_pack's doc-packing.
@@ -1252,6 +1264,15 @@ object SparkEntry {
     "t_chunks" ->
       (s"SELECT * FROM (${TextOps.chunkTokensSql("documents", "doc_id", "text", 32, 8)}) " +
         "ORDER BY doc_id, chunk_id"),
+
+    "t_line_filter" -> {
+      val aug = "(text || chr(10) || 'short line' || chr(10) || " +
+        "'This tail line has enough words and ends well.' || chr(10) || " +
+        "'no punct line here')"
+      val f = TextOps.lineQualityFilterSql(aug)
+      s"SELECT doc_id, ${f("n_lines")} AS n_lines, ${f("n_kept")} AS n_kept, " +
+        s"${f("clean_text")} AS clean_text FROM documents ORDER BY doc_id"
+    },
 
     "d_exact" ->
       ("SELECT doc_id, n_chars FROM (" +

@@ -309,6 +309,39 @@ object TextOps {
       s"FROM __rt JOIN __w ON __rt.tok = __w.tok GROUP BY __rt.$id"
   }
 
+  // ---- line-level quality filtering -------------------------------------
+
+  /** C4/Gopher-style line filtering: keep only lines with at least
+    * `minWords` whitespace words AND a terminal-punctuation ending
+    * (`. ! ? "`), emit the per-doc audit counts + the filtered text.
+    * The famous web-corpus cleanup that doc-level scoring
+    * ([[qualityFeatures]]) can't express — boilerplate navigation lines
+    * die here while the prose survives. Pure array lambdas over one
+    * split: scan-shaped, no shuffle, no UDF; the ending test is an
+    * anchored character class, span-identical under Java regex and RE2
+    * (same argument as [[redactPii]]). */
+  def lineQualityFilter(text: Column, minWords: Int = 3): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      size(array_remove(split(trim(l), "\\s+"), "")) >= minWords &&
+        l.rlike("[.!?\"]\\s*$"))
+    Seq(
+      "n_lines" -> size(lines),
+      "n_kept" -> size(kept),
+      "clean_text" -> array_join(kept, "\n"))
+  }
+
+  def lineQualityFilterSql(text: String, minWords: Int = 3): Map[String, String] = {
+    val lines = s"string_split($text, chr(10))"
+    val kept = s"list_filter($lines, __l -> " +
+      s"len(list_filter(regexp_split_to_array(trim(__l), '\\s+'), __w -> __w <> '')) >= $minWords " +
+      """AND regexp_matches(__l, '[.!?"]\s*$'))"""
+    Map(
+      "n_lines" -> s"CAST(len($lines) AS INTEGER)",
+      "n_kept" -> s"CAST(len($kept) AS INTEGER)",
+      "clean_text" -> s"array_to_string($kept, chr(10))")
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns: emails, NNN-NNN-NNNN phone numbers, IPv4-shaped

@@ -147,6 +147,23 @@ class TextDedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("lineQualityFilter keeps punctuated prose, drops short/unpunctuated lines") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "Home | About | Contact\nThis is a real sentence with substance.\nok.\nAnother good line stands here!"),
+      (2L, "all lines fail\nshort.\nno ending punct at all"),
+      (3L, "One single proper line survives intact.")).toDF("doc_id", "text")
+    val cols = TextOps.lineQualityFilter(col("text")).map { case (n, c) => c.as(n) }
+    val got = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc1: nav line has 5 words but no terminal punct; "ok." too short
+    assert(got(1L) === ((4, 2,
+      "This is a real sentence with substance.\nAnother good line stands here!")))
+    assert(got(2L) === ((3, 0, "")))
+    assert(got(3L) === ((1, 1, "One single proper line survives intact.")))
+  }
+
   test("redactPii: counts and typed placeholders, untouched text passes through") {
     val sess = spark
     import sess.implicits._
