@@ -405,6 +405,14 @@ object SparkEntry {
       TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text", 32, 8)
         .orderBy("doc_id", "chunk_id")),
 
+    // Train-a-cheap-classifier-then-apply, end to end: multinomial NB
+    // over hashed tokens with quantized-integer weights, trained on the
+    // hash-split train docs and evaluated on the held-out test docs —
+    // output is the language-ID confusion matrix.
+    "t_classify" -> ((s, d) =>
+      TextOps.nbClassify(Tables.documents(s, d), "doc_id", "text", "lang")
+        .orderBy("true_class", "pred_class")),
+
     // ---- §7.1.8 dedup ----------------------------------------------------
     "d_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -483,6 +491,14 @@ object SparkEntry {
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
+
+    // SemDeDup: semantic dedup blocked by a LEARNED k-means bucket
+    // instead of a label — cluster the embedding corpus, find
+    // within-bucket cosine pairs, connect into duplicate groups, keep
+    // the lowest-id representative. One audit row per vector.
+    "pipe_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), 64)
+        .orderBy("vec_id")),
 
     // As-of join: each purchase picks up the user's latest click at or
     // before it (inclusive; greatest (ts, event_id) wins ties) — the
@@ -1265,6 +1281,10 @@ object SparkEntry {
       (s"SELECT * FROM (${TextOps.chunkTokensSql("documents", "doc_id", "text", 32, 8)}) " +
         "ORDER BY doc_id, chunk_id"),
 
+    "t_classify" ->
+      (s"SELECT * FROM (${TextOps.nbClassifySql("documents", "doc_id", "text", "lang")}) " +
+        "ORDER BY true_class, pred_class"),
+
     "t_line_filter" -> {
       val aug = "(text || chr(10) || 'short line' || chr(10) || " +
         "'This tail line has enough words and ends well.' || chr(10) || " +
@@ -1390,6 +1410,9 @@ object SparkEntry {
         "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
         s"WHERE ${Similarity.cosineSql("a.embedding", "b.embedding", 64)} >= 0.4 " +
         "ORDER BY id_a, id_b"),
+
+    "pipe_semdedup" ->
+      Similarity.semDedupSql("embeddings", 64),
 
     "s_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +

@@ -229,6 +229,10 @@ object Similarity {
     * pipeline per collect; lineage is lazy, not memoized). */
   def assignClustersLocal(df: DataFrame, cents: Array[(Int, Seq[Double])],
       vecCol: String = "embedding"): DataFrame = {
+    // empty index (only reachable from an empty corpus): an argless
+    // array() literal is NullType and fails analysis — keep the schema,
+    // emit no cluster
+    if (cents.isEmpty) return df.withColumn("cluster", lit(null).cast("int"))
     val scores = array(cents.map { case (_, c) =>
       graft.functions.NativeExprs.floatDoubleVecDot(col(vecCol), array(c.map(lit): _*))
     }: _*)
@@ -274,15 +278,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Oracle twin for [[ivfTopK]] (iters = 1): the SAME quantized-integer
-    * centroid arithmetic — component sums of `round(f * 2^20)` BIGINTs
-    * (order-free), one correctly-rounded double division — so every
-    * centroid, every argmax assignment, every probe choice, and hence
-    * the exact candidate set match Spark bit-for-bit. Dots are the same
-    * index-order list folds as [[dotSql]]; argmax ties resolve to the
-    * lowest cluster id on both sides. */
-  def ivfTopKSql(table: String, queryPred: String, k: Int, dim: Int,
-      nCentroids: Int = 8, nProbe: Int = 3): String = {
+  /** CTE chain for the bit-reproducible k-means-lite index (iters = 1):
+    * seed by `vec_id % nCentroids`, quantized-integer means, one Lloyd
+    * round, final assignment. Ends in `__cf(cluster, cl)` (the final
+    * centroids) and `__asg(vec_id, embedding, cluster)` (every corpus
+    * vector under its final centroid) — shared verbatim by the IVF and
+    * SemDeDup oracles so both compose the SAME index arithmetic. */
+  private def kmeansAssignCtes(table: String, dim: Int, nCentroids: Int): String = {
     val q = CentroidQ
     def dotCl(v: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
@@ -294,28 +296,43 @@ object Similarity {
       s"""SELECT cluster, list(c ORDER BY i) AS cl FROM (
          |    SELECT cluster, i, CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $q) AS c
          |    FROM $qSrc GROUP BY cluster, i) GROUP BY cluster""".stripMargin
-    s"""WITH __seed AS (
+    def assign(centCte: String) =
+      s"""SELECT vec_id, embedding, cluster FROM (
+         |    SELECT vec_id, embedding, cluster,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
+         |    FROM (SELECT e.vec_id, e.embedding, c.cluster, ${dotCl("e.embedding")} AS d
+         |          FROM $table e CROSS JOIN $centCte c)) WHERE rn = 1""".stripMargin
+    s"""__seed AS (
        |  SELECT vec_id, CAST(vec_id % $nCentroids AS INTEGER) AS cluster, embedding FROM $table
        |), __q0 AS (
        |  ${quantize("__seed")}
        |), __c0 AS (
        |  ${means("__q0")}
        |), __a1 AS (
-       |  SELECT vec_id, embedding, cluster FROM (
-       |    SELECT vec_id, embedding, cluster,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
-       |    FROM (SELECT e.vec_id, e.embedding, c.cluster, ${dotCl("e.embedding")} AS d
-       |          FROM $table e CROSS JOIN __c0 c)) WHERE rn = 1
+       |  ${assign("__c0")}
        |), __q1 AS (
        |  ${quantize("__a1")}
        |), __cf AS (
        |  ${means("__q1")}
-       |), __cb AS (
-       |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cluster FROM (
-       |    SELECT vec_id, embedding, cluster,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster) AS rn
-       |    FROM (SELECT e.vec_id, e.embedding, c.cluster, ${dotCl("e.embedding")} AS d
-       |          FROM $table e CROSS JOIN __cf c)) WHERE rn = 1
+       |), __asg AS (
+       |  ${assign("__cf")}
+       |)""".stripMargin
+  }
+
+  /** Oracle twin for [[ivfTopK]] (iters = 1): the SAME quantized-integer
+    * centroid arithmetic — component sums of `round(f * 2^20)` BIGINTs
+    * (order-free), one correctly-rounded double division — so every
+    * centroid, every argmax assignment, every probe choice, and hence
+    * the exact candidate set match Spark bit-for-bit. Dots are the same
+    * index-order list folds as [[dotSql]]; argmax ties resolve to the
+    * lowest cluster id on both sides. */
+  def ivfTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3): String = {
+    def dotCl(v: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * c.cl[i])), (acc, x) -> acc + x)"
+    s"""WITH ${kmeansAssignCtes(table, dim, nCentroids)}, __cb AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cluster FROM __asg
        |), __qp AS (
        |  SELECT query_id, q_vec, cluster FROM (
        |    SELECT query_id, q_vec, cluster,
@@ -335,6 +352,61 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means the embedding corpus into
+    * `nCentroids` buckets, find within-bucket pairs with cosine >=
+    * `threshold`, connect them into duplicate groups, and keep the
+    * lowest-id representative of each group. Returns one audit row per
+    * corpus vector: (id, bucket, rep, kept).
+    *
+    * Scale shape: the k-means index is [[ivfCentroids]] (broadcast-
+    * centroid argmax projection, one hash aggregate per Lloyd round),
+    * candidate generation is [[nearDupPairs]]' equi-join on the LEARNED
+    * bucket key — the paper's trick for avoiding the corpus² cosine
+    * matrix — and the group fixpoint is [[graft.dedup.Dedup.clusters]]'
+    * label propagation. Known SemDeDup recall caveat applies: a dup pair
+    * split across a k-means boundary is not a candidate; both engines
+    * compute the identical candidate set, so the oracle is still
+    * cell-exact. */
+  def semDedup(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
+    val assigned = assignClustersLocal(corpus.select(col(idCol), col(vecCol)), cents, vecCol)
+      .withColumnRenamed("cluster", "bucket")
+    val pairs = nearDupPairs(assigned, "bucket", threshold, dim, idCol, vecCol)
+    graft.dedup.Dedup.clusters(corpus.select(col(idCol)), pairs, idCol)
+      .select(col("id").as(idCol), col("cluster").as("rep"))
+      .join(assigned.select(col(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol), col("bucket"), col("rep"),
+        (col(idCol) === col("rep")).as("kept"))
+  }
+
+  /** Oracle twin for [[semDedup]]: the shared [[kmeansAssignCtes]] index
+    * (bit-identical centroids and assignments), the same within-bucket
+    * cosine pair predicate, and the recursive-CTE reachability fixpoint
+    * the near-dup cluster oracles use. */
+  def semDedupSql(table: String, dim: Int, nCentroids: Int = 8,
+      threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE ${kmeansAssignCtes(table, dim, nCentroids)}, __pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM __asg a JOIN __asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding", dim)} >= $threshold
+       |), __sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM __pairs
+       |  UNION ALL SELECT id_b, id_a FROM __pairs
+       |), __reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM $table
+       |  UNION
+       |  SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src
+       |), __cc AS (
+       |  SELECT src AS vec_id, min(dst) AS rep FROM __reach GROUP BY src
+       |)
+       |SELECT c.vec_id, a.cluster AS bucket, c.rep, c.vec_id = c.rep AS kept
+       |FROM __cc c JOIN __asg a USING (vec_id)
+       |ORDER BY c.vec_id""".stripMargin
 
   /** Per-label class centroids with the same bit-reproducible
     * quantized-integer means as [[ivfCentroids]] — the "class geometry"

@@ -309,6 +309,96 @@ object TextOps {
       s"FROM __rt JOIN __w ON __rt.tok = __w.tok GROUP BY __rt.$id"
   }
 
+  // ---- naive-Bayes-shaped text classification ---------------------------
+
+  /** Hashed-token multinomial classifier with the quantized-integer
+    * weight discipline of [[importanceScores]] — the fastText-shaped
+    * "train a cheap linear classifier on a labeled slice, apply it to
+    * the corpus" step of a curation pipeline (language ID, quality
+    * tiering), evaluated end to end: train on the [[hashSplit]] `train`
+    * docs, predict the held-out `test` docs, return the confusion
+    * matrix.
+    *
+    * Per-class per-token weight is the add-one-smoothed count ratio
+    * quantized to an integer, `w_q(c,t) = ((n(t|c)+1) * scale) div
+    * (N_c + V)` — the multinomial naive-Bayes likelihood with the same
+    * deliberate deviation as [[importanceScores]]: an integer ratio sum
+    * instead of a log-probability sum, because `ln`'s last ulp is
+    * engine-specific while integer multiply/divide and long sums are
+    * bit-identical everywhere. A document's per-class score is the long
+    * sum of `w_q` over its in-vocabulary token occurrences; prediction
+    * is the argmax (ties to the lexicographically first class — pinned
+    * in both engines). Out-of-vocabulary tokens drop on both sides;
+    * documents with no in-vocabulary token emit no row.
+    *
+    * Scale shape: one map-side-combinable (class, token) count, one
+    * class-count aggregate, one vocabulary-sized weight build (vocab ×
+    * classes rows), one 8-byte-key equi-join back to the held-out token
+    * stream, one per-(doc, class) long sum, one per-doc argmax window.
+    * Nothing is pairwise in documents; the widest shuffle is token
+    * occurrences × classes. */
+  def nbClassify(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, classCol: String,
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .withColumn("__split", hashSplit(col(idCol)))
+      .select(col(idCol), col(classCol), col("__split"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col(classCol), col("__split"),
+        tokenHash("__tok").as("tok"))
+    val train = toks.filter(col("__split") === "train")
+    val held = toks.filter(col("__split") === "test")
+    val counts = train.groupBy(col(classCol).as("__cls"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = train.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).as("__t"))
+    val vocab = train.select("tok").distinct()
+    // scalar vocabulary size joined in like A3's scalar-agg subquery:
+    // broadcast one row, never a collect
+    val vsize = broadcast(vocab.agg(count(lit(1)).as("__v")))
+    val weights = vocab.crossJoin(broadcast(totals))
+      .join(counts, Seq("tok", "__cls"), "left")
+      .crossJoin(vsize)
+      .select(col("tok"), col("__cls"),
+        expr(s"((coalesce(__c, 0L) + 1L) * ${scale}L) div (__t + __v)").as("__w"))
+    val scored = held.join(weights, Seq("tok"))
+      .groupBy(col(idCol), col(classCol), col("__cls"))
+      .agg(sum(col("__w")).as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__cls"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(classCol).as("true_class"), col("__cls").as("pred_class"))
+      .groupBy("true_class", "pred_class")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+  }
+
+  /** DuckDB twin of [[nbClassify]]: identical hash split, identical
+    * hashed-token counts, identical integer weight quantization (`//`
+    * floor division agrees with Spark's `div` on these all-positive
+    * operands), identical long sums and argmax tie-break. */
+  def nbClassifySql(table: String, id: String, text: String, cls: String,
+      scale: Long = 1000000L): String = {
+    val h = tokenHashSql("__tok")
+    s"WITH __tk AS (SELECT $id, $cls, __split, $h AS tok FROM " +
+      s"(SELECT $id, $cls, ${hashSplitSql(id)} AS __split, " +
+      s"unnest(${tokensSql(text)}) AS __tok FROM $table)), " +
+      s"__tr AS (SELECT $cls, tok FROM __tk WHERE __split = 'train'), " +
+      s"__ev AS (SELECT $id, $cls, tok FROM __tk WHERE __split = 'test'), " +
+      s"__c AS (SELECT $cls, tok, count(*) AS c FROM __tr GROUP BY $cls, tok), " +
+      s"__t AS (SELECT $cls, count(*) AS t FROM __tr GROUP BY $cls), " +
+      "__v AS (SELECT count(DISTINCT tok) AS v FROM __tr), " +
+      "__vt AS (SELECT DISTINCT tok FROM __tr), " +
+      s"__w AS (SELECT __vt.tok, __t.$cls, ((COALESCE(__c.c, 0) + 1) * $scale) // (__t.t + __v.v) AS w " +
+      "FROM __vt CROSS JOIN __t CROSS JOIN __v " +
+      s"LEFT JOIN __c ON __c.tok = __vt.tok AND __c.$cls = __t.$cls), " +
+      s"__s AS (SELECT e.$id, e.$cls AS true_class, w.$cls AS pred_class, sum(w.w) AS score " +
+      s"FROM __ev e JOIN __w w ON e.tok = w.tok GROUP BY e.$id, e.$cls, w.$cls), " +
+      s"__p AS (SELECT $id, true_class, pred_class, " +
+      s"row_number() OVER (PARTITION BY $id ORDER BY score DESC, pred_class) AS rn FROM __s) " +
+      "SELECT true_class, pred_class, CAST(count(*) AS BIGINT) AS n_docs, " +
+      s"min($id) AS first_doc FROM __p WHERE rn = 1 GROUP BY true_class, pred_class"
+  }
+
   // ---- line-level quality filtering -------------------------------------
 
   /** C4/Gopher-style line filtering: keep only lines with at least

@@ -98,6 +98,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"pipe_importance has no hash aggregation:\n$p")
   }
 
+  test("semDedup candidate generation is bucket equi-joins, never pairwise in the corpus") {
+    val p = plan("pipe_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pipe_semdedup degenerated to a cross join:\n$p")
+  }
+
   test("contamination probe is an equi-join with map-side partial aggregation") {
     val p = plan("d_contam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -143,6 +143,42 @@ class RobustnessSpec extends SparkSpec {
       Similarity.labelCentroids(emptyEmb, 4), 4).isEmpty)
   }
 
+  test("semDedup: empty corpus is empty output; all-singleton corpus keeps everything") {
+    val sess = spark
+    import sess.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty, 4, nCentroids = 2).isEmpty)
+    // orthogonal vectors: no pair clears any positive threshold
+    val ortho = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(ortho, 4, nCentroids = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet === Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
+
+  test("nbClassify: NULL/empty text and all-OOV docs drop, never fail") {
+    val sess = spark
+    import sess.implicits._
+    // ids 0..99: even→class A with real text, odd→class B; plus NULL and
+    // empty docs in the test split region — they carry no tokens, so
+    // they must silently emit no prediction
+    val base = (0L until 100L).map { id =>
+      (id, if (id % 2 == 0) "alpha beta" else "delta zeta",
+        if (id % 2 == 0) "A" else "B")
+    }
+    val withJunk = base ++ Seq((200L, null: String, "A"), (201L, "", "B"), (202L, "   ", "A"))
+    val out = TextOps.nbClassify(withJunk.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang")
+    // nothing throws, and the junk docs never appear in the accounting
+    val total = out.agg(sum("n_docs")).head().getLong(0)
+    val nTest = base.toDF("doc_id", "text", "lang")
+      .withColumn("s", TextOps.hashSplit(col("doc_id")))
+      .filter(col("s") === "test").count()
+    assert(total === nTest)
+  }
+
   test("histogram quantiles: empty input yields no rows; single value estimates itself") {
     val sess = spark
     import sess.implicits._

@@ -92,6 +92,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup keeps exactly the min-id representative of each duplicate group") {
+    val sess = spark
+    import sess.implicits._
+    // three exact-duplicate groups + two singletons; identical vectors
+    // always share a k-means bucket, so the candidate set is complete
+    val va = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val vb = Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f)
+    val vc = Array.fill(64)(0.25f)
+    val vd = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val ve = Array.tabulate(64)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val df = Seq(
+      (10L, va), (11L, va), (12L, va),
+      (20L, vb), (21L, vb),
+      (30L, vc), (31L, vc),
+      (40L, vd), (50L, ve)).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, 64, nCentroids = 4, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 20L, 21L, 30L, 31L, 40L, 50L))
+    // each dup group collapses onto its min id; singletons keep themselves
+    assert(out(10L) === ((10L, true)) && out(11L) === ((10L, false)) && out(12L) === ((10L, false)))
+    assert(out(20L) === ((20L, true)) && out(21L) === ((20L, false)))
+    assert(out(30L) === ((30L, true)) && out(31L) === ((30L, false)))
+    assert(out(40L) === ((40L, true)) && out(50L) === ((50L, true)))
+  }
+
+  test("semDedup on fixtures: one row per vector, kept iff own rep, rep <= id") {
+    val out = Similarity.semDedup(emb, 64).cache()
+    assert(out.count() === emb.count())
+    assert(out.filter(col("rep") > col("vec_id")).isEmpty) // min-id rep
+    assert(out.filter(col("kept") =!= (col("vec_id") === col("rep"))).isEmpty)
+    // a representative must itself be kept (reps are fixpoint labels)
+    val reps = out.select(col("rep")).distinct()
+    val keptIds = out.filter(col("kept")).select(col("vec_id").as("rep"))
+    assert(reps.exceptAll(keptIds).isEmpty)
+    out.unpersist()
+  }
+
   test("decodeStub computes per-row features distributedly") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val media = Multimodal.fromDocuments(docs)

@@ -509,4 +509,38 @@ class TextDedupSpec extends SparkSpec {
     assert(row.getDouble(0) >= 0.0 && row.getDouble(1) <= 1.0)
     assert(row.getDouble(2) > 0.0)
   }
+
+  test("nbClassify separates disjoint vocabularies perfectly on the held-out split") {
+    val sess = spark
+    import sess.implicits._
+    // two classes with disjoint vocabularies; ids 0..199 hash-split into
+    // ~80/10/10, so both train and test slices are non-empty per class
+    val corpus = (0L until 200L).map { id =>
+      if (id % 2 == 0) (id, "alpha beta gamma alpha", "A")
+      else (id, "delta epsilon zeta zeta", "B")
+    }
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val confusion = TextOps.nbClassify(df, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // disjoint vocab → every held-out doc lands on the diagonal
+    assert(confusion.keySet === Set(("A", "A"), ("B", "B")))
+    // accounting: exactly the test-split docs are classified
+    val nTest = df.withColumn("s", TextOps.hashSplit(col("doc_id")))
+      .filter(col("s") === "test").count()
+    assert(confusion.values.sum === nTest && nTest > 0)
+  }
+
+  test("nbClassify argmax tie-break is the lexicographically first class") {
+    val sess = spark
+    import sess.implicits._
+    // identical class corpora → identical per-class scores on every
+    // held-out doc → every prediction must fall to the first class name
+    val corpus = (0L until 120L).map { id =>
+      (id, "same words every time", if (id % 2 == 0) "b_cls" else "a_cls")
+    }
+    val out = TextOps.nbClassify(corpus.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(1) === "a_cls"))
+  }
 }
