@@ -500,6 +500,14 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddings(s, d), 64)
         .orderBy("vec_id")),
 
+    // The cluster-count scale lever, oracle-gated at a second k: within-
+    // bucket pair volume is Σ|bucket|²/2 ≈ n²/(2k), so k must grow with
+    // the corpus (the SemDeDup paper runs ~11k clusters on LAION) —
+    // measured at 100× in BENCH_SCALE.md.
+    "pipe_semdedup_k32" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), 64, nCentroids = 32)
+        .orderBy("vec_id")),
+
     // As-of join: each purchase picks up the user's latest click at or
     // before it (inclusive; greatest (ts, event_id) wins ties) — the
     // union-sort time-series join, one shuffle on the key.
@@ -1413,6 +1421,9 @@ object SparkEntry {
 
     "pipe_semdedup" ->
       Similarity.semDedupSql("embeddings", 64),
+
+    "pipe_semdedup_k32" ->
+      Similarity.semDedupSql("embeddings", 64, nCentroids = 32),
 
     "s_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
