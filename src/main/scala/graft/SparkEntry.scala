@@ -413,6 +413,14 @@ object SparkEntry {
       TextOps.nbClassify(Tables.documents(s, d), "doc_id", "text", "lang")
         .orderBy("true_class", "pred_class")),
 
+    // CCNet-shaped perplexity bucketing: hashed-bigram LM trained on the
+    // hash-split train docs, integer-log2 bit cost per document,
+    // head/middle/tail cuts from the histogram-quantile sketch (never an
+    // exact global percentile).
+    "t_perplexity" -> ((s, d) =>
+      TextOps.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- §7.1.8 dedup ----------------------------------------------------
     "d_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -1301,6 +1309,10 @@ object SparkEntry {
       s"SELECT doc_id, ${f("n_lines")} AS n_lines, ${f("n_kept")} AS n_kept, " +
         s"${f("clean_text")} AS clean_text FROM documents ORDER BY doc_id"
     },
+
+    "t_perplexity" ->
+      (s"SELECT * FROM (${TextOps.perplexityBucketsSql("documents", "doc_id", "text")}) " +
+        "ORDER BY doc_id"),
 
     "d_exact" ->
       ("SELECT doc_id, n_chars FROM (" +

@@ -399,6 +399,146 @@ object TextOps {
       s"min($id) AS first_doc FROM __p WHERE rn = 1 GROUP BY true_class, pred_class"
   }
 
+  // ---- bigram-LM perplexity bucketing (CCNet-shaped) --------------------
+
+  /** Scaled integer log2 as a Spark-SQL expression string over a
+    * positive BIGINT column/expression `c`: `L(x) = 1024·floor(log2 x)
+    * + ((x << 10) >> floor) − 1024` — the exact floor from the binary
+    * string length plus a linear interpolation of the fraction (max
+    * error ≈ 0.086 bits, monotone in x). Pure integer shifts and string
+    * length: bit-identical in every engine, unlike libm `log`/`log2`
+    * whose last ulp is engine-specific (the same reason
+    * [[importanceScores]] avoids the DSIR paper's log weights). */
+  def ilog2ScaledExpr(c: String): String = {
+    val f = s"(length(bin($c)) - 1)"
+    s"(CAST($f AS BIGINT) * 1024L + shiftright(shiftleft($c, 10), $f) - 1024L)"
+  }
+
+  /** DuckDB twin of [[ilog2ScaledExpr]]: `bin()` is leading-zero-free
+    * for positive integers in both engines, and `<<`/`>>` mirror
+    * Spark's `shiftleft`/`shiftright`. */
+  def ilog2ScaledSql(c: String): String = {
+    val f = s"(length(bin($c)) - 1)"
+    s"(CAST($f AS BIGINT) * 1024 + (($c << 10) >> $f) - 1024)"
+  }
+
+  /** CCNet-shaped perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data",
+    * 2020): score every document by a cheap n-gram language model
+    * trained on a reference slice, then split the corpus into
+    * head/middle/tail buckets by score. Here the LM is an add-one-
+    * smoothed hashed-BIGRAM model trained on the [[hashSplit]] `train`
+    * docs (standing in for CCNet's Wikipedia reference corpus), the
+    * per-document statistic is the total scaled-integer bit cost
+    * `Σ L(c1+V) − L(c12+1)` over its bigram occurrences (a monotone
+    * fixed-point analog of summed −log2 P(w2|w1); see
+    * [[ilog2ScaledExpr]] for why not libm log), and the bucket cuts are
+    * the 0.25/0.75 estimates from the bounded-error histogram-quantile
+    * sketch — never an exact global percentile, which buffers
+    * data-proportional state in one task (the round-3 hazard
+    * `pipe_quality_gate` already retired). 0.25/0.75 rather than
+    * CCNet's terciles because those literals parse to identical doubles
+    * in both engines; 1/3 does not round-trip through a decimal literal.
+    *
+    * Scale shape: one bigram explode (linear in tokens), two
+    * vocabulary-sized count aggregates + one distinct-vocab scalar, two
+    * 8-byte-key equi-joins back to the bigram stream, one per-doc long
+    * sum, one bins-sized quantile walk, one broadcast threshold join.
+    * Nothing pairwise, no data-sized driver structure, no global sort.
+    *
+    * Output: (id, n_bigrams, bits_q, avg_bits_q, bucket) — one row per
+    * document with ≥ 2 tokens ("head" = lowest bit cost, the CCNet
+    * keep-first bucket). */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bins: Int = 256): org.apache.spark.sql.DataFrame = {
+    val base = docs.withColumn("__toks", tokens(col(textCol)))
+    val bi = base.filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            concat_ws(" ", element_at(col("__toks"), i),
+              element_at(col("__toks"), i + 1)).as("w12")))).as("__bg"))
+      .select(col(idCol),
+        graft.functions.NativeExprs.polyHash(col("__bg").getField("w1"), CharMul, P).as("h1"),
+        graft.functions.NativeExprs.polyHash(col("__bg").getField("w12"), CharMul, P).as("h12"))
+    val trainBi = bi.filter(hashSplit(col(idCol)) === "train")
+    val c12 = trainBi.groupBy("h12").agg(count(lit(1)).as("__c12"))
+    val c1 = trainBi.groupBy("h1").agg(count(lit(1)).as("__c1"))
+    // smoothing vocab = distinct train-doc token hashes; a broadcast
+    // one-row scalar like A3's subquery, never a collect
+    val vb = broadcast(base.filter(hashSplit(col(idCol)) === "train")
+      .select(explode(col("__toks")).as("__tok"))
+      .select(tokenHash("__tok").as("__h"))
+      .agg(countDistinct(col("__h")).as("__v")))
+    val perDoc = bi
+      .join(c12, Seq("h12"), "left")
+      .join(c1, Seq("h1"), "left")
+      .crossJoin(vb)
+      .withColumn("__num", expr("coalesce(__c12, 0L) + 1L"))
+      .withColumn("__den", expr("coalesce(__c1, 0L) + __v"))
+      .withColumn("__bits", expr(s"${ilog2ScaledExpr("__den")} - ${ilog2ScaledExpr("__num")}"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__bits")).as("bits_q"))
+      .withColumn("avg_bits_q", expr("(bits_q * 1024L) div n_bigrams"))
+    val th = broadcast(graft.sketch.Sketches
+      .histogramQuantiles(perDoc, "avg_bits_q", bins, Seq(0.25, 0.75))
+      .agg(min(when(col("q") < 0.5, col("estimate"))).as("__q25"),
+        min(when(col("q") >= 0.5, col("estimate"))).as("__q75")))
+    perDoc.crossJoin(th)
+      .select(col(idCol), col("n_bigrams"), col("bits_q"), col("avg_bits_q"),
+        when(col("avg_bits_q").cast("double") <= col("__q25"), lit("head"))
+          .when(col("avg_bits_q").cast("double") <= col("__q75"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** DuckDB twin of [[perplexityBuckets]]: identical tokenization,
+    * bigram construction (zipped parallel unnests over the same 1-based
+    * index range), hashes, counts, integer log2, long sums, `//` floor
+    * division (all-positive operands agree with Spark's `div`), and the
+    * same nested histogram-quantile walk + threshold compare. */
+  def perplexityBucketsSql(table: String, id: String, text: String,
+      bins: Int = 256): String = {
+    val h1 = charFoldSql("w1")
+    val h12 = charFoldSql("w12")
+    val histSql = graft.sketch.Sketches
+      .histogramQuantilesSql("__sc", "avg_bits_q", bins, Seq(0.25, 0.75))
+    s"""WITH __d AS (
+       |  SELECT $id, ${tokensSql(text)} AS toks FROM $table
+       |), __bi AS (
+       |  SELECT $id, $h1 AS h1, $h12 AS h12 FROM (
+       |    SELECT $id, unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+       |           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS w12
+       |    FROM __d WHERE len(toks) >= 2)
+       |), __tb AS (
+       |  SELECT h1, h12 FROM __bi WHERE ${hashSplitSql(id)} = 'train'
+       |), __c12 AS (
+       |  SELECT h12, count(*) AS c12 FROM __tb GROUP BY h12
+       |), __c1 AS (
+       |  SELECT h1, count(*) AS c1 FROM __tb GROUP BY h1
+       |), __vv AS (
+       |  SELECT count(DISTINCT ${charFoldSql("__tok")}) AS v FROM (
+       |    SELECT unnest(toks) AS __tok, $id FROM __d) WHERE ${hashSplitSql(id)} = 'train'
+       |), __pb AS (
+       |  SELECT $id, COALESCE(c12, 0) + 1 AS num, COALESCE(c1, 0) + v AS den
+       |  FROM __bi LEFT JOIN __c12 USING (h12) LEFT JOIN __c1 USING (h1) CROSS JOIN __vv
+       |), __pd AS (
+       |  SELECT $id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(${ilog2ScaledSql("den")} - ${ilog2ScaledSql("num")}) AS BIGINT) AS bits_q
+       |  FROM __pb GROUP BY $id
+       |), __sc AS (
+       |  SELECT $id, n_bigrams, bits_q, (bits_q * 1024) // n_bigrams AS avg_bits_q FROM __pd
+       |), __th AS (
+       |  SELECT min(CASE WHEN q < 0.5 THEN estimate END) AS q25,
+       |         min(CASE WHEN q >= 0.5 THEN estimate END) AS q75
+       |  FROM ($histSql) __hq
+       |)
+       |SELECT $id, n_bigrams, bits_q, avg_bits_q,
+       |       CASE WHEN CAST(avg_bits_q AS DOUBLE) <= q25 THEN 'head'
+       |            WHEN CAST(avg_bits_q AS DOUBLE) <= q75 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM __sc CROSS JOIN __th""".stripMargin
+  }
+
   // ---- line-level quality filtering -------------------------------------
 
   /** C4/Gopher-style line filtering: keep only lines with at least

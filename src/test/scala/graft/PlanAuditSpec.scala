@@ -104,6 +104,13 @@ class PlanAuditSpec extends SparkSpec {
       s"pipe_semdedup degenerated to a cross join:\n$p")
   }
 
+  test("perplexity bucketing is equi-joins + hash aggregates; only scalar broadcasts nest loops") {
+    val p = plan("t_perplexity")
+    assert(!p.contains("CartesianProduct"),
+      s"t_perplexity degenerated to a cartesian join:\n$p")
+    assert(p.contains("HashAggregate"), s"t_perplexity has no hash aggregation:\n$p")
+  }
+
   test("contamination probe is an equi-join with map-side partial aggregation") {
     val p = plan("d_contam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -56,6 +56,52 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) === Seq())
   }
 
+  test("ilog2ScaledExpr matches the bit-twiddling reference and is monotone") {
+    val sess = spark
+    import sess.implicits._
+    def ref(x: Long): Long = {
+      val f = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      f * 1024L + ((x << 10) >> f) - 1024L
+    }
+    val rnd = new scala.util.Random(7)
+    val xs = (Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, 1025L,
+      (1L << 40) - 1, 1L << 40) ++
+      Seq.fill(200)(1L + math.abs(rnd.nextLong()) % (1L << 40))).distinct
+    val got = xs.toDF("x")
+      .selectExpr("x", s"${TextOps.ilog2ScaledExpr("x")} AS l")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (x <- xs) assert(got(x) === ref(x), s"ilog2($x)")
+    // exact at powers of two: L(2^k) = 1024k
+    assert(got(1L) === 0L && got(1024L) === 10240L)
+    val sorted = xs.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(got(a) <= got(b), s"not monotone at $a -> $b")
+    }
+  }
+
+  test("perplexityBuckets: fluent repeats head, unseen gibberish tails, degenerates drop") {
+    val sess = spark
+    import sess.implicits._
+    // 40 identical fluent docs: the hash-split train subset of them
+    // gives every fluent bigram a high LM count; 5 gibberish docs use
+    // vocabulary the LM never saw. Plus two degenerate docs (< 2
+    // tokens) that must emit no row.
+    val fluent = (0L until 40L).map(i => (i, "the cat sat on the mat"))
+    val gibberish = (40L until 45L).map(i => (i, s"zzq$i qqz$i xoxo$i wubba$i"))
+    val degenerate = Seq((45L, "solo"), (46L, "   "))
+    val df = (fluent ++ gibberish ++ degenerate).toDF("doc_id", "text")
+    val got = TextOps.perplexityBuckets(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(!got.contains(45L) && !got.contains(46L))
+    val fluentAvg = (0L until 40L).map(got(_)._1)
+    val gibAvg = (40L until 45L).map(got(_)._1)
+    assert(fluentAvg.distinct.size === 1) // identical docs, identical cost
+    assert(fluentAvg.max < gibAvg.min,
+      s"fluent docs must cost fewer bits: ${fluentAvg.max} vs ${gibAvg.min}")
+    (0L until 40L).foreach(i => assert(got(i)._2 === "head", s"doc $i"))
+    (40L until 45L).foreach(i => assert(got(i)._2 === "tail", s"doc $i"))
+  }
+
   test("importanceScores: directional on synthetic docs, degenerate-safe") {
     val sess = spark
     import sess.implicits._
