@@ -596,6 +596,14 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // PQ ANN: codes-only ADC scan (64 floats -> 8 ints per vector, the
+    // memory/shuffle compression lever), exact-cosine re-rank of the
+    // top approximate candidates only.
+    "s_knn_pq" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
     // class geometry over the embedding corpus: per-label quantized-mean
     // centroids (bit-reproducible) and their pairwise cosine matrix
     "s_label_centroids" -> ((s, d) =>
@@ -1451,6 +1459,9 @@ object SparkEntry {
 
     "s_knn_ivf" ->
       Similarity.ivfTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+
+    "s_knn_pq" ->
+      Similarity.pqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
 
     "s_label_centroids" ->
       (s"SELECT * FROM (${Similarity.labelCentroidCosinesSql("embeddings", 64)}) " +

@@ -353,6 +353,201 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- product quantization (PQ) ANN ------------------------------------
+
+  /** Collect a (s, code, cl) codebook table to the driver ONCE — it is
+    * m × ksub rows, catalog-sized. Codes within a subspace are sorted so
+    * positional indexing downstream is deterministic; a code bucket that
+    * emptied during the Lloyd round simply doesn't appear (same
+    * robustness contract as [[collectCentroids]]). */
+  def collectCodebooks(cb: DataFrame): Array[(Int, Array[(Int, Seq[Double])])] =
+    cb.select("s", "code", "cl").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (s, rows) => (s, rows.map(t => (t._2, t._3)).sortBy(_._1)) }
+
+  /** Exploded (id, s, sv) subspace view: subvector s of each vector is
+    * elements [s·subDim+1, (s+1)·subDim]. Linear in corpus × m. */
+  private def subspaces(df: DataFrame, dim: Int, m: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val subDim = dim / m
+    df.select(col(idCol),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
+  }
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): split each
+    * vector into `m` subvectors and k-means each subspace independently
+    * into `ksub` codes. Same bit-reproducible quantized-integer Lloyd
+    * discipline as [[ivfCentroids]] (seed by `vec_id % ksub`, one
+    * round), with the subspace id in the grouping key — training all m
+    * codebooks is ONE pair of hash aggregates, not m jobs. Returns
+    * (s INT, code INT, cl ARRAY<DOUBLE>). */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    def recompute(assigned: DataFrame): DataFrame = {
+      val sums = (0 until subDim).map(i =>
+        sum(round(element_at(col("sv"), i + 1).cast("double") * CentroidQ)
+          .cast("long")).as(s"__s$i"))
+      assigned.groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("s"), col("code"),
+          array((0 until subDim).map(i =>
+            col(s"__s$i").cast("double") / (col("__n").cast("double") * CentroidQ)): _*)
+          .as("cl"))
+    }
+    val sub = subspaces(corpus, dim, m, idCol, vecCol)
+    val seeded = sub.select(col("s"), (col(idCol) % ksub).cast("int").as("code"), col("sv"))
+    val c0 = collectCodebooks(recompute(seeded))
+    // one Lloyd round: per-subspace argmax against the broadcast
+    // codebooks — a pure projection, scores staged per subspace so the
+    // dot subtrees evaluate once (CASE picks the matching subspace's
+    // array lazily; codegen evaluates only the taken branch)
+    val scores = c0.foldRight(lit(null).cast("array<double>")) { case ((s, codes), acc) =>
+      when(col("s") === s, array(codes.map { case (_, c) =>
+        graft.functions.NativeExprs.floatDoubleVecDot(col("sv"), array(c.map(lit): _*))
+      }: _*)).otherwise(acc)
+    }
+    val codeArr = c0.foldRight(lit(null).cast("array<int>")) { case ((s, codes), acc) =>
+      when(col("s") === s, array(codes.map(c => lit(c._1)): _*)).otherwise(acc)
+    }
+    val a1 = sub.withColumn("__sc", scores)
+      .withColumn("code",
+        element_at(codeArr, array_position(col("__sc"), array_max(col("__sc"))).cast("int")))
+    recompute(a1.select(col("s"), col("code"), col("sv")))
+  }
+
+  /** PQ ANN top-k with asymmetric-distance scoring: encode every corpus
+    * vector as m small code indexes (64 floats → m ints — the 100 TB
+    * memory/shuffle lever: the scored table carries codes, never raw
+    * vectors), compute each query's m × ksub lookup table of quantized
+    * partial dots ONCE, score every (query, vector) pair as m integer
+    * table lookups summed as longs (order-free, engine-exact — the ADC
+    * trick, no floating dot in the hot scan), keep the top
+    * `nCandidates` by approximate score, then re-rank only those by
+    * exact cosine against the raw vectors. Candidate and rank
+    * boundaries are decided by exact longs / bit-identical doubles with
+    * id tie-breaks, so the result is deterministic and cell-exact
+    * cross-engine. Recall < 1 by construction (spec asserts a floor vs
+    * brute force). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol))
+    // flat LUT offsets per subspace (codebooks may be ragged if a code
+    // bucket emptied during training; positions are 1-based)
+    val offsets = cb.scanLeft(0)((acc, sc) => acc + sc._2.length)
+    def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
+    def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
+      graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
+    }: _*)
+    val enc0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    val encoded = (0 until m).foldLeft(enc0) { (df, s) =>
+      df.withColumn(s"__sc$s", scoreArr("c_vec", s))
+    }.select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+      array((0 until m).map(s =>
+        array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
+        .as("__pos"))
+    val lut = array((0 until m).flatMap(s => cb(s)._2.map { case (_, c) =>
+      round(graft.functions.NativeExprs.floatDoubleVecDot(svCol("q_vec", s),
+        array(c.map(lit): _*)) * CentroidQ).cast("long")
+    }): _*)
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+      .withColumn("__lut", lut)
+    val approx = encoded.join(broadcast(qb), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_q", (0 until m).map(s =>
+        element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
+        .reduce(_ + _))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_q").desc, col("neighbor_id"))
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    approx.withColumn("__ra", row_number().over(wA)).filter(col("__ra") <= nCandidates)
+      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Oracle twin for [[pqTopK]]: the same subspace split (explicit
+    * element indexing, not engine slice syntax), the same
+    * quantized-integer codebook training keyed (s, code), argmax
+    * assignment with DESC+code tie-break, quantized-long LUT partials
+    * summed order-free, and the same two deterministic windows. */
+  def pqTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, nCandidates: Int = 50): String = {
+    val subDim = dim / m
+    val q = CentroidQ
+    def dotCl(sv: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $subDim + 1), " +
+        s"i -> CAST($sv[i] AS DOUBLE) * c.cl[i])), (acc, x) -> acc + x)"
+    def quantize(src: String) =
+      s"""SELECT s, code, i, CAST(round(CAST(sv[i] AS DOUBLE) * $q) AS BIGINT) AS qv
+         |  FROM $src CROSS JOIN (SELECT unnest(range(1, $subDim + 1)) AS i) __i""".stripMargin
+    def means(qSrc: String) =
+      s"""SELECT s, code, list(c ORDER BY i) AS cl FROM (
+         |    SELECT s, code, i, CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $q) AS c
+         |    FROM $qSrc GROUP BY s, code, i) GROUP BY s, code""".stripMargin
+    def assign(centCte: String) =
+      s"""SELECT vec_id, s, sv, code FROM (
+         |    SELECT vec_id, s, sv, code,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, code) AS rn
+         |    FROM (SELECT u.vec_id, u.s, u.sv, c.code, ${dotCl("u.sv")} AS d
+         |          FROM __sub u JOIN $centCte c ON c.s = u.s)) WHERE rn = 1""".stripMargin
+    s"""WITH __sub AS (
+       |  SELECT vec_id, s,
+       |         list_transform(range(1, $subDim + 1), i -> embedding[s * $subDim + i]) AS sv
+       |  FROM $table CROSS JOIN (SELECT unnest(range(0, $m)) AS s) __s
+       |), __seed AS (
+       |  SELECT vec_id, s, CAST(vec_id % $ksub AS INTEGER) AS code, sv FROM __sub
+       |), __q0 AS (
+       |  ${quantize("__seed")}
+       |), __c0 AS (
+       |  ${means("__q0")}
+       |), __a1 AS (
+       |  ${assign("__c0")}
+       |), __q1 AS (
+       |  ${quantize("__a1")}
+       |), __cfin AS (
+       |  ${means("__q1")}
+       |), __codes AS (
+       |  ${assign("__cfin")}
+       |), __qv AS (
+       |  SELECT vec_id AS query_id, embedding AS q_vec FROM $table q WHERE $queryPred
+       |), __lut AS (
+       |  SELECT qs.query_id, c.s, c.code,
+       |         CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, $subDim + 1), i -> CAST(qs.sv[i] AS DOUBLE) * c.cl[i])),
+       |           (acc, x) -> acc + x) * $q) AS BIGINT) AS w
+       |  FROM (SELECT v.query_id, u.s, u.sv FROM __qv v JOIN __sub u ON u.vec_id = v.query_id) qs
+       |  JOIN __cfin c ON c.s = qs.s
+       |), __ap AS (
+       |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.w) AS BIGINT) AS approx_q
+       |  FROM __codes d JOIN __lut l ON l.s = d.s AND l.code = d.code
+       |  WHERE l.query_id <> d.vec_id
+       |  GROUP BY l.query_id, d.vec_id
+       |), __cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY approx_q DESC, neighbor_id) AS ra
+       |    FROM __ap) WHERE ra <= $nCandidates
+       |), __rr AS (
+       |  SELECT n.query_id, n.neighbor_id,
+       |         ${cosineSql("v.q_vec", "e.embedding", dim)} AS cos
+       |  FROM __cand n JOIN __qv v ON v.query_id = n.query_id
+       |  JOIN $table e ON e.vec_id = n.neighbor_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __rr
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SemDeDup-shaped semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): k-means the embedding corpus into

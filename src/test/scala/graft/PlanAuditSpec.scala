@@ -111,6 +111,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"t_perplexity has no hash aggregation:\n$p")
   }
 
+  test("PQ ANN never shuffles raw vectors for scoring: no cartesian, window-bounded candidates") {
+    val p = plan("s_knn_pq")
+    assert(!p.contains("CartesianProduct"),
+      s"s_knn_pq degenerated to a cartesian join:\n$p")
+    assert(p.contains("Window"), s"s_knn_pq lost its candidate window:\n$p")
+  }
+
   test("contamination probe is an equi-join with map-side partial aggregation") {
     val p = plan("d_contam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -56,6 +56,38 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q1, n) => q1 != n })
   }
 
+  test("pqTopK achieves >= 40% recall@10 vs brute force on fixtures") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    assert(approx.forall { case (q1, n) => q1 != n })
+  }
+
+  test("pqCodebooks: m x ksub structure, full-coverage codes, identical vectors encode identically") {
+    val cb = Similarity.collectCodebooks(Similarity.pqCodebooks(emb, 64, 8, 16))
+    assert(cb.map(_._1).toSeq === (0 until 8))
+    cb.foreach { case (_, codes) =>
+      assert(codes.nonEmpty && codes.map(_._1).forall(c => c >= 0 && c < 16))
+      codes.foreach { case (_, cl) => assert(cl.length === 8) } // dim/m
+    }
+    // two corpus copies of the same vector must land on the same codes:
+    // the approx score of (q, a) and (q, b) is then identical, so PQ
+    // ties resolve by id — the determinism the oracle relies on
+    val dup = emb.limit(1).select(col("vec_id") + 100000L, col("embedding"))
+      .toDF("vec_id", "embedding").union(
+        emb.limit(1).select(col("vec_id") + 200000L, col("embedding"))
+          .toDF("vec_id", "embedding"))
+    val sub = Similarity.pqTopK(emb.select("vec_id", "embedding").union(dup),
+      emb.filter(col("vec_id") < 2), 10, 64)
+    assert(sub.count() === 20) // windows stay exact-k under duplicates
+  }
+
   test("ivfCentroids partitions every vector into a probed cluster") {
     val cents = Similarity.ivfCentroids(emb, 64, nCentroids = 8)
     val clusters = cents.select("cluster").collect().map(_.getInt(0)).toSet
