@@ -413,6 +413,13 @@ object SparkEntry {
       TextOps.nbClassify(Tables.documents(s, d), "doc_id", "text", "lang")
         .orderBy("true_class", "pred_class")),
 
+    // BM25 ranked retrieval over the corpus: one rare term + two common
+    // ones — integer-exact idf (via the scaled integer log2) and
+    // multiplied-through tf saturation, top-k by TakeOrdered.
+    "t_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("dup", "spark", "query"), k = 10)),
+
     // CCNet-shaped perplexity bucketing: hashed-bigram LM trained on the
     // hash-split train docs, integer-log2 bit cost per document,
     // head/middle/tail cuts from the histogram-quantile sketch (never an
@@ -1317,6 +1324,10 @@ object SparkEntry {
       s"SELECT doc_id, ${f("n_lines")} AS n_lines, ${f("n_kept")} AS n_kept, " +
         s"${f("clean_text")} AS clean_text FROM documents ORDER BY doc_id"
     },
+
+    "t_bm25" ->
+      TextOps.bm25TopKSql("documents", "doc_id", "text",
+        Seq("dup", "spark", "query"), k = 10),
 
     "t_perplexity" ->
       (s"SELECT * FROM (${TextOps.perplexityBucketsSql("documents", "doc_id", "text")}) " +

@@ -539,6 +539,92 @@ object TextOps {
        |FROM __sc CROSS JOIN __th""".stripMargin
   }
 
+  // ---- BM25 ranked retrieval --------------------------------------------
+
+  /** BM25 top-k document retrieval (Robertson/Walker, Okapi; k1 = 1.2,
+    * b = 0.75) — exact integer arithmetic end to end, so the ranking is
+    * cell-exact cross-engine:
+    *
+    *  - idf: `log2((N−df+0.5)/(df+0.5))` becomes `L(2(N−df)+1) −
+    *    L(2df+1)` with [[ilog2ScaledExpr]] — the half-counts clear to
+    *    exact odd integers, no floating log anywhere (negative for
+    *    df > N/2, as Robertson's idf is).
+    *  - tf saturation: `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    *    avgdl = T/N multiplies through by 20T into
+    *    `(44·T·tf·scale) div (20·T·tf + 6·T + 18·dl·N)` — one exact
+    *    integer division per (doc, term). Overflow bound: needs
+    *    `44·T·tf·scale < 2^63`, i.e. corpus-tokens × per-doc-tf below
+    *    ~2·10¹³ at the default scale of 10⁴ — document the corpus or
+    *    lower `scale` past that.
+    *
+    * Scale shape: the query-term table is a broadcast hash join against
+    * the token stream (the corpus is probed by hash, never scanned per
+    * term), tf/df are map-side-combinable aggregates on 8-byte keys,
+    * N/T is one broadcast scalar row, and top-k is TakeOrdered — no
+    * global sort, nothing pairwise. Output: (id, n_terms, score_q), the
+    * k best documents by (score desc, id). */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int = 10,
+      scale: Long = 10000L): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms)
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"), explode(col("__toks")).as("__tok"))
+      .select(col(idCol), col("__dl"), tokenHash("__tok").as("tok"))
+    val stats = broadcast(docs.select(tokens(col(textCol)).as("__toks"))
+      .agg(count(lit(1)).as("__n"), sum(size(col("__toks")).cast("long")).as("__t")))
+    val qdf = broadcast(docs.sparkSession
+      .createDataFrame(queryTerms.map(Tuple1(_))).toDF("term")
+      .select(graft.functions.NativeExprs.polyHash(col("term"), CharMul, P).as("tok")))
+    val matched = toks.join(qdf, "tok")
+    val tf = matched.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = matched.select(col(idCol), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "tok").crossJoin(stats)
+      .withColumn("__idf",
+        expr(s"${ilog2ScaledExpr("(2L * (__n - __df) + 1L)")} - ${ilog2ScaledExpr("(2L * __df + 1L)")}"))
+      .withColumn("__tfq",
+        expr(s"(44L * __t * __tf * ${scale}L) div (20L * __t * __tf + 6L * __t + 18L * __dl * __n)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(expr("__idf * __tfq")).as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol)).limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]]: identical hashes (the term literals
+    * hash through the same char fold), counts, integer log2, and the
+    * same multiplied-through tf division (`//` floor agrees with
+    * Spark's `div` on the all-positive operands). */
+  def bm25TopKSql(table: String, id: String, text: String,
+      queryTerms: Seq[String], k: Int = 10, scale: Long = 10000L): String = {
+    val qHashes = queryTerms
+      .map(t => charFoldSql("'" + t.replace("'", "''") + "'")).mkString(", ")
+    s"""WITH __tk AS (
+       |  SELECT $id, len(toks) AS dl, unnest(toks) AS __tok
+       |  FROM (SELECT $id, ${tokensSql(text)} AS toks FROM $table)
+       |), __th AS (
+       |  SELECT $id, dl, ${charFoldSql("__tok")} AS tok FROM __tk
+       |), __qt AS (
+       |  SELECT unnest([$qHashes]) AS tok
+       |), __m AS (
+       |  SELECT t.$id, t.dl, t.tok FROM __th t JOIN __qt USING (tok)
+       |), __tf AS (
+       |  SELECT $id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM __m GROUP BY $id, tok
+       |), __dfq AS (
+       |  SELECT tok, CAST(count(DISTINCT $id) AS BIGINT) AS df FROM __m GROUP BY tok
+       |), __st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(len(${tokensSql(text)})) AS BIGINT) AS t FROM $table
+       |), __sc AS (
+       |  SELECT f.$id,
+       |         (${ilog2ScaledSql("(2 * (s.n - d.df) + 1)")} - ${ilog2ScaledSql("(2 * d.df + 1)")}) AS idf,
+       |         (44 * s.t * f.tf * $scale) // (20 * s.t * f.tf + 6 * s.t + 18 * f.dl * s.n) AS tfq
+       |  FROM __tf f JOIN __dfq d USING (tok) CROSS JOIN __st s
+       |)
+       |SELECT $id, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(idf * tfq) AS BIGINT) AS score_q
+       |FROM __sc GROUP BY $id ORDER BY score_q DESC, $id LIMIT $k""".stripMargin
+  }
+
   // ---- line-level quality filtering -------------------------------------
 
   /** C4/Gopher-style line filtering: keep only lines with at least

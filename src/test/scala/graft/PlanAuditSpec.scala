@@ -68,7 +68,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("top-k queries use TakeOrderedAndProject, never a global sort + limit") {
-    for (q <- Seq("o_topk", "t_vocab", "pipe_importance_select")) {
+    for (q <- Seq("o_topk", "t_vocab", "pipe_importance_select", "t_bm25")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q has no TakeOrdered:\n$p")
     }

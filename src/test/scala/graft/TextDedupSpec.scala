@@ -102,6 +102,60 @@ class TextDedupSpec extends SparkSpec {
     (40L until 45L).foreach(i => assert(got(i)._2 === "tail", s"doc $i"))
   }
 
+  test("bm25TopK: rare term dominates, tf saturates monotonically, ties break by id") {
+    val sess = spark
+    import sess.implicits._
+    // query terms stay minority-df (Robertson idf > 0): docs 5-9 are
+    // filler-only, so df(common)=4 of N=9
+    val df = (Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common common filler filler"),  // tf(common)=2
+      (3L, "common filler filler filler"),  // tf(common)=1
+      (4L, "common filler filler filler")   // identical to 3: tie -> id order
+    ) ++ (5L to 9L).map(i => (i, "filler filler filler filler"))).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(df, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!got.exists(_._1 == 5L))
+    // the one doc holding the df=1 term must outrank every common-only doc
+    assert(got.head._1 === 1L && got.head._2 === 2L)
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) > byId(3L), "higher tf must score higher")
+    assert(byId(3L) === byId(4L), "identical docs score identically")
+    val order = got.map(_._1).toSeq
+    assert(order.indexOf(3L) < order.indexOf(4L), "score ties break by id")
+  }
+
+  test("bm25TopK agrees with a double-arithmetic BM25 reference on clear orderings") {
+    val sess = spark
+    import sess.implicits._
+    val texts = Seq(
+      (1L, "x x x y f f f f"), (2L, "x y y f f"), (3L, "y f f f"),
+      (4L, "x f f f f f f f f f f f"), (5L, "f f"), (6L, "x x y y"))
+    val df = texts.toDF("doc_id", "text")
+    val q = Seq("x", "y")
+    // reference: double BM25 with log2 idf, same k1=1.2 b=0.75
+    val n = texts.size.toDouble
+    val avgdl = texts.map(_._2.split(" ").length).sum / n
+    def dfOf(t: String) = texts.count(_._2.split(" ").contains(t)).toDouble
+    def score(text: String): Double = {
+      val toks = text.split(" ")
+      q.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log((n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)) / math.log(2)
+          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+        }
+      }.sum
+    }
+    val refOrder = texts.filter(d => d._2.split(" ").exists(q.contains))
+      .sortBy(d => (-score(d._2), d._1)).map(_._1)
+    val got = TextOps.bm25TopK(df, "doc_id", "text", q, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === refOrder,
+      s"integer BM25 order $got != double reference $refOrder")
+  }
+
   test("importanceScores: directional on synthetic docs, degenerate-safe") {
     val sess = spark
     import sess.implicits._
