@@ -413,6 +413,17 @@ object SparkEntry {
       TextOps.nbClassify(Tables.documents(s, d), "doc_id", "text", "lang")
         .orderBy("true_class", "pred_class")),
 
+    // Gopher A1.1 document-level quality rules as integer-exact audit
+    // flags; the injected tail (identical in the oracle) adds bullet /
+    // ellipsis / stopword lines the single-line fixture lacks.
+    "t_gopher" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit("\n- bullet one\n- bullet two\nand so it ends...\nplain closing line."))
+      val cols = TextOps.gopherRules(aug).map { case (n, c) => c.as(n) }
+      Tables.documents(s, d).select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval over the corpus: one rare term + two common
     // ones — integer-exact idf (via the scaled integer log2) and
     // multiplied-through tf saturation, top-k by TakeOrdered.
@@ -1323,6 +1334,16 @@ object SparkEntry {
       val f = TextOps.lineQualityFilterSql(aug)
       s"SELECT doc_id, ${f("n_lines")} AS n_lines, ${f("n_kept")} AS n_kept, " +
         s"${f("clean_text")} AS clean_text FROM documents ORDER BY doc_id"
+    },
+
+    "t_gopher" -> {
+      val aug = "(text || chr(10) || '- bullet one' || chr(10) || '- bullet two' || " +
+        "chr(10) || 'and so it ends...' || chr(10) || 'plain closing line.')"
+      val f = TextOps.gopherRulesSql(aug)
+      val cols = Seq("n_words", "r_wordcount", "r_wordlen", "r_symbol",
+        "r_bullet", "r_ellipsis", "r_alpha", "r_stop")
+        .map(c => s"${f(c)} AS $c").mkString(", ")
+      s"SELECT doc_id, $cols FROM documents ORDER BY doc_id"
     },
 
     "t_bm25" ->

@@ -658,6 +658,80 @@ object TextOps {
       "clean_text" -> s"array_to_string($kept, chr(10))")
   }
 
+  // ---- Gopher document-level quality rules ------------------------------
+
+  /** The Gopher stopword-presence list (Rae et al. 2021, A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality rules (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * Appendix A1.1) — the published web-corpus gate, as per-rule audit
+    * flags plus the composite verdict. Every threshold is evaluated as
+    * a cross-multiplied INTEGER comparison (`n_bullet·10 < n_lines·9`,
+    * `sum_len ≥ 3·n_words`, …), so there is no floating ratio anywhere
+    * and the oracle is trivially cell-exact. Scan-shaped: one token
+    * split + one line split per document, pure array lambdas, no
+    * shuffle, no UDF.
+    *
+    * Rules (defaults from the paper): word count in [minWords,
+    * maxWords]; mean word length in [3, 10]; symbol-to-word ratio
+    * (`#` or `...`) ≤ 0.1; < 90% of lines start with a bullet; < 30%
+    * of lines end with an ellipsis; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 distinct stopwords present. */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nW = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val nSym = size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val lines = split(text, "\n")
+    val nL = size(lines)
+    val nBullet = size(filter(lines, l => l.rlike("^[-*•]")))
+    val nEllip = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val nStop = size(filter(lit(GopherStopwords.toArray),
+      s => array_contains(toks, s)))
+    Seq(
+      "n_words" -> nW,
+      "r_wordcount" -> (nW >= minWords && nW <= maxWords),
+      "r_wordlen" -> (sumLen >= nW * 3 && sumLen <= nW * 10),
+      "r_symbol" -> (nSym * 10 <= nW),
+      "r_bullet" -> (nBullet * 10 < nL * 9),
+      "r_ellipsis" -> (nEllip * 10 < nL * 3),
+      "r_alpha" -> (nAlpha * 5 >= nW * 4),
+      "r_stop" -> (nStop >= 2))
+  }
+
+  /** DuckDB twin of [[gopherRules]]: identical splits, identical
+    * integer cross-multiplications, identical anchored character-class
+    * regexes (span-identical under Java regex and RE2 — same argument
+    * as [[redactPii]]). */
+  def gopherRulesSql(text: String, minWords: Int = 50,
+      maxWords: Int = 100000): Map[String, String] = {
+    val toks = tokensSql(text)
+    val nW = s"len($toks)"
+    val sumLen = s"list_reduce(list_prepend(0, list_transform($toks, __t -> length(__t))), (a, x) -> a + x)"
+    val nSym = s"(len(regexp_extract_all($text, '#')) + len(regexp_extract_all($text, '\\.\\.\\.')))"
+    val lines = s"string_split($text, chr(10))"
+    val nL = s"len($lines)"
+    val nBullet = s"len(list_filter($lines, __l -> regexp_matches(__l, '^[-*•]')))"
+    val nEllip = s"len(list_filter($lines, __l -> regexp_matches(__l, '\\.\\.\\.\\s*$$')))"
+    val nAlpha = s"len(list_filter($toks, __t -> regexp_matches(__t, '[A-Za-z]')))"
+    val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val nStop = s"len(list_filter($stopList, __s -> list_contains($toks, __s)))"
+    Map(
+      "n_words" -> s"CAST($nW AS INTEGER)",
+      "r_wordcount" -> s"($nW >= $minWords AND $nW <= $maxWords)",
+      "r_wordlen" -> s"($sumLen >= $nW * 3 AND $sumLen <= $nW * 10)",
+      "r_symbol" -> s"($nSym * 10 <= $nW)",
+      "r_bullet" -> s"($nBullet * 10 < $nL * 9)",
+      "r_ellipsis" -> s"($nEllip * 10 < $nL * 3)",
+      "r_alpha" -> s"($nAlpha * 5 >= $nW * 4)",
+      "r_stop" -> s"($nStop >= 2)")
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns: emails, NNN-NNN-NNNN phone numbers, IPv4-shaped

@@ -115,7 +115,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("s_knn_pq")
     assert(!p.contains("CartesianProduct"),
       s"s_knn_pq degenerated to a cartesian join:\n$p")
-    assert(p.contains("Window"), s"s_knn_pq lost its candidate window:\n$p")
+    // rank<=nCandidates must prune map-side (WindowGroupLimit), or every
+    // (query, vector) approx row crosses the per-query shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"s_knn_pq shuffles the full approx table:\n$p")
   }
 
   test("contamination probe is an equi-join with map-side partial aggregation") {

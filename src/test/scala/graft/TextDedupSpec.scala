@@ -102,6 +102,38 @@ class TextDedupSpec extends SparkSpec {
     (40L until 45L).foreach(i => assert(got(i)._2 === "tail", s"doc $i"))
   }
 
+  test("gopherRules: each rule trips on its crafted violator, clean prose passes") {
+    val sess = spark
+    import sess.implicits._
+    val clean = "the cat and the dog have fun with all of that prose " +
+      Seq.fill(40)("word").mkString(" ") // >= 50 words, sane lengths
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the and of short"), // < 50 words
+      (3L, "the and of " + Seq.fill(50)("extraordinarily").mkString(" ")), // mean len > 10
+      (4L, clean + " " + Seq.fill(20)("#").mkString(" ")), // symbol soup
+      (5L, "the and\n" + Seq.fill(10)("- bullet").mkString("\n")), // bullet-heavy
+      (6L, "the and\n" + Seq.fill(5)("trailing off...").mkString("\n")), // ellipsis-heavy
+      (7L, "the and " + Seq.fill(60)("12345").mkString(" ")), // numeric words
+      (8L, clean.replace("the ", "x ").replace("and ", "y ")
+        .replace("have ", "z ").replace("of ", "w ").replace("that ", "v ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val cols = TextOps.gopherRules(col("text")).map { case (n, c) => c.as(n) }
+    val got = docs.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))).toMap
+    // (r_wordcount, r_wordlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop)
+    assert(got(1L) === ((true, true, true, true, true, true, true)))
+    assert(!got(2L)._1, "short doc must fail word count")
+    assert(!got(3L)._2, "long-word doc must fail mean word length")
+    assert(!got(4L)._3, "symbol soup must fail symbol ratio")
+    assert(!got(5L)._4, "bullet-heavy doc must fail bullet rule")
+    assert(!got(6L)._5, "ellipsis-heavy doc must fail ellipsis rule")
+    assert(!got(7L)._6, "numeric-word doc must fail alpha rule")
+    assert(!got(8L)._7, "stopword-free doc must fail stopword rule")
+  }
+
   test("bm25TopK: rare term dominates, tf saturates monotonically, ties break by id") {
     val sess = spark
     import sess.implicits._
