@@ -94,37 +94,60 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
-    * natively: read the raw int64 nanos (legacy conf) and truncate to
+  /** events loader, adaptive to the two physical layouts the harness has
+    * shipped. The current testdata stores `ts` as parquet TIMESTAMP(MICROS)
+    * (read natively as timestamp_ntz — DuckDB reads the same file the same
+    * way). Older fixtures (and the locally generated `bench-data` scale
+    * fixtures derived from them) store TIMESTAMP(NANOS), which Spark only
+    * reads as a raw int64 (legacy conf); there the nanos are truncated to
     * microseconds with integer `div` — Column `/` goes through double and
-    * loses precision (epoch nanos ~1.7e18 >> 2^53). `timestamp_ntz`
-    * matches DuckDB's naive reading of the same file. */
+    * loses precision (epoch nanos ~1.7e18 >> 2^53). Both paths surface the
+    * identical timestamp_ntz column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _: TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   /** Time-range scan over events with the range pushed to the PARQUET
-    * level. A filter on the derived timestamp column cannot push through
-    * the nanos→micros conversion, so the bounds are translated to raw
-    * nanos (exactly: micros(n) = n div 1000, so `micros >= S ⟺ n >=
-    * S*1000` and `micros <= E ⟺ n <= E*1000 + 999`) and applied to the
-    * int64 column BEFORE conversion — `.explain` shows them under
-    * PushedFilters, which is what makes a bounded scan of a 100 TB
-    * archive read only the matching row groups / partitions. */
+    * level. On the native timestamp layout the bounds are plain timestamp
+    * comparisons, which Catalyst pushes to the scan as-is. On the legacy
+    * int64-nanos layout a filter on the derived timestamp column cannot
+    * push through the nanos→micros conversion, so the bounds are
+    * translated to raw nanos (exactly: micros(n) = n div 1000, so
+    * `micros >= S ⟺ n >= S*1000` and `micros <= E ⟺ n <= E*1000 + 999`)
+    * and applied to the int64 column BEFORE conversion. Either way
+    * `.explain` shows them under PushedFilters, which is what makes a
+    * bounded scan of a 100 TB archive read only the matching row groups /
+    * partitions. */
   def eventsInRange(s: SparkSession, d: String,
       start: Option[String], end: Option[String]): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")
-    val bounded = Seq(
-      start.map(t => col("ts") >= unix_micros(to_timestamp(lit(t))) * 1000L),
-      end.map(t => col("ts") <= unix_micros(to_timestamp(lit(t))) * 1000L + 999L)
-    ).flatten.foldLeft(raw)(_ filter _)
-    bounded.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val bounded = Seq(
+          start.map(t => col("ts") >= unix_micros(to_timestamp(lit(t))) * 1000L),
+          end.map(t => col("ts") <= unix_micros(to_timestamp(lit(t))) * 1000L + 999L)
+        ).flatten.foldLeft(raw)(_ filter _)
+        bounded.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        val df = raw.schema("ts").dataType match {
+          case _: TimestampNTZType => raw
+          case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        }
+        Seq(
+          start.map(t => col("ts") >= lit(t).cast("timestamp_ntz")),
+          end.map(t => col("ts") <= lit(t).cast("timestamp_ntz"))
+        ).flatten.foldLeft(df)(_ filter _)
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "documents"))
