@@ -56,13 +56,21 @@ object Bench {
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
     val totalMin = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""queries":${obj(med)},"queries_min":${obj(mins)},"total_min":$totalMin,"sf":"$sfDir"}"""
-    println(json)
-    // belt-and-braces copy on disk: the stdout line is the contract, but a
-    // consumer that line-scans a build tool's decorated output can miss it
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // full per-query detail lives on disk (and on stdout, first) — at 100+
+    // queries the single-line maps run past what a tail-capturing consumer
+    // keeps, so the detail line must never be the one the consumer needs
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
     catch { case _: Throwable => () }
+    println(fullJson)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    // contract: the LAST stdout line is a short, fixed-size summary that
+    // survives any tail window; consumers wanting per-query medians read
+    // BENCH_LOCAL.json (or the detail line above when their capture allows)
+    val shortJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+      s""""nqueries":${names.length},"total_min":${r3(totalMin)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    println(shortJson)
     spark.stop()
   }
 }
