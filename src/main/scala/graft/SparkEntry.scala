@@ -622,6 +622,14 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // IVF-PQ composed ANN (the 100 TB deployment shape): the coarse IVF
+    // probe restricts the ADC scan to nProbe/nCentroids of the corpus,
+    // so the scan that is linear in s_knn_pq becomes probe-limited here.
+    "s_knn_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
     // class geometry over the embedding corpus: per-label quantized-mean
     // centroids (bit-reproducible) and their pairwise cosine matrix
     "s_label_centroids" -> ((s, d) =>
@@ -1494,6 +1502,9 @@ object SparkEntry {
 
     "s_knn_pq" ->
       Similarity.pqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+
+    "s_knn_ivfpq" ->
+      Similarity.ivfPqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
 
     "s_label_centroids" ->
       (s"SELECT * FROM (${Similarity.labelCentroidCosinesSql("embeddings", 64)}) " +

@@ -472,13 +472,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Oracle twin for [[pqTopK]]: the same subspace split (explicit
-    * element indexing, not engine slice syntax), the same
-    * quantized-integer codebook training keyed (s, code), argmax
-    * assignment with DESC+code tie-break, quantized-long LUT partials
-    * summed order-free, and the same two deterministic windows. */
-  def pqTopKSql(table: String, queryPred: String, k: Int, dim: Int,
-      m: Int = 8, ksub: Int = 16, nCandidates: Int = 50): String = {
+  /** CTE chain for the bit-reproducible PQ codebook training (one Lloyd
+    * round, quantized-integer means — the subspace analogue of
+    * [[kmeansAssignCtes]]). CTE names carry prefix `p` so the chain can
+    * coexist with the IVF chain in one statement; ends in
+    * `${p}cfin(s, code, cl)` (the codebooks) and
+    * `${p}codes(vec_id, s, sv, code)` (every corpus subvector under its
+    * final code). Shared verbatim by the PQ and IVF-PQ oracles. */
+  private def pqTrainCtes(table: String, dim: Int, m: Int, ksub: Int,
+      p: String): String = {
     val subDim = dim / m
     val q = CentroidQ
     def dotCl(sv: String) =
@@ -496,26 +498,38 @@ object Similarity {
          |    SELECT vec_id, s, sv, code,
          |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, code) AS rn
          |    FROM (SELECT u.vec_id, u.s, u.sv, c.code, ${dotCl("u.sv")} AS d
-         |          FROM __sub u JOIN $centCte c ON c.s = u.s)) WHERE rn = 1""".stripMargin
-    s"""WITH __sub AS (
+         |          FROM ${p}sub u JOIN $centCte c ON c.s = u.s)) WHERE rn = 1""".stripMargin
+    s"""${p}sub AS (
        |  SELECT vec_id, s,
        |         list_transform(range(1, $subDim + 1), i -> embedding[s * $subDim + i]) AS sv
        |  FROM $table CROSS JOIN (SELECT unnest(range(0, $m)) AS s) __s
-       |), __seed AS (
-       |  SELECT vec_id, s, CAST(vec_id % $ksub AS INTEGER) AS code, sv FROM __sub
-       |), __q0 AS (
-       |  ${quantize("__seed")}
-       |), __c0 AS (
-       |  ${means("__q0")}
-       |), __a1 AS (
-       |  ${assign("__c0")}
-       |), __q1 AS (
-       |  ${quantize("__a1")}
-       |), __cfin AS (
-       |  ${means("__q1")}
-       |), __codes AS (
-       |  ${assign("__cfin")}
-       |), __qv AS (
+       |), ${p}seed AS (
+       |  SELECT vec_id, s, CAST(vec_id % $ksub AS INTEGER) AS code, sv FROM ${p}sub
+       |), ${p}q0 AS (
+       |  ${quantize(s"${p}seed")}
+       |), ${p}c0 AS (
+       |  ${means(s"${p}q0")}
+       |), ${p}a1 AS (
+       |  ${assign(s"${p}c0")}
+       |), ${p}q1 AS (
+       |  ${quantize(s"${p}a1")}
+       |), ${p}cfin AS (
+       |  ${means(s"${p}q1")}
+       |), ${p}codes AS (
+       |  ${assign(s"${p}cfin")}
+       |)""".stripMargin
+  }
+
+  /** Oracle twin for [[pqTopK]]: the same subspace split (explicit
+    * element indexing, not engine slice syntax), the same
+    * quantized-integer codebook training keyed (s, code), argmax
+    * assignment with DESC+code tie-break, quantized-long LUT partials
+    * summed order-free, and the same two deterministic windows. */
+  def pqTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, nCandidates: Int = 50): String = {
+    val subDim = dim / m
+    val q = CentroidQ
+    s"""WITH ${pqTrainCtes(table, dim, m, ksub, "__")}, __qv AS (
        |  SELECT vec_id AS query_id, embedding AS q_vec FROM $table q WHERE $queryPred
        |), __lut AS (
        |  SELECT qs.query_id, c.s, c.code,
@@ -529,6 +543,132 @@ object Similarity {
        |  FROM __codes d JOIN __lut l ON l.s = d.s AND l.code = d.code
        |  WHERE l.query_id <> d.vec_id
        |  GROUP BY l.query_id, d.vec_id
+       |), __cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY approx_q DESC, neighbor_id) AS ra
+       |    FROM __ap) WHERE ra <= $nCandidates
+       |), __rr AS (
+       |  SELECT n.query_id, n.neighbor_id,
+       |         ${cosineSql("v.q_vec", "e.embedding", dim)} AS cos
+       |  FROM __cand n JOIN __qv v ON v.query_id = n.query_id
+       |  JOIN $table e ON e.vec_id = n.neighbor_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __rr
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ composed ANN (the deployment shape of Jégou et al. 2011
+    * §IV: coarse inverted-file probe + PQ asymmetric-distance scoring):
+    * the IVF index restricts which corpus vectors are ADC-scored at all,
+    * so per-query cost is `nProbe/nCentroids` of the corpus instead of a
+    * full scan — the sub-linearity [[pqTopK]] alone gives up — while the
+    * scored rows still carry m code ints instead of raw vectors.
+    *
+    * Plan shape: corpus rows get (cluster, codes, norm) in one
+    * projection pass against the broadcast centroids + codebooks; the
+    * query side explodes its nProbe probed clusters; candidate
+    * generation is an EQUI-join on `cluster` (each corpus vector lives
+    * in exactly one cluster, so no candidate dedup is needed); ADC
+    * scoring, the `nCandidates` cut, and the exact-cosine re-rank are
+    * identical to [[pqTopK]] — all boundaries decided by exact longs /
+    * bit-identical doubles with id tie-breaks, so the composition stays
+    * cell-exact cross-engine. Codebooks are trained on raw vectors (not
+    * residuals): residual training couples the two indexes and buys
+    * little at ADC's quantization resolution, while raw-vector training
+    * lets the composition reuse both kernels' oracles verbatim. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, ksub: Int = 16,
+      nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val centsLocal = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
+    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol))
+    val offsets = cb.scanLeft(0)((acc, sc) => acc + sc._2.length)
+    def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
+    def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
+      graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
+    }: _*)
+    // corpus side: ONE projection pass adds the coarse cluster, the m
+    // code ints, and the norm — at scale this is the stored index table
+    val enc0 = assignClustersLocal(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
+      centsLocal, "c_vec")
+    val encoded = (0 until m).foldLeft(enc0) { (df, s) =>
+      df.withColumn(s"__sc$s", scoreArr("c_vec", s))
+    }.select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("cluster"),
+      array((0 until m).map(s =>
+        array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
+        .as("__pos"))
+    // query side: ADC lookup table + the nProbe nearest coarse clusters
+    val lut = array((0 until m).flatMap(s => cb(s)._2.map { case (_, c) =>
+      round(graft.functions.NativeExprs.floatDoubleVecDot(svCol("q_vec", s),
+        array(c.map(lit): _*)) * CentroidQ).cast("long")
+    }): _*)
+    val scoredCents = array(centsLocal.map { case (cid, c) =>
+      struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("q_vec"), array(c.map(lit): _*)))
+        .as("neg"), lit(cid).as("cid"))
+    }: _*)
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+      .withColumn("__lut", lut)
+      .withColumn("cluster",
+        explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe)))
+    val approx = encoded.join(broadcast(qb), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_q", (0 until m).map(s =>
+        element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
+        .reduce(_ + _))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_q").desc, col("neighbor_id"))
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    approx.withColumn("__ra", row_number().over(wA)).filter(col("__ra") <= nCandidates)
+      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Oracle twin for [[ivfPqTopK]]: composes [[kmeansAssignCtes]] (the
+    * IVF oracle's bit-identical coarse index) with [[pqTrainCtes]] (the
+    * PQ oracle's bit-identical codebooks, `__p`-prefixed to coexist),
+    * probes nProbe clusters per query exactly as [[ivfTopKSql]], and
+    * ADC-scores ONLY the probed clusters' members before the same
+    * nCandidates cut and exact-cosine re-rank as [[pqTopKSql]]. */
+  def ivfPqTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, ksub: Int = 16,
+      nCandidates: Int = 50): String = {
+    val subDim = dim / m
+    val q = CentroidQ
+    def dotCl(v: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * c.cl[i])), (acc, x) -> acc + x)"
+    s"""WITH ${kmeansAssignCtes(table, dim, nCentroids)},
+       |${pqTrainCtes(table, dim, m, ksub, "__p")}, __qv AS (
+       |  SELECT vec_id AS query_id, embedding AS q_vec FROM $table q WHERE $queryPred
+       |), __qp AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT query_id, cluster,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cluster) AS rn
+       |    FROM (SELECT v.query_id, c.cluster, ${dotCl("v.q_vec")} AS d
+       |          FROM __qv v CROSS JOIN __cf c)) WHERE rn <= $nProbe
+       |), __lut AS (
+       |  SELECT qs.query_id, c.s, c.code,
+       |         CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, $subDim + 1), i -> CAST(qs.sv[i] AS DOUBLE) * c.cl[i])),
+       |           (acc, x) -> acc + x) * $q) AS BIGINT) AS w
+       |  FROM (SELECT v.query_id, u.s, u.sv FROM __qv v JOIN __psub u ON u.vec_id = v.query_id) qs
+       |  JOIN __pcfin c ON c.s = qs.s
+       |), __ap AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, CAST(sum(l.w) AS BIGINT) AS approx_q
+       |  FROM __qp p JOIN __asg a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+       |  JOIN __pcodes d ON d.vec_id = a.vec_id
+       |  JOIN __lut l ON l.query_id = p.query_id AND l.s = d.s AND l.code = d.code
+       |  GROUP BY p.query_id, a.vec_id
        |), __cand AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,

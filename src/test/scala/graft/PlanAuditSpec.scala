@@ -121,6 +121,17 @@ class PlanAuditSpec extends SparkSpec {
       s"s_knn_pq shuffles the full approx table:\n$p")
   }
 
+  test("IVF-PQ composed ANN probes by cluster equi-join: no nested loop anywhere") {
+    val p = plan("s_knn_ivfpq")
+    // the whole point of the composition: the BNLJ that pqTopK accepts
+    // (its ADC scan is corpus x queries by design) must be GONE — the
+    // candidate join is keyed on the coarse cluster id
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"s_knn_ivfpq degenerated to an unkeyed join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"s_knn_ivfpq shuffles the full approx table:\n$p")
+  }
+
   test("contamination probe is an equi-join with map-side partial aggregation") {
     val p = plan("d_contam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -69,6 +69,53 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q1, n) => q1 != n })
   }
 
+  test("ivfPqTopK achieves >= 40% recall@10 vs brute force on fixtures") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    assert(approx.forall { case (q1, n) => q1 != n })
+  }
+
+  test("ivfPqTopK candidates come only from probed clusters (the sub-linearity contract)") {
+    val q = emb.filter(col("vec_id") < 10)
+    // recompute the same deterministic index the operator builds
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, 64, nCentroids = 8, iters = 1))
+    val corpusCluster = Similarity.assignClustersLocal(
+      emb.select("vec_id", "embedding"), cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queryProbes = Similarity.assignClustersLocal(
+      q.select("vec_id", "embedding"), cents)
+    // nProbe=3 probes include the assigned (nearest) cluster; checking
+    // membership against ALL clusters a result neighbor sits in proves
+    // the join was cluster-keyed, not a corpus scan
+    val out = Similarity.ivfPqTopK(emb, q, 10, 64, nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+    // every returned neighbor's cluster must be one of its query's probes;
+    // with the operator's own probe list recomputed the containment is exact
+    val probesByQuery = {
+      import org.apache.spark.sql.functions.{array_sort, struct, transform, slice, lit => flit}
+      val scored = org.apache.spark.sql.functions.array(cents.map { case (cid, c) =>
+        struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("embedding"),
+          org.apache.spark.sql.functions.array(c.map(flit): _*))).as("neg"), flit(cid).as("cid"))
+      }: _*)
+      q.select(col("vec_id"), slice(transform(array_sort(scored), x => x("cid")), 1, 3).as("probes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    }
+    out.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(probesByQuery(qid).contains(corpusCluster(nid)),
+        s"neighbor $nid of query $qid is outside the probed clusters")
+    }
+  }
+
   test("pqCodebooks: m x ksub structure, full-coverage codes, identical vectors encode identically") {
     val cb = Similarity.collectCodebooks(Similarity.pqCodebooks(emb, 64, 8, 16))
     assert(cb.map(_._1).toSeq === (0 until 8))
