@@ -534,6 +534,15 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddings(s, d), 64, nCentroids = 32)
         .orderBy("vec_id")),
 
+    // The auto-k policy: k = ceil(n / targetBucket) from one cheap
+    // count, so expected bucket size — and pair volume n·B/2 — stays
+    // bounded as the corpus grows instead of n²/(2k). The oracle
+    // computes the same k inside the statement (scalar subquery), so
+    // one static SQL stays cell-exact at any corpus size.
+    "pipe_semdedup_auto" -> ((s, d) =>
+      Similarity.semDedupAuto(Tables.embeddings(s, d), 64, targetBucket = 40)
+        .orderBy("vec_id")),
+
     // As-of join: each purchase picks up the user's latest click at or
     // before it (inclusive; greatest (ts, event_id) wins ties) — the
     // union-sort time-series join, one shuffle on the key.
@@ -1484,6 +1493,9 @@ object SparkEntry {
 
     "pipe_semdedup_k32" ->
       Similarity.semDedupSql("embeddings", 64, nCentroids = 32),
+
+    "pipe_semdedup_auto" ->
+      Similarity.semDedupAutoSql("embeddings", 64, targetBucket = 40),
 
     "s_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +

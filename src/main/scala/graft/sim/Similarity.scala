@@ -284,7 +284,15 @@ object Similarity {
     * centroids) and `__asg(vec_id, embedding, cluster)` (every corpus
     * vector under its final centroid) — shared verbatim by the IVF and
     * SemDeDup oracles so both compose the SAME index arithmetic. */
-  private def kmeansAssignCtes(table: String, dim: Int, nCentroids: Int): String = {
+  private def kmeansAssignCtes(table: String, dim: Int, nCentroids: Int): String =
+    kmeansAssignCtes(table, dim, nCentroids.toString)
+
+  /** [[kmeansAssignCtes]] with the cluster count as a SQL expression —
+    * a literal for the fixed-k callers, a scalar subquery (e.g.
+    * `(SELECT k FROM __k)`) for the auto-k policy, which is how the
+    * oracle stays one static statement while k tracks corpus size. The
+    * count appears ONLY in the `% k` seed, so nothing else changes. */
+  private def kmeansAssignCtes(table: String, dim: Int, kExpr: String): String = {
     val q = CentroidQ
     def dotCl(v: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
@@ -303,7 +311,7 @@ object Similarity {
          |    FROM (SELECT e.vec_id, e.embedding, c.cluster, ${dotCl("e.embedding")} AS d
          |          FROM $table e CROSS JOIN $centCte c)) WHERE rn = 1""".stripMargin
     s"""__seed AS (
-       |  SELECT vec_id, CAST(vec_id % $nCentroids AS INTEGER) AS cluster, embedding FROM $table
+       |  SELECT vec_id, CAST(vec_id % $kExpr AS INTEGER) AS cluster, embedding FROM $table
        |), __q0 AS (
        |  ${quantize("__seed")}
        |), __c0 AS (
@@ -742,6 +750,53 @@ object Similarity {
        |SELECT c.vec_id, a.cluster AS bucket, c.rep, c.vec_id = c.rep AS kept
        |FROM __cc c JOIN __asg a USING (vec_id)
        |ORDER BY c.vec_id""".stripMargin
+
+  /** [[semDedup]] with the auto-k policy: `k = max(1, ceil(n / B))`
+    * from ONE cheap count, so the expected bucket size — and with it
+    * the within-bucket pair volume Σ|bucket|²/2 ≈ n·B/2 — stays
+    * BOUNDED as the corpus grows, instead of the fixed-k n²/(2k) blowup
+    * (the SemDeDup paper's ~11k clusters at LAION scale is this policy
+    * at B ≈ 10k). The count is the only extra job; everything after is
+    * [[semDedup]] verbatim at the computed k. */
+  def semDedupAuto(corpus: DataFrame, dim: Int, targetBucket: Int = 20,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(1L, math.ceil(n.toDouble / targetBucket).toLong).toInt
+    semDedup(corpus, dim, k, threshold, idCol, vecCol)
+  }
+
+  /** Oracle twin for [[semDedupAuto]]: the SAME policy arithmetic
+    * (ceil of a double division — exact for any corpus a test runs)
+    * evaluated INSIDE the statement as a scalar subquery, threaded into
+    * the shared k-means chain through [[kmeansAssignCtes]]'s expression
+    * hook — so one static SQL string stays cell-exact at every corpus
+    * size the driver happens to run it at. */
+  def semDedupAutoSql(table: String, dim: Int, targetBucket: Int = 20,
+      threshold: Double = 0.4): String = {
+    val kCte = s"""__k AS (
+       |  SELECT GREATEST(CAST(1 AS BIGINT),
+       |         CAST(ceil(CAST(count(*) AS DOUBLE) / $targetBucket) AS BIGINT)) AS k
+       |  FROM $table
+       |)""".stripMargin
+    s"""WITH RECURSIVE $kCte, ${kmeansAssignCtes(table, dim, "(SELECT k FROM __k)")}, __pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM __asg a JOIN __asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding", dim)} >= $threshold
+       |), __sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM __pairs
+       |  UNION ALL SELECT id_b, id_a FROM __pairs
+       |), __reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM $table
+       |  UNION
+       |  SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src
+       |), __cc AS (
+       |  SELECT src AS vec_id, min(dst) AS rep FROM __reach GROUP BY src
+       |)
+       |SELECT c.vec_id, a.cluster AS bucket, c.rep, c.vec_id = c.rep AS kept
+       |FROM __cc c JOIN __asg a USING (vec_id)
+       |ORDER BY c.vec_id""".stripMargin
+  }
 
   /** Per-label class centroids with the same bit-reproducible
     * quantized-integer means as [[ivfCentroids]] — the "class geometry"

@@ -196,6 +196,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out(40L) === ((40L, true)) && out(50L) === ((50L, true)))
   }
 
+  test("semDedupAuto computes k = ceil(n/B) and matches the explicit-k run") {
+    val n = emb.count()
+    val b = 40
+    val k = math.max(1L, math.ceil(n.toDouble / b).toLong).toInt
+    val auto = Similarity.semDedupAuto(emb, 64, targetBucket = b)
+      .orderBy("vec_id").collect().toSeq
+    val explicitK = Similarity.semDedup(emb, 64, nCentroids = k)
+      .orderBy("vec_id").collect().toSeq
+    assert(auto === explicitK)
+    // the policy actually moved k off the default (the lever engages)
+    assert(k > 8, s"fixture too small to exercise the policy: k=$k")
+  }
+
   test("semDedup on fixtures: one row per vector, kept iff own rep, rep <= id") {
     val out = Similarity.semDedup(emb, 64).cache()
     assert(out.count() === emb.count())
