@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.sim.Similarity
+
+/** Dev utility: parameter sweeps of the index-shaped ANN / semantic-dedup
+  * operators at the scale fixtures. The SparkEntry entries pin ONE
+  * parameterization (the oracle-gated one); the scale story in
+  * BENCH_SCALE.md needs the lever positions too — probe fraction for
+  * IVF-PQ, target bucket for the SemDeDup auto-k policy.
+  *
+  * {{{ sbt "runMain graft.DevSpot bench-data/sf10x ivfpq:8:3 ivfpq:32:3 pq semauto:2048 semk:32" }}}
+  */
+object DevSpot {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = GraftSession.local(32, "graft-devspot")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    def emb = Tables.embeddings(spark, sfDir)
+    args.drop(1).foreach { spec =>
+      val t0 = System.nanoTime()
+      val n = spec.split(":") match {
+        case Array("ivfpq", nc, np) =>
+          Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 10, 64,
+            nCentroids = nc.toInt, nProbe = np.toInt).count()
+        case Array("pq") =>
+          Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 10, 64).count()
+        case Array("ivf", nc, np) =>
+          Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10, 64,
+            nCentroids = nc.toInt, nProbe = np.toInt).count()
+        case Array("semauto", b) =>
+          Similarity.semDedupAuto(emb, 64, targetBucket = b.toInt).count()
+        case Array("semk", k) =>
+          Similarity.semDedup(emb, 64, nCentroids = k.toInt).count()
+        case Array("ivfpqsplit", nc, np) =>
+          // deployment shape: build+persist the index once, then time the
+          // query batch alone (what repeats at 100 TB)
+          val tb0 = System.nanoTime()
+          val corpus = emb
+          val model = Similarity.ivfPqIndex(corpus, 64, nCentroids = nc.toInt)
+          model.index.persist()
+          val nIdx = model.index.count()
+          val tb = (System.nanoTime() - tb0) / 1e9
+          val tq0 = System.nanoTime()
+          val nq = Similarity.ivfPqQuery(model, corpus, emb.filter(col("vec_id") < 5),
+            10, 64, nProbe = np.toInt).count()
+          val tq = (System.nanoTime() - tq0) / 1e9
+          println(f"SPOTX ivfpqsplit:$nc:$np index_rows=$nIdx build=$tb%.2f query=$tq%.2f")
+          model.index.unpersist()
+          nq
+        case Array("pqtrain") =>
+          Similarity.collectCodebooks(Similarity.pqCodebooks(emb, 64, 8, 16)).length.toLong
+        case Array("ivftrain", nc) =>
+          Similarity.collectCentroids(Similarity.ivfCentroids(emb, 64, nc.toInt, 1)).length.toLong
+        case Array("pqencode") => Similarity.pqEncodeDev(emb, 64, 8, 16)
+        case other => sys.error(s"unknown spec ${other.mkString(":")}")
+      }
+      println(f"SPOT $spec rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

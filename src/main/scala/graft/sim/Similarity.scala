@@ -48,8 +48,12 @@ object Similarity {
     val c = corpus.withColumn("c_norm", sqrt(dot(vecCol, vecCol, dim)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+    // thin to (query_id, id, cos) BEFORE the rank window: the per-query
+    // shuffle must carry 24-byte rows, not the vectors (cos is computed
+    // map-side in the join stage)
     val scored = c.join(broadcast(q), col("query_id") =!= col(idCol))
-      .withColumn("cos", dot("q_vec", vecCol, dim) / (col("q_norm") * col("c_norm")))
+      .select(col("query_id"), col(idCol),
+        (dot("q_vec", vecCol, dim) / (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -93,10 +97,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // (table, bucket) membership exploded to rows on BOTH sides, then ONE
     // equi-join on the compound key — candidate ∈ any shared bucket. One
-    // pass computes all tables' buckets + the norm per vector (no
-    // persist, no per-table join fan: L tables cost L rows per vector,
-    // not L plan stages); at scale the corpus side shuffles 8-byte keys,
-    // and the query side stays broadcast.
+    // pass computes all tables' buckets (no persist, no per-table join
+    // fan: L tables cost L rows per vector, not L plan stages); at scale
+    // the corpus side shuffles 8-byte keys, and the query side stays
+    // broadcast.
     def addBuckets(df: DataFrame, vc: String): DataFrame = {
       val tb = array((0 until nTables).map { t =>
         struct(lit(t).as("ht"),
@@ -107,15 +111,25 @@ object Similarity {
         .drop("__tb")
     }
     val cb = addBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-        .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))), "c_vec")
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), "c_vec")
     val qb = addBuckets(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-        .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim))), "q_vec")
-    val scored = cb.join(broadcast(qb), Seq("ht", "hb"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")), "q_vec")
+    // candidate pairs may repeat across tables: dedup on THIN
+    // (query_id, neighbor_id) rows — never shuffle table-multiplied
+    // vector copies — then cos is computed once per unique pair and the
+    // rank window again shuffles thin rows only
+    val cand = cb.select("ht", "hb", "neighbor_id")
+      .join(broadcast(qb.select("ht", "hb", "query_id")), Seq("ht", "hb"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+    val cn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+    val scored = cand.join(cn, Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -201,7 +215,7 @@ object Similarity {
     }
     val seeded = corpus.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
     (1 to iters).foldLeft(recompute(seeded)) { (cents, _) =>
-      recompute(assignClusters(corpus, cents, dim, vecCol)
+      recompute(assignClusters(corpus, cents, dim, vecCol, idCol)
         .select(col("cluster"), col(vecCol)))
     }
   }
@@ -220,8 +234,16 @@ object Similarity {
     * (2^centroids evaluations; the same trap as SURVEY §2.12's shingle
     * note). Ties resolve to the lowest-index (first) centroid. */
   def assignClusters(df: DataFrame, centroids: DataFrame, dim: Int,
-      vecCol: String = "embedding"): DataFrame =
-    assignClustersLocal(df, collectCentroids(centroids), vecCol)
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    assignClustersLocal(df, collectCentroids(centroids), vecCol, idCol)
+
+  /** Above this cluster count, assignment switches from the flat
+    * literal-argmax expression to the broadcast-join shape: the k-wide
+    * score-array expression outgrows JIT-able generated code around
+    * here (observed ~50× per-row slowdown by k ≈ 100 — the argmax
+    * falls back to interpreted evaluation), while the join path stays
+    * codegen'd at any k. */
+  val AssignJoinK = 48
 
   /** [[assignClusters]] against an already-collected centroid array —
     * the entry point when the caller reuses the centroids elsewhere
@@ -243,6 +265,31 @@ object Similarity {
       .drop("__scores")
   }
 
+  /** [[assignClustersLocal]] with a row key, which unlocks the
+    * large-k assignment shape: beyond [[AssignJoinK]] centroids the
+    * centroid table is broadcast as DATA (not as literals baked into
+    * one giant expression), each (row, centroid) dot is scored
+    * map-side on thin (id, cid, d) rows, and the per-row argmax is a
+    * map-side-combinable `max(struct(d, -cid))` — so the shuffle
+    * carries ONE row per vector and the generated code stays small and
+    * JIT-compiled at any k. Tie-break (equal d → lowest cid) and the
+    * double arithmetic are identical to the literal path, so results —
+    * and the oracles built on them — are unchanged. */
+  def assignClustersLocal(df: DataFrame, cents: Array[(Int, Seq[Double])],
+      vecCol: String, idCol: String): DataFrame = {
+    if (cents.length <= AssignJoinK) return assignClustersLocal(df, cents, vecCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.map { case (cid, c) => (cid, c) }.toDF("__cid", "__cent")
+    val scored = df.select(col(idCol), col(vecCol)).crossJoin(broadcast(centDf))
+      .select(col(idCol), col("__cid"),
+        graft.functions.NativeExprs.floatDoubleVecDot(col(vecCol), col("__cent")).as("__d"))
+    val best = scored.groupBy(col(idCol))
+      .agg(max(struct(col("__d"), (-col("__cid")).as("__nc"))).as("__b"))
+      .select(col(idCol), (-col("__b.__nc")).cast("int").as("cluster"))
+    df.join(best, Seq(idCol))
+  }
+
   /** IVF ANN top-k: probe the `nProbe` centroids nearest each query,
     * take the corpus vectors of those clusters as candidates (equi-join
     * on the cluster id), re-rank by exact cosine. The scale shape:
@@ -259,7 +306,7 @@ object Similarity {
     val cb = assignClustersLocal(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
-      centsLocal, "c_vec")
+      centsLocal, "c_vec", "neighbor_id")
     val scoredCents = array(centsLocal.map { case (cid, c) =>
       struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("q_vec"), array(c.map(lit): _*)))
         .as("neg"), lit(cid).as("cid"))
@@ -268,10 +315,14 @@ object Similarity {
       .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
       .withColumn("cluster",
         explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe)))
+    // each corpus vector lives in exactly ONE cluster, so (query,
+    // neighbor) pairs are already unique — no dedup shuffle; and the
+    // rank window input is thinned to (query_id, neighbor_id, cos) so
+    // the per-query shuffle never carries vectors
     val scored = cb.join(broadcast(qb), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -427,6 +478,27 @@ object Similarity {
     recompute(a1.select(col("s"), col("code"), col("sv")))
   }
 
+  /** Dev-only timing probe for [[graft.DevSpot]]: corpus encode step of
+    * [[pqTopK]] in isolation (codebook train + per-row code argmax). */
+  def pqEncodeDev(corpus: DataFrame, dim: Int, m: Int, ksub: Int): Long = {
+    val subDim = dim / m
+    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub))
+    def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
+    def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
+      graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
+    }: _*)
+    val enc0 = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    (0 until m).foldLeft(enc0) { (df, s) =>
+      df.withColumn(s"__sc$s", scoreArr("c_vec", s))
+    }.select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+      array((0 until m).map(s =>
+        array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
+        .as("__pos"))
+      // force the code columns (count() would prune the projection away)
+      .agg(sum(element_at(col("__pos"), 1))).collect()(0).getLong(0)
+  }
+
   /** PQ ANN top-k with asymmetric-distance scoring: encode every corpus
     * vector as m small code indexes (64 floats → m ints — the 100 TB
     * memory/shuffle lever: the scored table carries codes, never raw
@@ -452,11 +524,14 @@ object Similarity {
     def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
       graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
     }: _*)
-    val enc0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
-    val encoded = (0 until m).foldLeft(enc0) { (df, s) =>
+    // codes-ONLY scan table: the raw vector is dropped before the ADC
+    // join, so the hot scan and the candidate window shuffle carry
+    // (id, m ints) — NOT 64 floats — per row. Raw vectors re-enter only
+    // for the nCandidates survivors, via a keyed join below.
+    val encoded = (0 until m).foldLeft(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))) { (df, s) =>
       df.withColumn(s"__sc$s", scoreArr("c_vec", s))
-    }.select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+    }.select(col("neighbor_id"),
       array((0 until m).map(s =>
         array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
         .as("__pos"))
@@ -464,17 +539,28 @@ object Similarity {
       round(graft.functions.NativeExprs.floatDoubleVecDot(svCol("q_vec", s),
         array(c.map(lit): _*)) * CentroidQ).cast("long")
     }): _*)
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
-      .withColumn("__lut", lut)
-    val approx = encoded.join(broadcast(qb), col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_q", (0 until m).map(s =>
-        element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
-        .reduce(_ + _))
+    val qlut = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), lut.as("__lut"))
+    // thin approx rows: (query_id, neighbor_id, approx_q) ONLY — the
+    // per-query rank shuffle must never carry vectors or the LUT
+    val approx = encoded.join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until m).map(s =>
+          element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
+          .reduce(_ + _).as("approx_q"))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_q").desc, col("neighbor_id"))
+    val cand = approx.withColumn("__ra", row_number().over(wA))
+      .filter(col("__ra") <= nCandidates).select("query_id", "neighbor_id")
+    // exact re-rank: raw vectors rejoin for queries x nCandidates rows only
+    val cn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
     val wC = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    approx.withColumn("__ra", row_number().over(wA)).filter(col("__ra") <= nCandidates)
-      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+    cn.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm"))).as("cos"))
       .withColumn("rank", row_number().over(wC))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -593,26 +679,67 @@ object Similarity {
       nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, ksub: Int = 16,
       nCandidates: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfPqIndex(corpus, dim, nCentroids, m, ksub, idCol, vecCol)
+    ivfPqQuery(model, corpus, queries, k, dim, nProbe, nCandidates, idCol, vecCol)
+  }
+
+  /** A trained IVF-PQ index: the driver-side coarse centroids and PQ
+    * codebooks (catalog-sized), plus the distributed index table
+    * (id, cluster, m code ints — NO raw vectors; ~40 bytes/vector vs
+    * 256+ for the raw floats). At 100 TB this table is built ONCE, put
+    * behind `.persist()` or a parquet sink bucketed by `cluster`, and
+    * amortized across every query batch — which is why [[ivfPqQuery]]'s
+    * per-batch cost is probe-limited, not corpus-linear. */
+  final case class IvfPqModel(
+      centroids: Array[(Int, Seq[Double])],
+      codebooks: Array[(Int, Array[(Int, Seq[Double])])],
+      index: DataFrame)
+
+  /** Build the IVF-PQ index: train the coarse k-means and the subspace
+    * codebooks (both bit-reproducible), then encode every corpus vector
+    * in ONE projection pass — coarse cluster by broadcast argmax, m code
+    * ints by per-subspace argmax. Linear in the corpus by nature; run
+    * once, reuse per query batch. */
+  def ivfPqIndex(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
+      m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqModel = {
     val subDim = dim / m
     val centsLocal = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
     val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol))
-    val offsets = cb.scanLeft(0)((acc, sc) => acc + sc._2.length)
     def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
     def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
       graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
     }: _*)
-    // corpus side: ONE projection pass adds the coarse cluster, the m
-    // code ints, and the norm — at scale this is the stored index table
+    // ONE projection pass adds the coarse cluster and the m code ints,
+    // then DROPS the raw vector — the stored index carries
+    // (id, cluster, m ints) per row, never 64 floats
     val enc0 = assignClustersLocal(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-        .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim))),
-      centsLocal, "c_vec")
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      centsLocal, "c_vec", "neighbor_id")
     val encoded = (0 until m).foldLeft(enc0) { (df, s) =>
       df.withColumn(s"__sc$s", scoreArr("c_vec", s))
-    }.select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("cluster"),
+    }.select(col("neighbor_id"), col("cluster"),
       array((0 until m).map(s =>
         array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
         .as("__pos"))
+    IvfPqModel(centsLocal, cb, encoded)
+  }
+
+  /** Query a prebuilt [[IvfPqModel]]: per query, an ADC lookup table and
+    * the nProbe nearest coarse clusters; candidates via the cluster
+    * equi-join against the index table; ADC score, nCandidates cut,
+    * exact-cosine re-rank against the raw corpus. Per-batch cost is
+    * `nProbe/nCentroids` of the index plus queries × nCandidates
+    * re-rank rows. */
+  def ivfPqQuery(model: IvfPqModel, corpus: DataFrame, queries: DataFrame,
+      k: Int, dim: Int, nProbe: Int = 3, nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = model.codebooks.length
+    val subDim = dim / m
+    val cb = model.codebooks
+    val centsLocal = model.centroids
+    val offsets = cb.scanLeft(0)((acc, sc) => acc + sc._2.length)
+    def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
     // query side: ADC lookup table + the nProbe nearest coarse clusters
     val lut = array((0 until m).flatMap(s => cb(s)._2.map { case (_, c) =>
       round(graft.functions.NativeExprs.floatDoubleVecDot(svCol("q_vec", s),
@@ -623,19 +750,28 @@ object Similarity {
         .as("neg"), lit(cid).as("cid"))
     }: _*)
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
-      .withColumn("__lut", lut)
-      .withColumn("cluster",
-        explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe)))
-    val approx = encoded.join(broadcast(qb), Seq("cluster"))
+      .select(col("query_id"), lut.as("__lut"),
+        explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe))
+          .as("cluster"))
+    val approx = model.index.join(broadcast(qb), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_q", (0 until m).map(s =>
-        element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
-        .reduce(_ + _))
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until m).map(s =>
+          element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
+          .reduce(_ + _).as("approx_q"))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_q").desc, col("neighbor_id"))
+    val cand = approx.withColumn("__ra", row_number().over(wA))
+      .filter(col("__ra") <= nCandidates).select("query_id", "neighbor_id")
+    // exact re-rank: raw vectors rejoin for queries x nCandidates rows only
+    val cn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
     val wC = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    approx.withColumn("__ra", row_number().over(wA)).filter(col("__ra") <= nCandidates)
-      .withColumn("cos", dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm")))
+    cn.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm"))).as("cos"))
       .withColumn("rank", row_number().over(wC))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -717,7 +853,7 @@ object Similarity {
       threshold: Double = 0.4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
-    val assigned = assignClustersLocal(corpus.select(col(idCol), col(vecCol)), cents, vecCol)
+    val assigned = assignClustersLocal(corpus.select(col(idCol), col(vecCol)), cents, vecCol, idCol)
       .withColumnRenamed("cluster", "bucket")
     val pairs = nearDupPairs(assigned, "bucket", threshold, dim, idCol, vecCol)
     graft.dedup.Dedup.clusters(corpus.select(col(idCol)), pairs, idCol)

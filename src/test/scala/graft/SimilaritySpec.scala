@@ -196,6 +196,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(40L) === ((40L, true)) && out(50L) === ((50L, true)))
   }
 
+  test("large-k join assignment matches the literal-argmax path exactly") {
+    // k > AssignJoinK so the keyed overload takes the broadcast-join
+    // shape; the 2-arg call is forced through the literal expression
+    val k = Similarity.AssignJoinK + 12
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, 64, nCentroids = k, iters = 1))
+    assert(cents.length > Similarity.AssignJoinK)
+    val viaJoin = Similarity.assignClustersLocal(
+      emb.select("vec_id", "embedding"), cents, "embedding", "vec_id")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaLiteral = Similarity.assignClustersLocal(
+      emb.select("vec_id", "embedding"), cents, "embedding")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaJoin === viaLiteral)
+  }
+
   test("semDedupAuto computes k = ceil(n/B) and matches the explicit-k run") {
     val n = emb.count()
     val b = 40
