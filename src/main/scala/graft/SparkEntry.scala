@@ -939,10 +939,14 @@ object SparkEntry {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // df via a window over tok, NOT a tf-join-tf self-join: the join
+      // form computes the explode+tf aggregate TWICE (the two sides key
+      // differently, so no exchange reuse) and adds a join shuffle; the
+      // window reuses the single tf result with one tok exchange
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("tok")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("tok").asc)
-      tf.join(df_, Seq("tok"))
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "tok", "tf", "df")
