@@ -663,8 +663,12 @@ object Dedup {
     val keyCols = Seq("band", "k0", "k1")
     val w = Window.partitionBy(keyCols.map(col): _*)
     val me = struct(col(tsCol), col(idCol))
-    val regHit = registry.select(keyCols.map(col) :+ lit(true).as("__claimed"): _*)
-      .distinct()
+    // distinct on EXACTLY the key columns (the constant flag is added
+    // after): a registry materialized bucketed on (band, k0, k1) then
+    // satisfies both this aggregate's and the probe join's required
+    // distribution — the registry side reads with zero exchanges
+    val regHit = registry.select(keyCols.map(col): _*)
+      .distinct().withColumn("__claimed", lit(true))
     val verdict = bands
       .withColumn("__first", min(me).over(w))
       .join(regHit, keyCols, "left")

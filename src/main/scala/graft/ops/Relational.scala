@@ -245,8 +245,16 @@ object Relational {
     * (bucket metadata lives in the catalog, not the files — a plain
     * `spark.read.parquet` of the path would NOT get the bucketed plan). */
   def materializeBucketed(df: DataFrame, path: String, tableName: String,
-      key: String, buckets: Int): DataFrame = {
-    df.write.bucketBy(buckets, key).sortBy(key)
+      key: String, buckets: Int): DataFrame =
+    materializeBucketed(df, path, tableName, Seq(key), buckets)
+
+  /** [[materializeBucketed]] on a compound key (e.g. the streaming-dedup
+    * registry's (band, k0, k1) bucket id): a join or aggregate keyed on
+    * ALL the bucket columns reads the table with no exchange. */
+  def materializeBucketed(df: DataFrame, path: String, tableName: String,
+      keys: Seq[String], buckets: Int): DataFrame = {
+    df.write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path).mode("overwrite").saveAsTable(tableName)
     df.sparkSession.table(tableName)
   }

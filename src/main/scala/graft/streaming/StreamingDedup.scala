@@ -61,6 +61,28 @@ object StreamingDedup {
         .limit(0)
   }
 
+  /** Table maintenance: fold the batch_id-partitioned claim registry
+    * into ONE table bucketed (and per-file sorted) on the probe key
+    * (band, k0, k1). Claims are unique across batches by construction
+    * (each batch anti-joins the prior registry before writing), so this
+    * is a pure relayout; the min-claimed_ts aggregate keeps the
+    * retention column well-defined even if a replayed half-written
+    * partition left a stray duplicate. After compaction the probe join
+    * and its distinct read the registry with ZERO exchanges — only the
+    * (small) incoming batch shuffles, sized by the batch, not by
+    * all-history state (`StreamingDedupSpec` pins both the plan and
+    * before/after suppression equality). At 100 TB this runs on
+    * whatever cadence keeps the partition listing short; fresh
+    * post-compaction batches append new batch_id partitions beside the
+    * compacted base and the union is probed until the next sweep. */
+  def compactRegistry(spark: SparkSession, registryDir: String, path: String,
+      tableName: String, buckets: Int = 32): DataFrame = {
+    val claims = readPartitioned(spark, registryDir)
+      .groupBy("band", "k0", "k1").agg(min("claimed_ts").as("claimed_ts"))
+    graft.ops.Relational.materializeBucketed(
+      claims, path, tableName, Seq("band", "k0", "k1"), buckets)
+  }
+
   /** Wire a streaming document source through the suppressor. `docs`
     * must carry (idCol, tsCol, textCol); kept documents land under
     * `keptDir/batch_id=*`, bucket claims under `registryDir/batch_id=*`. */

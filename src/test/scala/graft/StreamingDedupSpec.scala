@@ -116,6 +116,72 @@ class StreamingDedupSpec extends SparkSpec {
     assert(keptAfter === kept)
   }
 
+  test("registry compaction: identical suppression, zero-exchange bucketed probe") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_sdedup_compact").toString
+    val docs = corpus
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "ts", "text")
+    // build a 3-batch registry through the normal streaming path
+    docs.grouped(8).foreach { batch =>
+      mem.addData(batch)
+      val q = StreamingDedup.start(stream, s"$dir/registry", s"$dir/kept",
+        s"$dir/ckpt", n = 3)
+      q.awaitTermination(120000)
+    }
+    spark.sql("DROP TABLE IF EXISTS t_registry_compact")
+    val compacted = StreamingDedup.compactRegistry(
+      spark, s"$dir/registry", s"$dir/compacted", "t_registry_compact", buckets = 8)
+    try {
+      // relayout only: same distinct bucket set as the partitioned form
+      val raw = StreamingDedup.readPartitioned(spark, s"$dir/registry")
+        .select("band", "k0", "k1")
+      assert(compacted.count() === raw.distinct().count())
+      assert(compacted.select("band", "k0", "k1").exceptAll(raw.distinct()).isEmpty)
+
+      // a fresh batch (one replayed dup of doc 4's text + one novel doc)
+      // suppresses IDENTICALLY against raw and compacted registries
+      val texts = Tables.documents(spark, sfDir)
+        .filter(length(col("text")) > 50).orderBy("doc_id")
+        .limit(30).collect().map(_.getAs[String]("text"))
+      val fresh = Seq((101L, 101L, texts(3)), (102L, 102L, texts(28)))
+        .toDF("doc_id", "ts", "text")
+      val (keptRaw, _) = Dedup.nearDupSuppress(
+        fresh, raw, "doc_id", "ts", "text", 3)
+      val (keptCompact, claimsCompact) = Dedup.nearDupSuppress(
+        fresh, compacted.select("band", "k0", "k1"), "doc_id", "ts", "text", 3)
+      val a = keptRaw.select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = keptCompact.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a === b)
+      assert(!b.contains(101L), "replayed dup text must be suppressed")
+
+      // plan: the registry side of the probe — the distinct over the
+      // key columns that nearDupSuppress builds — reads the bucketed
+      // table with ZERO exchanges (bucket distribution satisfies the
+      // aggregate), so in the full probe only the incoming batch
+      // shuffles
+      val regSide = compacted.select("band", "k0", "k1").distinct()
+        .queryExecution.executedPlan.toString
+      assert(regSide.contains("Bucketed: true"),
+        s"registry distinct did not use the bucketed layout:\n$regSide")
+      assert(!regSide.contains("Exchange"),
+        s"registry subtree shuffled after compaction:\n$regSide")
+      // and end-to-end the compacted probe plans strictly fewer
+      // exchanges than the same probe against the raw partitioned dir
+      def nExchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(nExchanges(keptCompact) < nExchanges(keptRaw),
+        "compaction removed no exchange from the probe plan")
+      // new claims: the novel doc's bands only, none already registered
+      assert(claimsCompact.count() > 0)
+      assert(claimsCompact.join(raw.distinct(), Seq("band", "k0", "k1")).count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_registry_compact")
+    }
+  }
+
   test("nearDupSuppress batch kernel: registry hit, in-batch tie, chain transitivity") {
     val sess = spark
     import sess.implicits._
