@@ -386,6 +386,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII v2 (adds IBAN + E.164): the corpus rows prove the classes over
+    // real text; the crafted rows pin every boundary where the two regex
+    // engines could diverge (length clamps, case, leading zero, overrun)
+    // as oracle cells rather than a span-equality argument.
+    "t_redact_v2" -> ((s, d) => {
+      import s.implicits._
+      val crafted = TextOps.CraftedPiiRows.toDF("doc_id", "text")
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionAll(crafted)
+      val cols = TextOps.redactPiiV2(col("text")).map { case (n, c) => c.as(n) }
+      base.select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    }),
+
     // C4-style line filter: the fixture text is single-line, so the query
     // appends a known multi-line tail identically in both engines — one
     // line too short, one keepable, one unpunctuated — and the oracle
@@ -1338,6 +1351,18 @@ object SparkEntry {
       val f = TextOps.redactPiiSql(aug)
       s"SELECT doc_id, ${f("n_emails")} AS n_emails, ${f("n_phones")} AS n_phones, " +
         s"${f("n_ips")} AS n_ips, ${f("clean")} AS clean FROM documents ORDER BY doc_id"
+    },
+
+    "t_redact_v2" -> {
+      val f = TextOps.redactPiiV2Sql("text")
+      val values = TextOps.CraftedPiiRows
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"SELECT doc_id, ${f("n_emails")} AS n_emails, ${f("n_ibans")} AS n_ibans, " +
+        s"${f("n_e164")} AS n_e164, ${f("n_phones")} AS n_phones, " +
+        s"${f("n_ips")} AS n_ips, ${f("clean")} AS clean FROM " +
+        s"(SELECT doc_id, text FROM documents " +
+        s"UNION ALL SELECT * FROM (VALUES $values) AS __c(doc_id, text)) " +
+        "ORDER BY doc_id"
     },
 
     "t_chunks" ->

@@ -770,6 +770,72 @@ object TextOps {
       s"'$PhoneRe', '<PHONE>', 'g'), " +
       s"'$Ipv4Re', '<IP>', 'g')"))
 
+  /** IBAN shape (ISO 13616 surface form, no checksum validation):
+    * country code + 2 check digits + 10-30 alphanumerics. Uppercase
+    * only — lowercase runs are prose, not account numbers. */
+  val IbanRe = "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}"
+
+  /** E.164 international phone: '+', non-zero lead, 8-15 digits total.
+    * Both new classes keep the [[redactPii]] engine-parity discipline:
+    * alternation-free single-path patterns whose greedy class
+    * quantifiers select the same span under Java's backtracking and
+    * RE2's leftmost-longest (maximal munch over a character class with
+    * nothing after it never backtracks) — additionally pinned by the
+    * crafted adversarial rows `t_redact_v2` runs through BOTH engines:
+    * boundary lengths ({10,30} clamp, 15-digit max, 16-digit overrun),
+    * case sensitivity, and leading-zero rejection are oracle rows, not
+    * just a span-equality argument. */
+  val E164Re = "\\+[1-9][0-9]{7,14}"
+
+  /** [[redactPii]] with the IBAN and E.164 classes added. Counts are
+    * independent per class on the INPUT text (v1 contract); replacement
+    * order email → iban → e164 → phone → ip, identical in the twin.
+    * Placeholders are uppercase-letter-only, so no earlier replacement
+    * can create a later class's match. */
+  def redactPiiV2(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    "n_ibans" -> size(regexp_extract_all(text, lit(IbanRe), lit(0))),
+    "n_e164" -> size(regexp_extract_all(text, lit(E164Re), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    "clean" -> regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, EmailRe, "<EMAIL>"),
+            IbanRe, "<IBAN>"),
+          E164Re, "<E164>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>"))
+
+  def redactPiiV2Sql(text: String): Map[String, String] = Map(
+    "n_emails" -> s"CAST(len(regexp_extract_all($text, '$EmailRe')) AS INTEGER)",
+    "n_ibans" -> s"CAST(len(regexp_extract_all($text, '$IbanRe')) AS INTEGER)",
+    "n_e164" -> s"CAST(len(regexp_extract_all($text, '$E164Re')) AS INTEGER)",
+    "n_phones" -> s"CAST(len(regexp_extract_all($text, '$PhoneRe')) AS INTEGER)",
+    "n_ips" -> s"CAST(len(regexp_extract_all($text, '$Ipv4Re')) AS INTEGER)",
+    "clean" -> ("regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"$text, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$IbanRe', '<IBAN>', 'g'), " +
+      s"'$E164Re', '<E164>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g')"))
+
+  /** Adversarial PII rows for the `t_redact_v2` crafted-fixture oracle:
+    * every boundary where the two regex engines COULD diverge is a row
+    * both engines must agree on cell-exactly. Apostrophe-free so the
+    * strings embed verbatim in a SQL VALUES list. */
+  val CraftedPiiRows: Seq[(Long, String)] = Seq(
+    900001L -> "Pay to DE89370400440532013000 today",
+    900002L -> "iban de89370400440532013000 lowercase stays prose",
+    900003L -> "GB82WEST12345698765432 starts the line",
+    900004L -> "call +14155552671 or 415-555-2671 now",
+    900005L -> "plus +0123456789 leading zero never matches",
+    900006L -> "max +123456789012345 and beyond +1234567890123456 overruns",
+    900007L -> "mail bob@example.com IBAN FR1420041010050500013M02606 ip 10.0.0.1",
+    900008L -> "token XY99ABCDEF0123456789XYZ0987654321ABCD clamps at thirty",
+    900009L -> "short AB12CDEF90 only six after the prefix never matches")
+
   // ---- token chunking ---------------------------------------------------
 
   /** Sliding-window token chunking: split each document's token stream

@@ -316,6 +316,36 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) === ((1, 1, 1, "<EMAIL> <PHONE> <IP>")))
   }
 
+  test("redactPiiV2: IBAN and E.164 boundary spans resolve as documented") {
+    val sess = spark
+    import sess.implicits._
+    val df = TextOps.CraftedPiiRows.toDF("doc_id", "text")
+    val cols = TextOps.redactPiiV2(col("text")).map { case (n, c) => c.as(n) }
+    val got = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getString(6))))
+      .toMap
+    // (n_emails, n_ibans, n_e164, n_phones, n_ips, clean)
+    assert(got(900001L) === ((0, 1, 0, 0, 0, "Pay to <IBAN> today")))
+    // lowercase runs are prose
+    assert(got(900002L)._2 === 0)
+    assert(got(900002L)._6 === "iban de89370400440532013000 lowercase stays prose")
+    assert(got(900003L) === ((0, 1, 0, 0, 0, "<IBAN> starts the line")))
+    // E.164 and dashed phone are distinct classes
+    assert(got(900004L) === ((0, 0, 1, 1, 0, "call <E164> or <PHONE> now")))
+    // leading zero never matches E.164
+    assert(got(900005L)._3 === 0)
+    // 15-digit max matches whole; a 16-digit run matches its first 15
+    assert(got(900006L)._3 === 2)
+    assert(got(900006L)._6 === "max <E164> and beyond <E164>6 overruns")
+    assert(got(900007L) === ((1, 1, 0, 0, 1, "mail <EMAIL> IBAN <IBAN> ip <IP>")))
+    // {10,30} clamp: a 33-char run after the prefix leaves 3 chars
+    assert(got(900008L)._2 === 1)
+    assert(got(900008L)._6 === "token <IBAN>BCD clamps at thirty")
+    // fewer than 10 chars after the prefix never matches
+    assert(got(900009L)._2 === 0)
+  }
+
   test("chunkTokens: sliding windows with overlap, short/empty docs behave") {
     val sess = spark
     import sess.implicits._
