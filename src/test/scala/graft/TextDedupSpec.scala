@@ -205,6 +205,42 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L)._2 > got(3L)._2)
   }
 
+  test("importanceScoresLog: brute-force ln parity within 1e-9, directional agreement with integer weights") {
+    val sess = spark
+    import sess.implicits._
+    // matched-length docs: the unnormalized ln sum is length-sensitive
+    // (each token adds a mostly-negative weight), so direction is only
+    // comparable at equal token counts — exactly how DSIR consumes it
+    // (resampling among similar-length chunks)
+    val rawTokens = Map(
+      1L -> Seq("alpha", "alpha", "beta"),   // target-leaning
+      2L -> Seq("delta", "epsilon", "zeta"), // target-free
+      3L -> Seq("alpha", "beta", "beta"))    // mixed
+    val raw = rawTokens.toSeq.sortBy(_._1)
+      .map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val tgtTokens = Seq("alpha", "beta", "alpha")
+    val target = Seq((10L, tgtTokens.mkString(" "))).toDF("doc_id", "text")
+    // brute-force reference in plain Scala doubles: same add-one ln
+    // ratio per occurrence, summed per document
+    val cRaw = rawTokens.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val cTgt = tgtTokens.groupBy(identity).view.mapValues(_.size).toMap
+    def w(t: String) =
+      math.log(cTgt.getOrElse(t, 0) + 1.0) - math.log(cRaw(t) + 1.0)
+    val expected = rawTokens.map { case (id, ts) => id -> ts.map(w).sum }
+    val got = TextOps.importanceScoresLog(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-9, s"doc $id: got ${got(id)}, want $e")
+    }
+    // directional agreement: both variants rank target-leaning docs
+    // above the target-free doc
+    val ints = TextOps.importanceScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) > got(2L) && ints(1L) > ints(2L))
+    assert(got(3L) > got(2L) && ints(3L) > ints(2L))
+  }
+
   test("importanceScores n=2 scores bigram occurrences exactly") {
     val sess = spark
     import sess.implicits._
