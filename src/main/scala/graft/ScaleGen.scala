@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *    reason (the near-dup operator blocks on label); vectors are kept
   *    bit-identical, which ANN handles fine (bucket population scales
   *    linearly).
-  *  - events.ts stays raw int64 nanos (read with the legacy conf), so
-  *    the scaled fixture exercises the same nanos translation path as
-  *    the driver's fixture.
+  *  - events.ts inherits whichever physical layout the source fixture
+  *    has (the adaptive loader reads either; current testdata is native
+  *    TIMESTAMP(MICROS), older fixtures were int64 nanos), so the
+  *    scaled fixture exercises the same loader path as its source.
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
   */

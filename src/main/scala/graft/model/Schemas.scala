@@ -97,16 +97,33 @@ object Tables {
   /** events loader, adaptive to the two physical layouts the harness has
     * shipped. The current testdata stores `ts` as parquet TIMESTAMP(MICROS)
     * (read natively as timestamp_ntz — DuckDB reads the same file the same
-    * way). Older fixtures (and the locally generated `bench-data` scale
-    * fixtures derived from them) store TIMESTAMP(NANOS), which Spark only
-    * reads as a raw int64 (legacy conf); there the nanos are truncated to
+    * way). Older fixtures stored TIMESTAMP(NANOS), which Spark only reads
+    * as a raw int64 (legacy conf); there the nanos are truncated to
     * microseconds with integer `div` — Column `/` goes through double and
-    * loses precision (epoch nanos ~1.7e18 >> 2^53). Both paths surface the
-    * identical timestamp_ntz column. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
+    * loses precision (epoch nanos ~1.7e18 >> 2^53). Locally generated
+    * `bench-data` scale fixtures inherit whichever layout their source
+    * fixture has (ScaleGen rewrites what it reads). Both paths surface
+    * the identical timestamp_ntz column. */
+  private def loadEvents(s: SparkSession, d: String): DataFrame = {
+    // the legacy conf is needed at schema-inference AND scan time for the
+    // int64-nanos layout, but it silently changes how any OTHER
+    // TIMESTAMP(NANOS) parquet in the session reads — so set it only for
+    // the probe, and keep it only when the legacy layout is actually in
+    // play (LongType ts)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
     val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType != LongType) prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    raw
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = loadEvents(s, d)
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
@@ -127,9 +144,8 @@ object Tables {
     * partitions. */
   def eventsInRange(s: SparkSession, d: String,
       start: Option[String], end: Option[String]): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
+    val raw = loadEvents(s, d)
     raw.schema("ts").dataType match {
       case LongType =>
         val bounded = Seq(
@@ -138,15 +154,21 @@ object Tables {
         ).flatten.foldLeft(raw)(_ filter _)
         bounded.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ =>
-        val df = raw.schema("ts").dataType match {
-          case _: TimestampNTZType => raw
-          case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
-        }
+      case _: TimestampNTZType =>
         Seq(
           start.map(t => col("ts") >= lit(t).cast("timestamp_ntz")),
           end.map(t => col("ts") <= lit(t).cast("timestamp_ntz"))
-        ).flatten.foldLeft(df)(_ filter _)
+        ).flatten.foldLeft(raw)(_ filter _)
+      case _ =>
+        // tz-adjusted TimestampType: bound the RAW column (instant
+        // comparison against the same wall-clock literal — pushable to
+        // the scan) BEFORE the ntz cast; a filter on the derived cast
+        // column could not reach PushedFilters
+        val bounded = Seq(
+          start.map(t => col("ts") >= to_timestamp(lit(t))),
+          end.map(t => col("ts") <= to_timestamp(lit(t)))
+        ).flatten.foldLeft(raw)(_ filter _)
+        bounded.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }
 
