@@ -52,6 +52,9 @@ object DevSpot {
           nq
         case Array("pqtrain") =>
           Similarity.collectCodebooks(Similarity.pqCodebooks(emb, 64, 8, 16)).length.toLong
+        case Array("pqtrain", tm) =>
+          Similarity.collectCodebooks(
+            Similarity.pqCodebooks(emb, 64, 8, 16, trainMod = tm.toLong)).length.toLong
         case Array("ivftrain", nc) =>
           Similarity.collectCentroids(Similarity.ivfCentroids(emb, 64, nc.toInt, 1)).length.toLong
         case Array("pqencode") => Similarity.pqEncodeDev(emb, 64, 8, 16)

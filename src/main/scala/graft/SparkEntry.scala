@@ -644,6 +644,18 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // Sample-trained PQ (FAISS practice: codebooks need a representative
+    // sample, not the corpus): the Lloyd round runs on the deterministic
+    // id-modulo third, encoding still covers every vector — the train
+    // pass, the one linear index-build stage that is NOT amortizable
+    // per-vector, drops by ~trainMod. Deployment picks trainMod so the
+    // sample is a few hundred vectors per code.
+    "s_knn_pq_sampled" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64,
+        trainMod = 3L)
+        .orderBy("query_id", "rank")),
+
     // IVF-PQ composed ANN (the 100 TB deployment shape): the coarse IVF
     // probe restricts the ADC scan to nProbe/nCentroids of the corpus,
     // so the scan that is linear in s_knn_pq becomes probe-limited here.
@@ -1543,6 +1555,10 @@ object SparkEntry {
 
     "s_knn_pq" ->
       Similarity.pqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+
+    "s_knn_pq_sampled" ->
+      Similarity.pqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64,
+        trainMod = 3L),
 
     "s_knn_ivfpq" ->
       Similarity.ivfPqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),

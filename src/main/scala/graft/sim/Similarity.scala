@@ -444,7 +444,8 @@ object Similarity {
     * codebooks is ONE pair of hash aggregates, not m jobs. Returns
     * (s INT, code INT, cl ARRAY<DOUBLE>). */
   def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): DataFrame = {
     val subDim = dim / m
     def recompute(assigned: DataFrame): DataFrame = {
       val sums = (0 until subDim).map(i =>
@@ -457,7 +458,15 @@ object Similarity {
             col(s"__s$i").cast("double") / (col("__n").cast("double") * CentroidQ)): _*)
           .as("cl"))
     }
-    val sub = subspaces(corpus, dim, m, idCol, vecCol)
+    // deterministic training sample (ids ≡ 0 mod trainMod): codebook
+    // quality needs a representative sample, not the corpus — standard
+    // PQ practice caps training at a few hundred vectors per code. The
+    // train pass cost drops by ~trainMod while encoding (the consumer's
+    // pass over the FULL corpus against the returned codebooks) is
+    // unchanged. trainMod = 1 trains on everything.
+    val trainSrc =
+      if (trainMod <= 1L) corpus else corpus.filter(col(idCol) % trainMod === 0L)
+    val sub = subspaces(trainSrc, dim, m, idCol, vecCol)
     val seeded = sub.select(col("s"), (col(idCol) % ksub).cast("int").as("code"), col("sv"))
     val c0 = collectCodebooks(recompute(seeded))
     // one Lloyd round: per-subspace argmax against the broadcast
@@ -514,9 +523,10 @@ object Similarity {
     * brute force). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 8, ksub: Int = 16, nCandidates: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): DataFrame = {
     val subDim = dim / m
-    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol))
+    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod))
     // flat LUT offsets per subspace (codebooks may be ragged if a code
     // bucket emptied during training; positions are 1-based)
     val offsets = cb.scanLeft(0)((acc, sc) => acc + sc._2.length)
@@ -574,7 +584,7 @@ object Similarity {
     * `${p}codes(vec_id, s, sv, code)` (every corpus subvector under its
     * final code). Shared verbatim by the PQ and IVF-PQ oracles. */
   private def pqTrainCtes(table: String, dim: Int, m: Int, ksub: Int,
-      p: String): String = {
+      p: String, trainMod: Long = 1L): String = {
     val subDim = dim / m
     val q = CentroidQ
     def dotCl(sv: String) =
@@ -587,30 +597,35 @@ object Similarity {
       s"""SELECT s, code, list(c ORDER BY i) AS cl FROM (
          |    SELECT s, code, i, CAST(sum(qv) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $q) AS c
          |    FROM $qSrc GROUP BY s, code, i) GROUP BY s, code""".stripMargin
-    def assign(centCte: String) =
+    def assign(centCte: String, srcCte: String) =
       s"""SELECT vec_id, s, sv, code FROM (
          |    SELECT vec_id, s, sv, code,
          |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, code) AS rn
          |    FROM (SELECT u.vec_id, u.s, u.sv, c.code, ${dotCl("u.sv")} AS d
-         |          FROM ${p}sub u JOIN $centCte c ON c.s = u.s)) WHERE rn = 1""".stripMargin
+         |          FROM $srcCte u JOIN $centCte c ON c.s = u.s)) WHERE rn = 1""".stripMargin
+    // trainMod > 1: the Lloyd round runs on the deterministic id-modulo
+    // sample (same filter as the Scala side); final code assignment
+    // still covers the FULL corpus
+    val tsub = if (trainMod <= 1L) s"${p}sub"
+      else s"(SELECT * FROM ${p}sub WHERE vec_id % $trainMod = 0)"
     s"""${p}sub AS (
        |  SELECT vec_id, s,
        |         list_transform(range(1, $subDim + 1), i -> embedding[s * $subDim + i]) AS sv
        |  FROM $table CROSS JOIN (SELECT unnest(range(0, $m)) AS s) __s
        |), ${p}seed AS (
-       |  SELECT vec_id, s, CAST(vec_id % $ksub AS INTEGER) AS code, sv FROM ${p}sub
+       |  SELECT vec_id, s, CAST(vec_id % $ksub AS INTEGER) AS code, sv FROM $tsub
        |), ${p}q0 AS (
        |  ${quantize(s"${p}seed")}
        |), ${p}c0 AS (
        |  ${means(s"${p}q0")}
        |), ${p}a1 AS (
-       |  ${assign(s"${p}c0")}
+       |  ${assign(s"${p}c0", tsub)}
        |), ${p}q1 AS (
        |  ${quantize(s"${p}a1")}
        |), ${p}cfin AS (
        |  ${means(s"${p}q1")}
        |), ${p}codes AS (
-       |  ${assign(s"${p}cfin")}
+       |  ${assign(s"${p}cfin", s"${p}sub")}
        |)""".stripMargin
   }
 
@@ -620,10 +635,11 @@ object Similarity {
     * assignment with DESC+code tie-break, quantized-long LUT partials
     * summed order-free, and the same two deterministic windows. */
   def pqTopKSql(table: String, queryPred: String, k: Int, dim: Int,
-      m: Int = 8, ksub: Int = 16, nCandidates: Int = 50): String = {
+      m: Int = 8, ksub: Int = 16, nCandidates: Int = 50,
+      trainMod: Long = 1L): String = {
     val subDim = dim / m
     val q = CentroidQ
-    s"""WITH ${pqTrainCtes(table, dim, m, ksub, "__")}, __qv AS (
+    s"""WITH ${pqTrainCtes(table, dim, m, ksub, "__", trainMod)}, __qv AS (
        |  SELECT vec_id AS query_id, embedding AS q_vec FROM $table q WHERE $queryPred
        |), __lut AS (
        |  SELECT qs.query_id, c.s, c.code,
@@ -702,10 +718,11 @@ object Similarity {
     * once, reuse per query batch. */
   def ivfPqIndex(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
       m: Int = 8, ksub: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqModel = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): IvfPqModel = {
     val subDim = dim / m
     val centsLocal = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
-    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol))
+    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod))
     def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
     def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
       graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))

@@ -69,6 +69,18 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q1, n) => q1 != n })
   }
 
+  test("sample-trained pqTopK keeps the recall floor (codebooks from an id-modulo third)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, q, 10, 64, trainMod = 3L)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("ivfPqTopK achieves >= 40% recall@10 vs brute force on fixtures") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
