@@ -487,6 +487,28 @@ object Similarity {
     recompute(a1.select(col("s"), col("code"), col("sv")))
   }
 
+  /** Codebooks with the empty-sample fallback: if the id-modulo training
+    * sample produced NOTHING (trainMod coarser than the id range — a
+    * config footgun, not a data property), retrain on the full corpus
+    * rather than silently indexing nothing. A still-empty result means
+    * the corpus itself is empty; callers return an empty top-k then. */
+  private def trainedCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      idCol: String, vecCol: String, trainMod: Long): Array[(Int, Array[(Int, Seq[Double])])] = {
+    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod))
+    if (cb.nonEmpty || trainMod <= 1L) cb
+    else collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol))
+  }
+
+  /** Schema-correct empty ANN result (untrained index on an empty
+    * corpus): (query_id, neighbor_id, cos, rank), zero rows. */
+  private def emptyTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"))
+      .crossJoin(corpus.select(col(idCol).as("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        lit(0.0).as("cos"), lit(0).as("rank"))
+      .limit(0)
+
   /** Dev-only timing probe for [[graft.DevSpot]]: corpus encode step of
     * [[pqTopK]] in isolation (codebook train + per-row code argmax). */
   def pqEncodeDev(corpus: DataFrame, dim: Int, m: Int, ksub: Int): Long = {
@@ -526,7 +548,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainMod: Long = 1L): DataFrame = {
     val subDim = dim / m
-    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod))
+    val cb = trainedCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod)
+    if (cb.isEmpty) return emptyTopK(corpus, queries, idCol)
     // flat LUT offsets per subspace (codebooks may be ragged if a code
     // bucket emptied during training; positions are 1-based)
     val offsets = cb.scanLeft(0)((acc, sc) => acc + sc._2.length)
@@ -722,7 +745,10 @@ object Similarity {
       trainMod: Long = 1L): IvfPqModel = {
     val subDim = dim / m
     val centsLocal = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
-    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod))
+    val cb = trainedCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod)
+    if (cb.isEmpty) return IvfPqModel(centsLocal, cb,
+      corpus.select(col(idCol).as("neighbor_id"), lit(null).cast("int").as("cluster"),
+        lit(null).cast("array<int>").as("__pos")).limit(0))
     def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
     def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
       graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
@@ -751,6 +777,7 @@ object Similarity {
   def ivfPqQuery(model: IvfPqModel, corpus: DataFrame, queries: DataFrame,
       k: Int, dim: Int, nProbe: Int = 3, nCandidates: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    if (model.codebooks.isEmpty) return emptyTopK(corpus, queries, idCol)
     val m = model.codebooks.length
     val subDim = dim / m
     val cb = model.codebooks

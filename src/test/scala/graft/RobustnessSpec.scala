@@ -158,6 +158,31 @@ class RobustnessSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
   }
 
+  test("ivfPq / semDedupAuto: empty and tiny corpora degrade, never fail") {
+    val sess = spark
+    import sess.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val tiny = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    // empty corpus: empty result regardless of index parameters
+    assert(Similarity.ivfPqTopK(empty, empty, 3, 8, m = 2, ksub = 2).isEmpty)
+    // tiny corpus smaller than ksub: ragged codebooks, still ranked output
+    val out = Similarity.ivfPqTopK(tiny, tiny.filter(col("vec_id") === 1L),
+      1, 8, nCentroids = 2, nProbe = 2, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L))) // the only other vector, rank 1
+    // auto-k on an empty corpus: count 0 -> k clamps to 1, empty output
+    assert(Similarity.semDedupAuto(empty, 8, targetBucket = 4).isEmpty)
+    // sampled training where the sample would be empty (no id = 0 mod
+    // 1000 among ids 1,2) falls back to full-corpus training — a config
+    // footgun must not silently index nothing
+    val sampled = Similarity.pqTopK(tiny, tiny.filter(col("vec_id") === 1L),
+      1, 8, m = 2, ksub = 2, trainMod = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sampled.toSeq === Seq((1L, 2L)))
+  }
+
   test("nbClassify: NULL/empty text and all-OOV docs drop, never fail") {
     val sess = spark
     import sess.implicits._
