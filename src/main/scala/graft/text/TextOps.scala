@@ -495,6 +495,11 @@ object TextOps {
       .select(col(idCol),
         graft.functions.NativeExprs.polyHash(col("__bg").getField("w1"), CharMul, P).as("h1"),
         graft.functions.NativeExprs.polyHash(col("__bg").getField("w12"), CharMul, P).as("h12"))
+      // three consumers (both count tables + the per-doc probe) would
+      // re-run the tokenize+explode+hash pipeline per consumer; one lazy
+      // materialization of the 24-byte-row hash stream pays for all
+      // (same reuse pattern as Dedup.nearDupSuppress)
+      .localCheckpoint(false)
     val trainBi = bi.filter(hashSplit(col(idCol)) === "train")
     val c12 = trainBi.groupBy("h12").agg(count(lit(1)).as("__c12"))
     val c1 = trainBi.groupBy("h1").agg(count(lit(1)).as("__c1"))
