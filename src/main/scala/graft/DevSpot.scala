@@ -57,7 +57,12 @@ object DevSpot {
             Similarity.pqCodebooks(emb, 64, 8, 16, trainMod = tm.toLong)).length.toLong
         case Array("ivftrain", nc) =>
           Similarity.collectCentroids(Similarity.ivfCentroids(emb, 64, nc.toInt, 1)).length.toLong
-        case Array("pqencode") => Similarity.pqEncodeDev(emb, 64, 8, 16)
+        case Array("pqencode") =>
+          // index-build probe: train + encode (the agg consumes the code
+          // column — count() would prune the projection away entirely)
+          val model = Similarity.ivfPqIndex(emb, 64)
+          model.index.agg(sum(element_at(col("__pos"), 1)))
+            .collect()(0).getLong(0)
         case other => sys.error(s"unknown spec ${other.mkString(":")}")
       }
       println(f"SPOT $spec rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")

@@ -509,27 +509,6 @@ object Similarity {
         lit(0.0).as("cos"), lit(0).as("rank"))
       .limit(0)
 
-  /** Dev-only timing probe for [[graft.DevSpot]]: corpus encode step of
-    * [[pqTopK]] in isolation (codebook train + per-row code argmax). */
-  def pqEncodeDev(corpus: DataFrame, dim: Int, m: Int, ksub: Int): Long = {
-    val subDim = dim / m
-    val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub))
-    def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
-    def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
-      graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
-    }: _*)
-    val enc0 = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
-      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
-    (0 until m).foldLeft(enc0) { (df, s) =>
-      df.withColumn(s"__sc$s", scoreArr("c_vec", s))
-    }.select(col("neighbor_id"), col("c_vec"), col("c_norm"),
-      array((0 until m).map(s =>
-        array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
-        .as("__pos"))
-      // force the code columns (count() would prune the projection away)
-      .agg(sum(element_at(col("__pos"), 1))).collect()(0).getLong(0)
-  }
-
   /** PQ ANN top-k with asymmetric-distance scoring: encode every corpus
     * vector as m small code indexes (64 floats → m ints — the 100 TB
     * memory/shuffle lever: the scored table carries codes, never raw
