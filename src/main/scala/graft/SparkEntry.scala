@@ -1028,6 +1028,32 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Quality-aware representative selection: real curation recipes keep
+    // the BEST document of each near-dup cluster, not the min-id one —
+    // compose the MinHash-LSH cluster fixpoint with the quality score and
+    // take the per-cluster argmax (score desc, doc_id asc tie-break; the
+    // score is a fixed tree of IEEE +,*,/ over integer features, so the
+    // doubles — and hence the chosen representative — are bit-identical
+    // cross-engine). One audit row per cluster.
+    "pipe_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.clusters(docs.select("doc_id"),
+        Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+      val scored = TextOps.withQualityFeatures(docs, "text")
+        .select(col("doc_id"), col("score"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("score").desc, col("doc_id").asc)
+      val wSize = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      clusters.join(scored, col("id") === col("doc_id"))
+        .select(col("cluster"), col("doc_id"), col("score"))
+        .withColumn("rn", row_number().over(wBest))
+        .withColumn("n_members", count(lit(1)).over(wSize))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("kept_doc"), col("score"),
+          col("n_members"))
+        .orderBy("cluster")
+    }),
+
     // ---- sketches (constant-size mergeable summaries) ---------------------
     // Deterministic integer counters/registers → unlike typical sketch
     // libraries, the SKETCH ITSELF is oracle-checked, not just sanity
@@ -1864,6 +1890,21 @@ object SparkEntry {
         "SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc " +
         "FROM documents JOIN __clusters ON doc_id = id AND id = cluster " +
         "GROUP BY source ORDER BY source"),
+
+    "pipe_dedup_keep_best" ->
+      (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src), " +
+        "__clusters AS (SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src), " +
+        s"__scored AS (SELECT doc_id, ${TextOps.qualityScoreSql("text")} AS score FROM documents), " +
+        "__m AS (SELECT c.cluster, s.doc_id, s.score, " +
+        "row_number() OVER (PARTITION BY c.cluster ORDER BY s.score DESC, s.doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY c.cluster) AS n_members " +
+        "FROM __clusters c JOIN __scored s ON s.doc_id = c.id) " +
+        "SELECT cluster, doc_id AS kept_doc, score, n_members FROM __m WHERE rn = 1 ORDER BY cluster"),
 
     "pipe_corpus_clean" -> {
       val nTok = TextOps.qualityFeaturesSql("text")("n_tokens")

@@ -352,6 +352,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) === ((1, 1, 1, "<EMAIL> <PHONE> <IP>")))
   }
 
+  test("pipe_dedup_keep_best keeps the max-quality member of every cluster, full coverage") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = SparkEntry.queries("pipe_dedup_keep_best")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // recompute membership + scores independently
+    val clusters = graft.dedup.Dedup.clusters(docs.select("doc_id"),
+      graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = TextOps.withQualityFeatures(docs, "text")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // full coverage: every document is a member of exactly one output cluster
+    assert(out.values.map(_._3).sum === docs.count())
+    assert(out.keySet === clusters.values.toSet)
+    out.foreach { case (cl, (kept, score, n)) =>
+      val members = clusters.collect { case (id, c) if c == cl => id }
+      assert(members.size.toLong === n, s"cluster $cl member count")
+      assert(clusters(kept) === cl, s"kept doc $kept not in cluster $cl")
+      // the representative attains the cluster max; ties break to low id
+      val best = members.map(id => (scores(id), id))
+        .maxBy { case (s0, id) => (s0, -id) }
+      assert((scores(kept), kept) === best, s"cluster $cl kept $kept, want $best")
+    }
+  }
+
   test("redactPiiV2: IBAN and E.164 boundary spans resolve as documented") {
     val sess = spark
     import sess.implicits._
