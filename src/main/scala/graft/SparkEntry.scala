@@ -527,6 +527,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level leak audit: shared distinct shingles per source pair
+    // (which sources must never straddle a train/test split) — the
+    // matrix face of d_contam's per-document probe.
+    "d_contam_matrix" -> ((s, d) =>
+      Dedup.contaminationMatrix(Tables.documents(s, d), "source", "text", 3)
+        .orderBy("source_a", "source_b")),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
@@ -1513,6 +1520,10 @@ object SparkEntry {
       (s"SELECT * FROM (${Dedup.contaminationSql("documents",
         "source <> 'src0'", "source = 'src0'", "doc_id", "text", 3)}) " +
         "ORDER BY doc_id"),
+
+    "d_contam_matrix" ->
+      (s"SELECT * FROM (${Dedup.contaminationMatrixSql("documents", "source", "text", 3)}) " +
+        "ORDER BY source_a, source_b"),
 
     "o_asof" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +

@@ -196,6 +196,65 @@ object Dedup {
         col("n_hit").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-source contamination matrix: for every source pair (a < b),
+    * the number of shared distinct n-gram shingles, each side's
+    * vocabulary size, and the Jaccard overlap — the corpus-level
+    * train/test-leak audit that [[contamination]] gives per document
+    * (which sources should never be mixed across a split boundary).
+    *
+    * 100 TB shape: one distinct (source, shingle-hash) projection, a
+    * self-equi-join on the 8-byte hash — per-token fanout = number of
+    * sources containing it, capped by `maxDf` (the same hot-token lever
+    * as the Jaccard pair join: a boilerplate shingle present in every
+    * domain would otherwise contribute sources² rows) — and one
+    * pair-keyed count. Nothing is ever pairwise in documents. With
+    * `maxDf` below the source count the shared counts become lower
+    * bounds (dropped tokens are the ones shared everywhere); vocabulary
+    * sizes stay exact. */
+  def contaminationMatrix(docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int, maxDf: Int = 1000): DataFrame = {
+    val st = docTokens(docs, sourceCol, textCol, Nil, n)
+    val capped = st
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("tok")))
+      .filter(col("__df") <= maxDf)
+      .select(col(sourceCol), col("tok"))
+    val sizes = st.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_vocab"))
+    val a = capped.select(col(sourceCol).as("source_a"), col("tok"))
+    val b = capped.select(col(sourceCol).as("source_b"), col("tok"))
+    a.join(b, Seq("tok")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(sourceCol).as("source_a"), col("n_vocab").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col(sourceCol).as("source_b"), col("n_vocab").as("n_b")), Seq("source_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
+  }
+
+  /** Oracle twin for [[contaminationMatrix]]: same shingle + hash folds,
+    * DISTINCT per (source, token), HAVING-capped df, the same pair join
+    * and count arithmetic (one correctly-rounded double division). */
+  def contaminationMatrixSql(table: String, sourceCol: String,
+      textCol: String, n: Int, maxDf: Int = 1000): String = {
+    val sh = shinglesSql(textCol, n)
+    s"""WITH __st AS (
+       |  SELECT DISTINCT $sourceCol AS source, ${TextOps.tokenHashSql("tok")} AS tok
+       |  FROM (SELECT $sourceCol, unnest($sh) AS tok FROM $table)
+       |), __df AS (
+       |  SELECT tok FROM __st GROUP BY tok HAVING count(*) <= $maxDf
+       |), __c AS (
+       |  SELECT s.source, s.tok FROM __st s JOIN __df USING (tok)
+       |), __sz AS (
+       |  SELECT source, count(*) AS n_vocab FROM __st GROUP BY source
+       |), __p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM __c a JOIN __c b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source_a, source_b, n_shared, za.n_vocab AS n_a, zb.n_vocab AS n_b,
+       |       CAST(n_shared AS DOUBLE) / CAST(za.n_vocab + zb.n_vocab - n_shared AS DOUBLE) AS jaccard
+       |FROM __p JOIN __sz za ON za.source = source_a JOIN __sz zb ON zb.source = source_b""".stripMargin
+  }
+
   /** Oracle twin for [[contamination]]: same shingle + hash folds, the
     * train vocabulary as a DISTINCT subquery probed by a LEFT JOIN. */
   def contaminationSql(table: String, trainPred: String, evalPred: String,

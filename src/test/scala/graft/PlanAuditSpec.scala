@@ -132,6 +132,13 @@ class PlanAuditSpec extends SparkSpec {
       s"s_knn_ivfpq shuffles the full approx table:\n$p")
   }
 
+  test("contamination matrix is a token equi-join with the df cap, never pairwise in docs") {
+    val p = plan("d_contam_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d_contam_matrix degenerated to a cross join:\n$p")
+    assert(p.contains("HashAggregate"), s"d_contam_matrix has no hash aggregation:\n$p")
+  }
+
   test("contamination probe is an equi-join with map-side partial aggregation") {
     val p = plan("d_contam")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -352,6 +352,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) === ((1, 1, 1, "<EMAIL> <PHONE> <IP>")))
   }
 
+  test("contaminationMatrix: hand-computed overlap, maxDf drops the everywhere-token") {
+    val sess = spark
+    import sess.implicits._
+    // unigram shingles (n=1) so vocabularies are readable: A={x,y,z,common},
+    // B={x,y,common}, C={q,common}; 'common' lives in all three sources
+    val df = Seq(
+      (1L, "A", "x y z common"),
+      (2L, "B", "x y common"),
+      (3L, "C", "q common")).toDF("doc_id", "source", "text")
+    val full = Dedup.contaminationMatrix(df, "source", "text", n = 1, maxDf = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(full(("A", "B")) === ((3L, 4L, 3L, 3.0 / 4.0))) // x, y, common
+    assert(full(("A", "C")) === ((1L, 4L, 2L, 1.0 / 5.0))) // common
+    assert(full(("B", "C")) === ((1L, 3L, 2L, 1.0 / 4.0)))
+    // maxDf = 2 drops 'common' (df 3) from sharing; vocab sizes stay exact
+    val capped = Dedup.contaminationMatrix(df, "source", "text", n = 1, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped(("A", "B")) === 2L) // x, y only
+    assert(!capped.contains(("A", "C"))) // nothing shared below the cap
+  }
+
   test("pipe_dedup_keep_best keeps the max-quality member of every cluster, full coverage") {
     val docs = Tables.documents(spark, sfDir)
     val out = SparkEntry.queries("pipe_dedup_keep_best")(spark, sfDir)
