@@ -34,12 +34,15 @@ object DevSpot {
           Similarity.semDedupAuto(emb, 64, targetBucket = b.toInt).count()
         case Array("semk", k) =>
           Similarity.semDedup(emb, 64, nCentroids = k.toInt).count()
-        case Array("ivfpqsplit", nc, np) =>
+        case Array("ivfpqsplit", nc, np, rest @ _*) =>
           // deployment shape: build+persist the index once, then time the
-          // query batch alone (what repeats at 100 TB)
+          // query batch alone (what repeats at 100 TB); optional 4th
+          // field = trainMod for sample-trained build
+          val tm = rest.headOption.map(_.toLong).getOrElse(1L)
           val tb0 = System.nanoTime()
           val corpus = emb
-          val model = Similarity.ivfPqIndex(corpus, 64, nCentroids = nc.toInt)
+          val model = Similarity.ivfPqIndex(corpus, 64, nCentroids = nc.toInt,
+            trainMod = tm)
           model.index.persist()
           val nIdx = model.index.count()
           val tb = (System.nanoTime() - tb0) / 1e9

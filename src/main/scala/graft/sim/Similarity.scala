@@ -201,7 +201,8 @@ object Similarity {
     * collect_list+sort to reassemble). Returns
     * (cluster INT, centroid ARRAY<DOUBLE>). */
   def ivfCentroids(corpus: DataFrame, dim: Int, nCentroids: Int, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): DataFrame = {
     def recompute(assigned: DataFrame): DataFrame = {
       val sums = (0 until dim).map(i =>
         sum(round(element_at(col(vecCol), i + 1).cast("double") * CentroidQ)
@@ -213,9 +214,15 @@ object Similarity {
             col(s"__s$i").cast("double") / (col("__n").cast("double") * CentroidQ)): _*)
           .as("centroid"))
     }
-    val seeded = corpus.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
+    // the Lloyd rounds see the deterministic id-modulo sample (centroid
+    // quality needs representativeness, not the corpus — the same lever
+    // as pqCodebooks' trainMod); downstream assignment of the FULL
+    // corpus is the callers' business, against the returned centroids
+    val trainSrc =
+      if (trainMod <= 1L) corpus else corpus.filter(col(idCol) % trainMod === 0L)
+    val seeded = trainSrc.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
     (1 to iters).foldLeft(recompute(seeded)) { (cents, _) =>
-      recompute(assignClusters(corpus, cents, dim, vecCol, idCol)
+      recompute(assignClusters(trainSrc, cents, dim, vecCol, idCol)
         .select(col("cluster"), col(vecCol)))
     }
   }
@@ -492,6 +499,18 @@ object Similarity {
     * config footgun, not a data property), retrain on the full corpus
     * rather than silently indexing nothing. A still-empty result means
     * the corpus itself is empty; callers return an empty top-k then. */
+  /** Centroids with the same empty-sample fallback as
+    * [[trainedCodebooks]]: a trainMod coarser than the id range must
+    * retrain on the full corpus, not index nothing. */
+  private def trainedCentroids(corpus: DataFrame, dim: Int, nCentroids: Int,
+      iters: Int, idCol: String, vecCol: String,
+      trainMod: Long): Array[(Int, Seq[Double])] = {
+    val c = collectCentroids(
+      ivfCentroids(corpus, dim, nCentroids, iters, idCol, vecCol, trainMod))
+    if (c.nonEmpty || trainMod <= 1L) c
+    else collectCentroids(ivfCentroids(corpus, dim, nCentroids, iters, idCol, vecCol))
+  }
+
   private def trainedCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
       idCol: String, vecCol: String, trainMod: Long): Array[(Int, Array[(Int, Seq[Double])])] = {
     val cb = collectCodebooks(pqCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod))
@@ -696,8 +715,9 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, ksub: Int = 16,
       nCandidates: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = ivfPqIndex(corpus, dim, nCentroids, m, ksub, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): DataFrame = {
+    val model = ivfPqIndex(corpus, dim, nCentroids, m, ksub, idCol, vecCol, trainMod)
     ivfPqQuery(model, corpus, queries, k, dim, nProbe, nCandidates, idCol, vecCol)
   }
 
@@ -723,7 +743,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainMod: Long = 1L): IvfPqModel = {
     val subDim = dim / m
-    val centsLocal = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
+    val centsLocal = trainedCentroids(corpus, dim, nCentroids, 1, idCol, vecCol, trainMod)
     val cb = trainedCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod)
     if (cb.isEmpty) return IvfPqModel(centsLocal, cb,
       corpus.select(col(idCol).as("neighbor_id"), lit(null).cast("int").as("cluster"),
