@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("LSH candidate generation is an equi-join, never a cartesian product") {
-    for (q <- Seq("d_minhash_lsh", "d_jaccard", "d_stream_neardup")) {
+    for (q <- Seq("d_minhash_lsh", "d_jaccard", "d_stream_neardup", "pipe_dedup_keep_best")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to a cross join:\n$p")
