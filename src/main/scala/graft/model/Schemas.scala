@@ -108,8 +108,14 @@ object Tables {
     // the legacy conf is needed at schema-inference AND scan time for the
     // int64-nanos layout, but it silently changes how any OTHER
     // TIMESTAMP(NANOS) parquet in the session reads — so set it only for
-    // the probe, and keep it only when the legacy layout is actually in
-    // play (LongType ts)
+    // the probe, and restore it when the layout turns out to be native.
+    // The scoping is ONE-WAY by necessity: when the layout IS legacy the
+    // conf must stay set for the whole session (the scan is lazy and
+    // re-consults it at every execution), so a session that touches a
+    // legacy events fixture reads every other TIMESTAMP(NANOS) parquet
+    // as int64 from then on, and any explicit prior value is clobbered.
+    // Acceptable here because the two layouts never coexist in one
+    // harness run; a per-read option does not exist for this conf.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")

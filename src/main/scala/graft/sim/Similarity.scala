@@ -220,12 +220,27 @@ object Similarity {
     // corpus is the callers' business, against the returned centroids
     val trainSrc =
       if (trainMod <= 1L) corpus else corpus.filter(col(idCol) % trainMod === 0L)
-    val seeded = trainSrc.select((col(idCol) % nCentroids).cast("int").as("cluster"), col(vecCol))
+    val seeded = trainSrc.select(
+      (seedId(idCol, trainMod) % nCentroids).cast("int").as("cluster"), col(vecCol))
     (1 to iters).foldLeft(recompute(seeded)) { (cents, _) =>
       recompute(assignClusters(trainSrc, cents, dim, vecCol, idCol)
         .select(col("cluster"), col(vecCol)))
     }
   }
+
+  /** Seed id for `% k` cluster/code seeding under id-modulo sampling:
+    * the trainMod sample keeps only ids ≡ 0 (mod trainMod), so seeding
+    * on the RAW id populates only buckets that are multiples of
+    * gcd(trainMod, k) — trainMod=2,k=16 would seed 8 of 16 codes, and
+    * trainMod=k collapses to ONE bucket. Dividing the id by trainMod
+    * first makes the sampled ids consecutive again, so `% k` covers
+    * every bucket for ANY (trainMod, k) pair. Integer `div` (not `/`:
+    * Column division is double and loses exactness past 2^53 ids);
+    * trainMod <= 1 is the identity, so unsampled paths — and every
+    * existing oracle — are byte-for-byte unchanged. Mirrored in the SQL
+    * twins' `//` integer division. */
+  private def seedId(idCol: String, trainMod: Long): Column =
+    if (trainMod <= 1L) col(idCol) else expr(s"$idCol div ${trainMod}L")
 
   /** Collect a centroid table to the driver ONCE (it is nCentroids
     * rows — catalog-sized, never data-sized). */
@@ -281,7 +296,15 @@ object Similarity {
     * carries ONE row per vector and the generated code stays small and
     * JIT-compiled at any k. Tie-break (equal d → lowest cid) and the
     * double arithmetic are identical to the literal path, so results —
-    * and the oracles built on them — are unchanged. */
+    * and the oracles built on them — are unchanged.
+    *
+    * Precondition: `idCol` should be unique and non-null (true of every
+    * corpus this library builds — vec_id/doc_id keys). Rows sharing an
+    * id collapse to one argmax over ALL their (row, centroid) scores —
+    * the literal path would score each row independently; a NULL id
+    * scores no pairs and comes back with a NULL cluster (the left join
+    * below keeps the row rather than silently dropping it, which is as
+    * close to the literal path as a keyed shape can get). */
   def assignClustersLocal(df: DataFrame, cents: Array[(Int, Seq[Double])],
       vecCol: String, idCol: String): DataFrame = {
     if (cents.length <= AssignJoinK) return assignClustersLocal(df, cents, vecCol)
@@ -294,7 +317,7 @@ object Similarity {
     val best = scored.groupBy(col(idCol))
       .agg(max(struct(col("__d"), (-col("__cid")).as("__nc"))).as("__b"))
       .select(col(idCol), (-col("__b.__nc")).cast("int").as("cluster"))
-    df.join(best, Seq(idCol))
+    df.join(best, Seq(idCol), "left")
   }
 
   /** IVF ANN top-k: probe the `nProbe` centroids nearest each query,
@@ -474,7 +497,8 @@ object Similarity {
     val trainSrc =
       if (trainMod <= 1L) corpus else corpus.filter(col(idCol) % trainMod === 0L)
     val sub = subspaces(trainSrc, dim, m, idCol, vecCol)
-    val seeded = sub.select(col("s"), (col(idCol) % ksub).cast("int").as("code"), col("sv"))
+    val seeded = sub.select(col("s"),
+      (seedId(idCol, trainMod) % ksub).cast("int").as("code"), col("sv"))
     val c0 = collectCodebooks(recompute(seeded))
     // one Lloyd round: per-subspace argmax against the broadcast
     // codebooks — a pure projection, scores staged per subspace so the
@@ -625,16 +649,35 @@ object Similarity {
          |    FROM (SELECT u.vec_id, u.s, u.sv, c.code, ${dotCl("u.sv")} AS d
          |          FROM $srcCte u JOIN $centCte c ON c.s = u.s)) WHERE rn = 1""".stripMargin
     // trainMod > 1: the Lloyd round runs on the deterministic id-modulo
-    // sample (same filter as the Scala side); final code assignment
-    // still covers the FULL corpus
-    val tsub = if (trainMod <= 1L) s"${p}sub"
-      else s"(SELECT * FROM ${p}sub WHERE vec_id % $trainMod = 0)"
+    // sample (same filter as the Scala side), with the Scala twins'
+    // empty-sample fallback — a trainMod coarser than the id range
+    // trains on the full corpus instead of silently indexing nothing —
+    // and the same `id div trainMod` seed (see [[seedId]]: raw-id `% k`
+    // seeding under the sample only covers multiples of
+    // gcd(trainMod, k)). Final code assignment still covers the FULL
+    // corpus. `//` is DuckDB integer division == Spark `div` on the
+    // non-negative ids both engines see.
+    val sampleCtes = if (trainMod <= 1L) ""
+      else s"""${p}smp AS (
+              |  SELECT * FROM ${p}sub WHERE vec_id % $trainMod = 0
+              |), ${p}tr AS (
+              |  SELECT * FROM ${p}smp
+              |  UNION ALL
+              |  SELECT * FROM ${p}sub WHERE NOT EXISTS (SELECT 1 FROM ${p}smp)
+              |), """.stripMargin
+    val tsub = if (trainMod <= 1L) s"${p}sub" else s"${p}tr"
+    // the CASE keeps the fallback branch bit-identical to Scala's (which
+    // retrains via trainMod = 1, i.e. raw-id seeding): divide only when
+    // the sample actually trained
+    val seedExpr = if (trainMod <= 1L) s"CAST(vec_id % $ksub AS INTEGER)"
+      else s"CAST((CASE WHEN EXISTS (SELECT 1 FROM ${p}smp) " +
+        s"THEN vec_id // $trainMod ELSE vec_id END) % $ksub AS INTEGER)"
     s"""${p}sub AS (
        |  SELECT vec_id, s,
        |         list_transform(range(1, $subDim + 1), i -> embedding[s * $subDim + i]) AS sv
        |  FROM $table CROSS JOIN (SELECT unnest(range(0, $m)) AS s) __s
-       |), ${p}seed AS (
-       |  SELECT vec_id, s, CAST(vec_id % $ksub AS INTEGER) AS code, sv FROM $tsub
+       |), $sampleCtes${p}seed AS (
+       |  SELECT vec_id, s, $seedExpr AS code, sv FROM $tsub
        |), ${p}q0 AS (
        |  ${quantize(s"${p}seed")}
        |), ${p}c0 AS (
@@ -724,10 +767,12 @@ object Similarity {
   /** A trained IVF-PQ index: the driver-side coarse centroids and PQ
     * codebooks (catalog-sized), plus the distributed index table
     * (id, cluster, m code ints — NO raw vectors; ~40 bytes/vector vs
-    * 256+ for the raw floats). At 100 TB this table is built ONCE, put
-    * behind `.persist()` or a parquet sink bucketed by `cluster`, and
-    * amortized across every query batch — which is why [[ivfPqQuery]]'s
-    * per-batch cost is probe-limited, not corpus-linear. */
+    * 256+ for the raw floats). At 100 TB this table is built ONCE via
+    * [[ivfPqIndexMaterialized]] (parquet, bucketed by `cluster`),
+    * maintained incrementally via [[ivfPqIndexAppend]] /
+    * [[ivfPqIndexAppendStream]], and amortized across every query
+    * batch — which is why [[ivfPqQuery]]'s per-batch cost is
+    * probe-limited, not corpus-linear. */
   final case class IvfPqModel(
       centroids: Array[(Int, Seq[Double])],
       codebooks: Array[(Int, Array[(Int, Seq[Double])])],
@@ -742,29 +787,129 @@ object Similarity {
       m: Int = 8, ksub: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainMod: Long = 1L): IvfPqModel = {
-    val subDim = dim / m
     val centsLocal = trainedCentroids(corpus, dim, nCentroids, 1, idCol, vecCol, trainMod)
     val cb = trainedCodebooks(corpus, dim, m, ksub, idCol, vecCol, trainMod)
     if (cb.isEmpty) return IvfPqModel(centsLocal, cb,
       corpus.select(col(idCol).as("neighbor_id"), lit(null).cast("int").as("cluster"),
         lit(null).cast("array<int>").as("__pos")).limit(0))
+    val model = IvfPqModel(centsLocal, cb, null)
+    model.copy(index = ivfPqEncode(model, corpus, dim, idCol, vecCol))
+  }
+
+  /** Encode vectors against a FROZEN model: coarse cluster by broadcast
+    * argmax + m code ints by per-subspace argmax, in ONE projection
+    * pass that then DROPS the raw vector — each index row carries
+    * (id, cluster, m ints), never the floats. Pure per-row, so an index
+    * built in installments (batch or streaming) is ROW-IDENTICAL to a
+    * single-shot encode of the union under the same model — the
+    * property [[ivfPqIndexAppend]]'s no-rebuild contract rests on. */
+  def ivfPqEncode(model: IvfPqModel, vecs: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = model.codebooks
+    val m = cb.length
+    val subDim = dim / m
     def svCol(vc: String, s: Int) = slice(col(vc), s * subDim + 1, subDim)
     def scoreArr(vc: String, s: Int) = array(cb(s)._2.map { case (_, c) =>
       graft.functions.NativeExprs.floatDoubleVecDot(svCol(vc, s), array(c.map(lit): _*))
     }: _*)
-    // ONE projection pass adds the coarse cluster and the m code ints,
-    // then DROPS the raw vector — the stored index carries
-    // (id, cluster, m ints) per row, never 64 floats
     val enc0 = assignClustersLocal(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      centsLocal, "c_vec", "neighbor_id")
-    val encoded = (0 until m).foldLeft(enc0) { (df, s) =>
+      vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      model.centroids, "c_vec", "neighbor_id")
+    (0 until m).foldLeft(enc0) { (df, s) =>
       df.withColumn(s"__sc$s", scoreArr("c_vec", s))
     }.select(col("neighbor_id"), col("cluster"),
       array((0 until m).map(s =>
         array_position(col(s"__sc$s"), array_max(col(s"__sc$s"))).cast("int")): _*)
         .as("__pos"))
-    IvfPqModel(centsLocal, cb, encoded)
+  }
+
+  /** [[ivfPqIndex]] with the index PERSISTED as a parquet table bucketed
+    * (and per-file sorted) by `cluster` — the deployment shape the model
+    * doc describes: the linear build runs ONCE, every subsequent query
+    * batch probes the stored table. Bucketing by the probe key means
+    * (a) the probe join and any cluster-keyed aggregate read the index
+    * with ZERO exchanges (bucket distribution satisfies them), and
+    * (b) a probed-cluster IN-filter prunes whole BUCKETS at the scan
+    * ([[ivfPqQuery]]'s `pruneBuckets` — `SelectedBucketsCount` in the
+    * plan), so a query batch reads ~nProbe·queries/nCentroids of the
+    * index FILES, not just of its rows. Registered in the session
+    * catalog ([[graft.ops.Relational.materializeBucketed]] — bucket
+    * metadata lives there, not in the files). */
+  def ivfPqIndexMaterialized(corpus: DataFrame, dim: Int,
+      path: String, tableName: String, buckets: Int = 16,
+      nCentroids: Int = 8, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): IvfPqModel = {
+    val model = ivfPqIndex(corpus, dim, nCentroids, m, ksub, idCol, vecCol, trainMod)
+    model.copy(index = graft.ops.Relational.materializeBucketed(
+      model.index, path, tableName, "cluster", buckets))
+  }
+
+  /** Incremental index maintenance: encode `newVecs` with the FROZEN
+    * model and APPEND them to the persisted bucketed table — no
+    * retrain, no rebuild, no touch of existing files (appends add new
+    * per-bucket files beside the old ones; bucket pruning and the
+    * exchange-free probe are unaffected — only the per-file sort
+    * guarantee weakens to per-append, which nothing here relies on).
+    * The per-batch cost is one projection over the BATCH. Mirrors the
+    * archive's incremental-ingest contract (reference
+    * `ingest.py:217-236`) applied to the ANN store; the writer must
+    * re-declare the identical bucket spec or Spark rejects the append.
+    * Returns the model re-pointed at the refreshed table. */
+  def ivfPqIndexAppend(model: IvfPqModel, newVecs: DataFrame, dim: Int,
+      tableName: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqModel = {
+    val spark = newVecs.sparkSession
+    ivfPqEncode(model, newVecs, dim, idCol, vecCol)
+      .write.bucketBy(bucketCount(spark, tableName), "cluster").sortBy("cluster")
+      .mode("append").saveAsTable(tableName)
+    model.copy(index = spark.table(tableName))
+  }
+
+  /** Bucket count of a catalog table (the append writer must re-declare
+    * the creating spec exactly). */
+  private def bucketCount(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Int = {
+    val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
+    rows.find(_.getString(0) == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(sys.error(s"$tableName is not bucketed"))
+  }
+
+  /** Streaming face of [[ivfPqIndexAppend]]: newly ingested vectors are
+    * assigned + encoded in foreachBatch and appended to the bucketed
+    * index table — the ANN store stays query-ready while the corpus
+    * grows, and a full rebuild is only ever a POLICY decision (model
+    * drift), not an operational requirement. Restart-safe the usual
+    * foreachBatch way: the checkpoint replays an unacknowledged batch,
+    * whose rows land as duplicate index entries. [[ivfPqQuery]] dedups
+    * its (tiny) candidate set before the exact re-rank, so a replayed
+    * batch can never put the same neighbor in a top-k twice; the only
+    * residual effect is the duplicate burning one approximate-window
+    * slot until a compaction sweep rewrites the table. */
+  def ivfPqIndexAppendStream(model: IvfPqModel, vecs: DataFrame, dim: Int,
+      tableName: String, checkpointPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch runs in a CLONED session whose inserts refresh only
+    // the clone's relation cache — the owning session (which resolved
+    // the table when the model was built) would keep serving the stale
+    // file listing and silently miss every appended row; refresh it
+    // explicitly after each batch
+    val owner = vecs.sparkSession
+    vecs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          ivfPqIndexAppend(model, batch, dim, tableName, idCol, vecCol)
+          owner.catalog.refreshTable(tableName)
+        }
+        ()
+      }
+      .start()
   }
 
   /** Query a prebuilt [[IvfPqModel]]: per query, an ADC lookup table and
@@ -772,10 +917,21 @@ object Similarity {
     * equi-join against the index table; ADC score, nCandidates cut,
     * exact-cosine re-rank against the raw corpus. Per-batch cost is
     * `nProbe/nCentroids` of the index plus queries × nCandidates
-    * re-rank rows. */
+    * re-rank rows.
+    *
+    * `pruneBuckets` — for a [[ivfPqIndexMaterialized]] cluster-bucketed
+    * index: one tiny extra job computes the batch's distinct probed
+    * cluster ids (≤ min(queries × nProbe, nCentroids) ints — catalog-
+    * sized, never data-sized) and pins them as an IN-filter on the
+    * bucket column, which Spark turns into BUCKET PRUNING at the scan
+    * (`SelectedBucketsCount` in the plan): the query batch reads only
+    * the probed clusters' index FILES instead of scanning and
+    * discarding the rest. Identical results by construction (the
+    * equi-join already kept only probed clusters' rows). */
   def ivfPqQuery(model: IvfPqModel, corpus: DataFrame, queries: DataFrame,
       k: Int, dim: Int, nProbe: Int = 3, nCandidates: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pruneBuckets: Boolean = false): DataFrame = {
     if (model.codebooks.isEmpty) return emptyTopK(corpus, queries, idCol)
     val m = model.codebooks.length
     val subDim = dim / m
@@ -792,19 +948,33 @@ object Similarity {
       struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("q_vec"), array(c.map(lit): _*)))
         .as("neg"), lit(cid).as("cid"))
     }: _*)
+    val probeCol =
+      explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe))
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .select(col("query_id"), lut.as("__lut"),
-        explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe))
-          .as("cluster"))
-    val approx = model.index.join(broadcast(qb), Seq("cluster"))
+      .select(col("query_id"), lut.as("__lut"), probeCol.as("cluster"))
+    val idx =
+      if (!pruneBuckets) model.index
+      else {
+        val probed = queries.select(col(vecCol).as("q_vec"))
+          .select(probeCol.as("cluster")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        model.index.filter(col("cluster").isin(probed: _*))
+      }
+    val approx = idx.join(broadcast(qb), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (0 until m).map(s =>
           element_at(col("__lut"), lit(offsets(s)) + element_at(col("__pos"), s + 1)))
           .reduce(_ + _).as("approx_q"))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("approx_q").desc, col("neighbor_id"))
+    // the dropDuplicates is a no-op on a cleanly-built index (each vector
+    // lives in ONE cluster so pairs are unique) and costs one shuffle of
+    // a queries × nCandidates frame; it exists so a replayed streaming
+    // append ([[ivfPqIndexAppendStream]]) can never rank the same
+    // neighbor twice in a top-k
     val cand = approx.withColumn("__ra", row_number().over(wA))
       .filter(col("__ra") <= nCandidates).select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
     // exact re-rank: raw vectors rejoin for queries x nCandidates rows only
     val cn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
