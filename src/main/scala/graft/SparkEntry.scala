@@ -399,6 +399,18 @@ object SparkEntry {
       base.select(col("doc_id") +: cols: _*).orderBy("doc_id")
     }),
 
+    // PII v3 (adds US-SSN + UK-NINO national ids): same crafted-row
+    // discipline — group-width confusion with the dash phone, lowercase
+    // rejection, digit over/underrun, NINO-prefix-of-IBAN span contest.
+    "t_redact_v3" -> ((s, d) => {
+      import s.implicits._
+      val crafted = TextOps.CraftedPiiRowsV3.toDF("doc_id", "text")
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionAll(crafted)
+      val cols = TextOps.redactPiiV3(col("text")).map { case (n, c) => c.as(n) }
+      base.select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    }),
+
     // C4-style line filter: the fixture text is single-line, so the query
     // appends a known multi-line tail identically in both engines — one
     // line too short, one keepable, one unpunctuated — and the oracle
@@ -1404,6 +1416,19 @@ object SparkEntry {
         .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
       s"SELECT doc_id, ${f("n_emails")} AS n_emails, ${f("n_ibans")} AS n_ibans, " +
         s"${f("n_e164")} AS n_e164, ${f("n_phones")} AS n_phones, " +
+        s"${f("n_ips")} AS n_ips, ${f("clean")} AS clean FROM " +
+        s"(SELECT doc_id, text FROM documents " +
+        s"UNION ALL SELECT * FROM (VALUES $values) AS __c(doc_id, text)) " +
+        "ORDER BY doc_id"
+    },
+
+    "t_redact_v3" -> {
+      val f = TextOps.redactPiiV3Sql("text")
+      val values = TextOps.CraftedPiiRowsV3
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"SELECT doc_id, ${f("n_emails")} AS n_emails, ${f("n_ibans")} AS n_ibans, " +
+        s"${f("n_ninos")} AS n_ninos, ${f("n_e164")} AS n_e164, " +
+        s"${f("n_ssns")} AS n_ssns, ${f("n_phones")} AS n_phones, " +
         s"${f("n_ips")} AS n_ips, ${f("clean")} AS clean FROM " +
         s"(SELECT doc_id, text FROM documents " +
         s"UNION ALL SELECT * FROM (VALUES $values) AS __c(doc_id, text)) " +

@@ -1064,8 +1064,19 @@ object Similarity {
     * cell-exact. */
   def semDedup(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
       threshold: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    semDedupWithCents(corpus,
+      collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol)),
+      dim, threshold, idCol, vecCol)
+
+  /** [[semDedup]] against ALREADY-TRAINED centroids — the pipeline after
+    * the index: assign, within-bucket pairs, connected components,
+    * min-id representative. Factored out so the incremental path
+    * ([[semDedupIncrement]]) and any caller holding a frozen index run
+    * the IDENTICAL suppression machinery the batch entry runs. */
+  def semDedupWithCents(corpus: DataFrame, cents: Array[(Int, Seq[Double])],
+      dim: Int, threshold: Double = 0.4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
     val assigned = assignClustersLocal(corpus.select(col(idCol), col(vecCol)), cents, vecCol, idCol)
       .withColumnRenamed("cluster", "bucket")
     val pairs = nearDupPairs(assigned, "bucket", threshold, dim, idCol, vecCol)
@@ -1074,6 +1085,83 @@ object Similarity {
       .join(assigned.select(col(idCol), col("bucket")), Seq(idCol))
       .select(col(idCol), col("bucket"), col("rep"),
         (col(idCol) === col("rep")).as("kept"))
+  }
+
+  /** Frozen SemDeDup state between increments: the trained centroids
+    * (catalog-sized, driver-resident) and the kept representatives WITH
+    * their vectors and buckets — the only rows a future document must be
+    * gated against. At 100 TB the reps frame is the post-dedup corpus
+    * (bounded by the kept fraction), stored however the caller likes
+    * (parquet bucketed by `bucket` composes with
+    * [[graft.ops.Relational.materializeBucketed]] exactly like the ANN
+    * index). */
+  final case class SemDedupState(
+      centroids: Array[(Int, Seq[Double])],
+      reps: DataFrame)
+
+  /** Initialize incremental SemDeDup: run the batch pipeline on the
+    * first installment, return the audit rows plus the state future
+    * increments gate against. */
+  def semDedupInit(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (SemDedupState, DataFrame) = {
+    val cents = collectCentroids(ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
+    val audit = semDedupWithCents(corpus, cents, dim, threshold, idCol, vecCol)
+    val reps = corpus.select(col(idCol), col(vecCol))
+      .join(audit.filter(col("kept")).select(col(idCol), col("bucket")), Seq(idCol))
+    (SemDedupState(cents, reps), audit)
+  }
+
+  /** Incremental SemDeDup: dedup a NEW installment against the frozen
+    * state without re-touching history. New vectors are assigned to the
+    * EXISTING centroids (broadcast argmax projection), cosine-gated
+    * against the kept representatives of their own bucket plus each
+    * other (both pure bucket equi-joins — no cartesian, no rescan of
+    * past non-representatives), grouped by connected components, and
+    * labeled with the min reachable id. Emitted audit rows cover ONLY
+    * the new documents; prior audit rows are immutable (an increment
+    * never rewrites history — the streaming-friendly contract), and
+    * survivors join the reps state for the next increment.
+    *
+    * Matches the batch pipeline exactly when (a) installment ids exceed
+    * all prior ids (append-only streams — otherwise min-id could elect
+    * a new doc as rep of an old group) and (b) no duplicate chain runs
+    * THROUGH a suppressed non-representative or bridges two existing
+    * groups (the rep-probe trade the SemDeDup paper's bucket recall
+    * caveat already accepts; a bridging doc is suppressed by the
+    * smaller-id rep while both old groups stand). The spec pins
+    * batch-equality on the fixture and the no-cartesian plan. */
+  def semDedupIncrement(state: SemDedupState, newDocs: DataFrame, dim: Int,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (SemDedupState, DataFrame) = {
+    val assigned = assignClustersLocal(newDocs.select(col(idCol), col(vecCol)),
+      state.centroids, vecCol, idCol)
+      .withColumnRenamed("cluster", "bucket")
+    // new-vs-new candidates: the ordinary within-bucket pair join
+    val newPairs = nearDupPairs(assigned, "bucket", threshold, dim, idCol, vecCol)
+      .select("id_a", "id_b")
+    // new-vs-reps candidates: equi-join on the bucket key only (a rep
+    // gates only its own bucket's newcomers), exact cosine as the
+    // post-filter — same shape, same threshold arithmetic
+    val n = assigned.withColumn("__na", sqrt(dot(vecCol, vecCol, dim)))
+      .select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__na"))
+    val r = state.reps.withColumn("__nb", sqrt(dot(vecCol, vecCol, dim)))
+      .select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__nb"))
+    val repPairs = n.join(r, Seq("bucket"))
+      .filter(dot("__va", "__vb", dim) / (col("__na") * col("__nb")) >= threshold)
+      .select("id_a", "id_b")
+    val nodes = assigned.select(col(idCol))
+      .unionByName(state.reps.select(col(idCol)))
+    val labels = graft.dedup.Dedup.clusters(
+      nodes, newPairs.unionByName(repPairs), idCol)
+      .select(col("id").as(idCol), col("cluster").as("rep"))
+    val audit = assigned.select(col(idCol), col("bucket"))
+      .join(labels, Seq(idCol))
+      .select(col(idCol), col("bucket"), col("rep"),
+        (col(idCol) === col("rep")).as("kept"))
+    val newReps = assigned.select(col(idCol), col(vecCol))
+      .join(audit.filter(col("kept")).select(col(idCol), col("bucket")), Seq(idCol))
+    (state.copy(reps = state.reps.unionByName(newReps)), audit)
   }
 
   /** Oracle twin for [[semDedup]]: the shared [[kmeansAssignCtes]] index

@@ -860,6 +860,70 @@ object TextOps {
       s"'$PhoneRe', '<PHONE>', 'g'), " +
       s"'$Ipv4Re', '<IP>', 'g')"))
 
+  /** US Social Security number surface shape: 3-2-4 digit groups. The
+    * group widths are disjoint from [[PhoneRe]]'s 3-3-4, so the two
+    * classes can never claim the same span (boundary row 900011). No
+    * area/group validity rules — this is span redaction, not
+    * verification. */
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** UK National Insurance number surface shape: 2 letters, 6 digits,
+    * 1 suffix letter, uppercase only (lowercase runs are prose — the
+    * [[IbanRe]] argument). Fixed length, single path, class quantifiers
+    * only: identical spans under Java backtracking and RE2
+    * leftmost-longest. A NINO-prefixed run that also matches the longer
+    * IBAN shape is counted by BOTH classes (v1 contract: counts are
+    * independent per class on the input) and replaced by the earlier
+    * IBAN pass (row 900014). */
+  val NinoRe = "[A-Z]{2}[0-9]{6}[A-Z]"
+
+  /** [[redactPiiV2]] with the US-SSN and UK-NINO national-id classes.
+    * Replacement order email → iban → nino → e164 → ssn → phone → ip
+    * (identical in the twin): iban before nino so the longer shape wins
+    * the span; ssn/phone are shape-disjoint so their order is cosmetic.
+    * Placeholders stay uppercase-letter-only — no pass can create a
+    * later class's match ("<SSN>" contains no digits, "<NINO>" no digit
+    * run). */
+  def redactPiiV3(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    "n_ibans" -> size(regexp_extract_all(text, lit(IbanRe), lit(0))),
+    "n_ninos" -> size(regexp_extract_all(text, lit(NinoRe), lit(0))),
+    "n_e164" -> size(regexp_extract_all(text, lit(E164Re), lit(0))),
+    "n_ssns" -> size(regexp_extract_all(text, lit(SsnRe), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    "clean" -> regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, EmailRe, "<EMAIL>"),
+                IbanRe, "<IBAN>"),
+              NinoRe, "<NINO>"),
+            E164Re, "<E164>"),
+          SsnRe, "<SSN>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>"))
+
+  def redactPiiV3Sql(text: String): Map[String, String] = Map(
+    "n_emails" -> s"CAST(len(regexp_extract_all($text, '$EmailRe')) AS INTEGER)",
+    "n_ibans" -> s"CAST(len(regexp_extract_all($text, '$IbanRe')) AS INTEGER)",
+    "n_ninos" -> s"CAST(len(regexp_extract_all($text, '$NinoRe')) AS INTEGER)",
+    "n_e164" -> s"CAST(len(regexp_extract_all($text, '$E164Re')) AS INTEGER)",
+    "n_ssns" -> s"CAST(len(regexp_extract_all($text, '$SsnRe')) AS INTEGER)",
+    "n_phones" -> s"CAST(len(regexp_extract_all($text, '$PhoneRe')) AS INTEGER)",
+    "n_ips" -> s"CAST(len(regexp_extract_all($text, '$Ipv4Re')) AS INTEGER)",
+    "clean" -> ("regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(" +
+      s"$text, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$IbanRe', '<IBAN>', 'g'), " +
+      s"'$NinoRe', '<NINO>', 'g'), " +
+      s"'$E164Re', '<E164>', 'g'), " +
+      s"'$SsnRe', '<SSN>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g')"))
+
   /** Adversarial PII rows for the `t_redact_v2` crafted-fixture oracle:
     * every boundary where the two regex engines COULD diverge is a row
     * both engines must agree on cell-exactly. Apostrophe-free so the
@@ -874,6 +938,21 @@ object TextOps {
     900007L -> "mail bob@example.com IBAN FR1420041010050500013M02606 ip 10.0.0.1",
     900008L -> "token XY99ABCDEF0123456789XYZ0987654321ABCD clamps at thirty",
     900009L -> "short AB12CDEF90 only six after the prefix never matches")
+
+  /** Adversarial rows for the national-id classes, appended to
+    * [[CraftedPiiRows]] by the `t_redact_v3` oracle: every boundary
+    * where the engines could diverge — group-width confusion with the
+    * dash phone, lowercase rejection, digit over/underrun, and the
+    * NINO-prefix-of-IBAN span contest — is a row both engines must
+    * agree on cell-exactly. */
+  val CraftedPiiRowsV3: Seq[(Long, String)] = CraftedPiiRows ++ Seq(
+    900010L -> "SSN 123-45-6789 filed today",
+    900011L -> "not an SSN 415-555-2671 is a dash phone",
+    900012L -> "NI number QQ123456C on file",
+    900013L -> "lowercase qq123456c stays prose",
+    900014L -> "run AB123456CDEF0123456789 is iban shaped with a nino prefix",
+    900015L -> "short 123-45-678 never matches and 123-45-67890 overruns by one",
+    900016L -> "AB1234567C has seven digits so it is no nino")
 
   // ---- token chunking ---------------------------------------------------
 

@@ -190,6 +190,32 @@ class CatalogApiSpec extends SparkSpec {
     assert(after === before) // pure layout maintenance
   }
 
+  test("compact with an explicit date list sweeps exactly the named partitions") {
+    val (_, cat) = freshApi()
+    val sess = spark
+    import sess.implicits._
+    // fragment two dates; name only one in the sweep
+    for (v <- 1 to 2; d <- Seq("01", "02"))
+      cat.appendArchive(Seq((v, ts(s"2024-02-$d 0$v:00:00"), v.toDouble))
+        .toDF("attribute_id", "timestamp", "value"))
+    val root = new java.io.File(new java.net.URI(cat.archive.inputFiles.head))
+      .getParentFile.getParentFile
+    def partFiles(date: String): Set[String] =
+      new java.io.File(root, s"p_date=$date").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(partFiles("2024-02-01").size === 2)
+    val otherBefore = partFiles("2024-02-02")
+    val before = cat.archive.orderBy("timestamp", "attribute_id").collect().toSeq
+    // an explicitly named date compacts even below the file-count
+    // threshold; everything unnamed keeps its files byte-for-byte
+    graft.catalog.ArchiveStore.compact(spark, root.toString,
+      dates = Seq("2024-02-01"))
+    assert(partFiles("2024-02-01").size === 1)
+    assert(partFiles("2024-02-02") === otherBefore)
+    val after = cat.archive.orderBy("timestamp", "attribute_id").collect().toSeq
+    assert(after === before)
+  }
+
   test("api: lookup exact vs wildcard, generic table export filters") {
     val (api, cat) = freshApi()
     cat.insertElement("Boiler")
