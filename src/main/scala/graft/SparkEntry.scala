@@ -487,6 +487,13 @@ object SparkEntry {
         Seq("lang", "source"), 0.8, n = 3)
         .orderBy("id_a", "id_b")),
 
+    // Exact substring (8-token window) dedup — the Lee et al. ExactSubstr
+    // pass: the first global occurrence of every 8-gram survives, every
+    // token covered by a later occurrence is removed, text reassembled.
+    "d_substring" -> ((s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     "d_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id")),
@@ -1521,6 +1528,10 @@ object SparkEntry {
         "WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8 " +
         "ORDER BY id_a, id_b"
     },
+
+    "d_substring" ->
+      (s"SELECT * FROM (${Dedup.substringDedupSql("documents", "doc_id", "text", 8)}) " +
+        "ORDER BY doc_id"),
 
     "d_minhash_sig" ->
       (s"SELECT * FROM (${Dedup.minhashSignaturesSql("documents", "doc_id", "text", 3)}) ORDER BY doc_id"),

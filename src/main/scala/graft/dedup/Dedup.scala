@@ -275,6 +275,111 @@ object Dedup {
        |FROM __j GROUP BY $idCol""".stripMargin
   }
 
+  // ---- exact substring dedup --------------------------------------------
+
+  /** Position-packing span for [[substringDedup]]'s global
+    * first-occurrence argmin: `id * PosSpan + pos` must be injective and
+    * order-preserving, so documents must stay under 2^21 (~2M) tokens —
+    * a ~10 MB text at 5 chars/token, far above any sane training-doc
+    * cap. Precondition documented, not runtime-asserted (a per-row guard
+    * would sit in the hot explode). */
+  val PosSpan: Long = 1L << 21
+
+  /** Exact substring (k-token window) dedup — the ExactSubstr pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), re-expressed declaratively. A k-token window is
+    * duplicated iff the same k-gram occurs anywhere EARLIER in the
+    * global (id, pos) order — in a previous document or earlier in the
+    * same one. Every token covered by at least one duplicated window is
+    * removed; survivors are rejoined in order. The first occurrence of
+    * any k-gram is never flagged, so shared content survives exactly
+    * once, at its first appearance — the deterministic analog of the
+    * paper's suffix-array pass with the match length fixed at k tokens.
+    *
+    * 100 TB shape: one posexplode linear in tokens; first-occurrence is
+    * a map-side-combinable groupBy on the 31-bit gram hash, joined back
+    * on that same key (a boilerplate gram shared by d windows costs d
+    * join rows, never d² — AQE skew-join splits hot grams); the k-1
+    * tail positions per doc bypass the join entirely (no null-key hot
+    * partition); coverage is a bounded ROWS BETWEEN k-1 PRECEDING
+    * window per document; reassembly one groupBy(id). Nothing pairwise,
+    * no driver state.
+    *
+    * Output: (doc_id, clean_text, n_tokens, n_removed), one row per
+    * input row — fully-duplicated docs keep their row with clean_text
+    * '' (the audit trail a silent drop would lose), empty docs count 0.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k); k = 1 is token-level removal")
+    // stage tokens as a bound column (the shingle lambda re-evaluates its
+    // subtree otherwise — same rationale as docTokens); arrays_zip pads
+    // the shorter shingle array with null, which marks exactly the k-1
+    // tail positions that start no full window
+    val staged = df.select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("t"))
+      .withColumn("g", TextOps.shinglesFromTokens(col("t"), k))
+    val hashed = staged
+      .select(col("id"), posexplode(arrays_zip(col("t"), col("g"))))
+      .select(col("id"), col("pos"), col("col.t").as("tok"),
+        when(col("col.g").isNotNull,
+          graft.functions.NativeExprs.polyHash(col("col.g"),
+            TextOps.CharMul, TextOps.P)).as("h"))
+      .withColumn("packed", col("id") * PosSpan + col("pos"))
+    val windows = hashed.filter(col("h").isNotNull)
+    val firsts = windows.groupBy("h").agg(min("packed").as("firstp"))
+    val flagged = windows.join(firsts, Seq("h"))
+      .withColumn("dupw", col("packed") =!= col("firstp"))
+      .select("id", "pos", "tok", "dupw")
+      .unionByName(hashed.filter(col("h").isNull)
+        .select(col("id"), col("pos"), col("tok"), lit(false).as("dupw")))
+    val cover = Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    val agg = flagged
+      .withColumn("covered", max(when(col("dupw"), 1).otherwise(0)).over(cover) === 1)
+      .groupBy("id").agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("covered"), struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("covered"), 1).otherwise(0)).cast("int").as("n_removed"))
+    // empty/whitespace-only docs produce no token rows: restore them via
+    // a left join so the output stays one row per input document
+    df.select(col(idCol).cast("long").as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"))
+  }
+
+  /** Oracle twin for [[substringDedup]]: same tokenize, the k-gram built
+    * by `||`-joining list slices (byte-identical to concat_ws ' '), the
+    * same char-fold hash, the same packed (id, pos) argmin — positions
+    * are 1-based here vs 0-based in Spark, a uniform shift that
+    * preserves the argmin — and the same bounded coverage window. */
+  def substringDedupSql(table: String, idCol: String, textCol: String, k: Int): String = {
+    val toks = TextOps.tokensSql(textCol)
+    val gram = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH __base AS (SELECT $idCol AS id, $toks AS t FROM $table),
+       |__rows AS (SELECT id, t, unnest(range(1, len(t) + 1)) AS i FROM __base),
+       |__h AS (SELECT id, i, t[i] AS tok,
+       |  CASE WHEN i + ${k - 1} <= len(t) THEN ${TextOps.tokenHashSql(s"($gram)")} END AS h
+       |  FROM __rows),
+       |__f AS (SELECT h, min(id * $PosSpan + i) AS firstp FROM __h WHERE h IS NOT NULL GROUP BY h),
+       |__d AS (SELECT a.id, a.i, a.tok,
+       |  CASE WHEN a.h IS NOT NULL AND (a.id * $PosSpan + a.i) <> f.firstp THEN 1 ELSE 0 END AS dupw
+       |  FROM __h a LEFT JOIN __f f ON a.h = f.h),
+       |__c AS (SELECT id, i, tok,
+       |  max(dupw) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) = 1 AS covered
+       |  FROM __d),
+       |__a AS (SELECT id,
+       |  coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT covered), '') AS clean_text,
+       |  CAST(count(*) AS INTEGER) AS n_tokens,
+       |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER) AS n_removed
+       |  FROM __c GROUP BY id)
+       |SELECT d.$idCol, coalesce(a.clean_text, '') AS clean_text,
+       |       coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_removed, 0) AS n_removed
+       |FROM $table d LEFT JOIN __a a ON a.id = d.$idCol""".stripMargin
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** K permutation-hash parameters (a, b): h_i(x) = (a_i*x + b_i) mod P.

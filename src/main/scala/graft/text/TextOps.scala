@@ -46,9 +46,13 @@ object TextOps {
   private def charFoldExpr(tok: String): String =
     s"aggregate(transform(sequence(1, length($tok)), i -> bigint(ascii(substring($tok, i, 1)))), " +
       s"0L, (a, c) -> (a * $CharMul + c) % $P)"
+  // the lambda variable is deliberately un-capturable (__ci): callers
+  // inline arbitrary SQL expressions as $tok, and a plain `i` would be
+  // shadow-captured by any outer list_transform/unnest alias named i
+  // (substringDedupSql's position column was exactly that bug)
   private def charFoldSql(tok: String, mul: Long = CharMul): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($tok) + 1), " +
-      s"i -> CAST(ascii(substr($tok, i, 1)) AS BIGINT))), (a, c) -> (a * $mul + c) % $P)"
+      s"__ci -> CAST(ascii(substr($tok, __ci, 1)) AS BIGINT))), (a, c) -> (a * $mul + c) % $P)"
 
   /** Hash one token column value (used by dedup minhash/simhash too).
     * Native codegen'd expression ([[graft.functions.PolyHash]]); the
