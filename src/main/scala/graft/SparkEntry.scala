@@ -518,6 +518,22 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3, bits = 64)
         .orderBy("id_a", "id_b")),
 
+    // Streaming substring dedup, batch kernel: even doc_ids play the
+    // prior batches (only their distinct gram hashes — the registry),
+    // odd doc_ids the arriving micro-batch. A window already claimed by
+    // the registry is cut everywhere; within the batch the (id, pos)
+    // argmin survives — the per-micro-batch unit of
+    // streaming.StreamingDedup.substringBatchStep.
+    "d_stream_substring" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reg = Dedup.substringWindows(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 8)
+        .filter(col("h").isNotNull).select("h").distinct()
+      val (cleaned, _) = Dedup.substringSuppress(
+        docs.filter(col("doc_id") % 2 === 1), reg, "doc_id", "text", 8)
+      cleaned.orderBy("doc_id")
+    }),
+
     // Streaming near-dup suppression, batch kernel: even doc_ids play the
     // already-ingested registry, odd doc_ids the arriving micro-batch
     // (ts = doc_id). First-writer-wins, register-all-seen semantics —
@@ -1547,6 +1563,11 @@ object SparkEntry {
 
     "d_simhash_pairs_w64" ->
       (s"SELECT * FROM (${Dedup.simhashPairsSql("documents", "doc_id", "text", 3, bits = 64)}) ORDER BY id_a, id_b"),
+
+    "d_stream_substring" ->
+      (s"SELECT * FROM (${Dedup.substringSuppressSql("documents",
+        "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", 8)}) " +
+        "ORDER BY doc_id"),
 
     "d_stream_neardup" ->
       (s"SELECT * FROM (${Dedup.nearDupSuppressSql("documents", "doc_id", "text", 3,

@@ -310,21 +310,7 @@ object Dedup {
     * '' (the audit trail a silent drop would lose), empty docs count 0.
     */
   def substringDedup(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2 (got $k); k = 1 is token-level removal")
-    // stage tokens as a bound column (the shingle lambda re-evaluates its
-    // subtree otherwise — same rationale as docTokens); arrays_zip pads
-    // the shorter shingle array with null, which marks exactly the k-1
-    // tail positions that start no full window
-    val staged = df.select(col(idCol).cast("long").as("id"),
-        TextOps.tokens(col(textCol)).as("t"))
-      .withColumn("g", TextOps.shinglesFromTokens(col("t"), k))
-    val hashed = staged
-      .select(col("id"), posexplode(arrays_zip(col("t"), col("g"))))
-      .select(col("id"), col("pos"), col("col.t").as("tok"),
-        when(col("col.g").isNotNull,
-          graft.functions.NativeExprs.polyHash(col("col.g"),
-            TextOps.CharMul, TextOps.P)).as("h"))
-      .withColumn("packed", col("id") * PosSpan + col("pos"))
+    val hashed = substringWindows(df, idCol, textCol, k)
     val windows = hashed.filter(col("h").isNotNull)
     val firsts = windows.groupBy("h").agg(min("packed").as("firstp"))
     val flagged = windows.join(firsts, Seq("h"))
@@ -332,6 +318,36 @@ object Dedup {
       .select("id", "pos", "tok", "dupw")
       .unionByName(hashed.filter(col("h").isNull)
         .select(col("id"), col("pos"), col("tok"), lit(false).as("dupw")))
+    substringAssemble(flagged, df, idCol, k)
+  }
+
+  /** Shared window machinery of [[substringDedup]] and its streaming
+    * face ([[graft.streaming.StreamingDedup.substringBatchStep]]): one
+    * row per token position — (id, pos, tok, h, packed) with h the
+    * k-gram hash of the window STARTING at pos (null for the k-1 tail
+    * positions that start no full window — arrays_zip pads the shorter
+    * shingle array) and packed the order-preserving id*PosSpan+pos. */
+  private[graft] def substringWindows(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k); k = 1 is token-level removal")
+    // stage tokens as a bound column (the shingle lambda re-evaluates its
+    // subtree otherwise — same rationale as docTokens)
+    df.select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("t"))
+      .withColumn("g", TextOps.shinglesFromTokens(col("t"), k))
+      .select(col("id"), posexplode(arrays_zip(col("t"), col("g"))))
+      .select(col("id"), col("pos"), col("col.t").as("tok"),
+        when(col("col.g").isNotNull,
+          graft.functions.NativeExprs.polyHash(col("col.g"),
+            TextOps.CharMul, TextOps.P)).as("h"))
+      .withColumn("packed", col("id") * PosSpan + col("pos"))
+  }
+
+  /** Coverage + reassembly half of [[substringDedup]]: from flagged
+    * window rows (id, pos, tok, dupw) to one (id, clean_text, n_tokens,
+    * n_removed) row per input document. */
+  private[graft] def substringAssemble(flagged: DataFrame, df: DataFrame,
+      idCol: String, k: Int): DataFrame = {
     val cover = Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
     val agg = flagged
       .withColumn("covered", max(when(col("dupw"), 1).otherwise(0)).over(cover) === 1)
@@ -348,6 +364,68 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0)).as("n_removed"))
+  }
+
+  /** Batch kernel of STREAMING substring dedup (wrapped by
+    * [[graft.streaming.StreamingDedup.substringBatchStep]], oracle-gated
+    * at `d_stream_substring`): suppress `batch` against `registry` — the
+    * distinct first-seen gram hashes of all PRIOR batches, one `h`
+    * column — plus this batch's own (id, pos) argmin. Returns (cleaned
+    * docs, new claims): the batch's first-seen gram hashes not yet in
+    * the registry. Arrival order wins across batches, (id, pos) order
+    * within one; when batches arrive in id order the concatenated
+    * outputs equal [[substringDedup]] on the union exactly. */
+  def substringSuppress(batch: DataFrame, registry: DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, DataFrame) = {
+    val reg = registry.select("h").withColumn("__seen", lit(1))
+    val hashed = substringWindows(batch, idCol, textCol, k)
+    val windows = hashed.filter(col("h").isNotNull)
+    val firsts = windows.groupBy("h").agg(min("packed").as("firstp"))
+    val flagged = windows.join(firsts, Seq("h"))
+      .join(reg, Seq("h"), "left")
+      .withColumn("dupw",
+        col("__seen").isNotNull || col("packed") =!= col("firstp"))
+      .select("id", "pos", "tok", "dupw")
+      .unionByName(hashed.filter(col("h").isNull)
+        .select(col("id"), col("pos"), col("tok"), lit(false).as("dupw")))
+    val cleaned = substringAssemble(flagged, batch, idCol, k)
+    val claims = firsts.select("h").join(registry.select("h"), Seq("h"), "left_anti")
+    (cleaned, claims)
+  }
+
+  /** Oracle twin for [[substringSuppress]] as a one-shot statement: docs
+    * matching `registryPred` play the prior batches (only their DISTINCT
+    * gram hashes matter), docs matching `batchPred` are the incoming
+    * batch. */
+  def substringSuppressSql(table: String, registryPred: String,
+      batchPred: String, idCol: String, textCol: String, k: Int): String = {
+    val toks = TextOps.tokensSql(textCol)
+    val gram = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH __base AS (SELECT $idCol AS id, $toks AS t FROM $table WHERE $batchPred),
+       |__rows AS (SELECT id, t, unnest(range(1, len(t) + 1)) AS i FROM __base),
+       |__h AS (SELECT id, i, t[i] AS tok,
+       |  CASE WHEN i + ${k - 1} <= len(t) THEN ${TextOps.tokenHashSql(s"($gram)")} END AS h
+       |  FROM __rows),
+       |__rb AS (SELECT $idCol AS id, $toks AS t FROM $table WHERE $registryPred),
+       |__rr AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM __rb),
+       |__reg AS (SELECT DISTINCT ${TextOps.tokenHashSql(s"($gram)")} AS h FROM __rr
+       |  WHERE i + ${k - 1} <= len(t)),
+       |__f AS (SELECT h, min(id * $PosSpan + i) AS firstp FROM __h WHERE h IS NOT NULL GROUP BY h),
+       |__d AS (SELECT a.id, a.i, a.tok,
+       |  CASE WHEN a.h IS NOT NULL AND (r.h IS NOT NULL OR (a.id * $PosSpan + a.i) <> f.firstp)
+       |       THEN 1 ELSE 0 END AS dupw
+       |  FROM __h a LEFT JOIN __f f ON a.h = f.h LEFT JOIN __reg r ON a.h = r.h),
+       |__c AS (SELECT id, i, tok,
+       |  max(dupw) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) = 1 AS covered
+       |  FROM __d),
+       |__a AS (SELECT id,
+       |  coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT covered), '') AS clean_text,
+       |  CAST(count(*) AS INTEGER) AS n_tokens,
+       |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER) AS n_removed
+       |  FROM __c GROUP BY id)
+       |SELECT d.$idCol, coalesce(a.clean_text, '') AS clean_text,
+       |       coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_removed, 0) AS n_removed
+       |FROM (SELECT $idCol FROM $table WHERE $batchPred) d LEFT JOIN __a a ON a.id = d.$idCol""".stripMargin
   }
 
   /** Oracle twin for [[substringDedup]]: same tokenize, the k-gram built

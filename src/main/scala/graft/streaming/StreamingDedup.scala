@@ -83,6 +83,88 @@ object StreamingDedup {
       claims, path, tableName, Seq("band", "k0", "k1"), buckets)
   }
 
+  // ---- streaming exact substring dedup ----------------------------------
+
+  /** One idempotent micro-batch step of STREAMING exact substring dedup
+    * (the [[Dedup.substringDedup]] semantics for a corpus that arrives
+    * as a feed): a k-token window in this batch is duplicated iff its
+    * k-gram was claimed by ANY earlier batch (registry probe on the
+    * 31-bit gram hash) or occurs earlier within this batch (the batch's
+    * own (id, pos) argmin); covered tokens are removed, cleaned docs
+    * land under `cleanDir/batch_id=*`, and the batch's NEW first-seen
+    * gram hashes are appended to `registryDir/batch_id=*` — arrival
+    * order wins across batches, (id, pos) order within one.
+    *
+    * When batches arrive in id order, concatenating the per-batch
+    * outputs is EXACTLY the batch operator on the union (spec-pinned):
+    * the global (id, pos) argmin then coincides with first-batch-wins.
+    * Out-of-order ids only move WHICH occurrence survives (arrival
+    * first, the streaming contract), never how many.
+    *
+    * Same exactly-once discipline as [[batchStep]]: both writes are
+    * per-batch-partition OVERWRITEs and the registry read excludes the
+    * current batch id, so a replayed batch rewrites both partitions
+    * byte-identically. The registry holds one 8-byte hash per distinct
+    * first-seen gram — linear in CONTENT, not occurrences; compact it
+    * with [[compactSubstringRegistry]] for an exchange-free probe. */
+  def substringBatchStep(spark: SparkSession, registryDir: String,
+      cleanDir: String, idCol: String, textCol: String, k: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val registry = readSubstringRegistry(spark, registryDir)
+      .filter(col("batch_id") =!= batchId)
+      .select("h")
+    val (cleaned, claims) =
+      Dedup.substringSuppress(batch, registry, idCol, textCol, k)
+    cleaned.write.mode("overwrite").parquet(s"$cleanDir/batch_id=$batchId")
+    claims.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** The substring-claim registry across all batches (empty frame with
+    * the right columns when nothing has been written yet). */
+  def readSubstringRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.option("basePath", dir).parquet(dir)
+    else
+      spark.range(0)
+        .select(lit(0L).as("h"), lit(0L).as("batch_id"))
+        .limit(0)
+  }
+
+  /** Table maintenance for the substring registry: fold the
+    * batch_id-partitioned claims into one table bucketed + sorted on
+    * the probe key `h` — after compaction the probe join and the
+    * first-occurrence aggregate read it with zero exchanges (only the
+    * incoming batch shuffles, sized by the batch, not by all-history
+    * content). Claims are unique across batches by the anti-join
+    * construction; the distinct guards a replayed half-written
+    * partition's stray duplicate. */
+  def compactSubstringRegistry(spark: SparkSession, registryDir: String,
+      path: String, tableName: String, buckets: Int = 32): DataFrame = {
+    val claims = readSubstringRegistry(spark, registryDir).select("h").distinct()
+    graft.ops.Relational.materializeBucketed(claims, path, tableName, "h", buckets)
+  }
+
+  /** Wire a streaming document source through the substring suppressor:
+    * cleaned docs under `cleanDir/batch_id=*`, first-seen gram claims
+    * under `registryDir/batch_id=*`. */
+  def startSubstring(docs: DataFrame, registryDir: String, cleanDir: String,
+      checkpointPath: String, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          substringBatchStep(spark, registryDir, cleanDir, idCol, textCol, k)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Wire a streaming document source through the suppressor. `docs`
     * must carry (idCol, tsCol, textCol); kept documents land under
     * `keptDir/batch_id=*`, bucket claims under `registryDir/batch_id=*`. */

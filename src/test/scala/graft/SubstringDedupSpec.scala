@@ -1,8 +1,13 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.model.Tables
+import graft.streaming.StreamingDedup
 
 /** Exact substring (k-token window) dedup: hand-computed coverage on
   * crafted documents — whole-doc duplicates vanish, a shared k-gram is
@@ -53,6 +58,127 @@ class SubstringDedupSpec extends SparkSpec {
     val out = run(Seq(9L -> "m n o", 8L -> "m n o"), k = 3)
     assert(out(8L) === (("m n o", 3, 0)))
     assert(out(9L) === (("", 3, 3)))
+  }
+
+  private def outRows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int, Int)] =
+    df.select("doc_id", "clean_text", "n_tokens", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+
+  test("streaming: id-ordered installments concatenate to the batch operator; replay is byte-identical") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_subdedup").toString
+    // real fixture texts split at the id median — cross-batch whole-doc
+    // dups and shared runs come from whatever the corpus contains; the
+    // equality must hold REGARDLESS of fixture luck
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mid = docs(docs.length / 2)._1
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = StreamingDedup.startSubstring(stream, s"$dir/registry",
+        s"$dir/clean", s"$dir/ckpt", k = 8)
+      q.awaitTermination(120000)
+    }
+    val (b0, b1) = docs.partition(_._1 < mid)
+    mem.addData(b0); run()
+    mem.addData(b1); run()
+
+    val streamed = outRows(spark.read.option("basePath", s"$dir/clean")
+      .parquet(s"$dir/clean"))
+    val batch = outRows(Dedup.substringDedup(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 8))
+    assert(streamed === batch)
+
+    // claims across batches are disjoint and together exactly the
+    // distinct gram hashes of the whole corpus
+    val claims = spark.read.option("basePath", s"$dir/registry")
+      .parquet(s"$dir/registry")
+    val allGrams = Dedup.substringWindows(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 8)
+      .filter(col("h").isNotNull).select("h").distinct()
+    assert(claims.count() === claims.select("h").distinct().count(),
+      "a gram must be claimed by exactly one batch")
+    assert(claims.count() === allGrams.count())
+
+    // replay the first batch (crash between the two writes): its own
+    // claims are already registered, outputs must not change
+    val before = outRows(spark.read.parquet(s"$dir/clean/batch_id=0"))
+    StreamingDedup.substringBatchStep(spark, s"$dir/registry",
+      s"$dir/clean", "doc_id", "text", 8)(b0.toDF("doc_id", "text"), 0L)
+    assert(outRows(spark.read.parquet(s"$dir/clean/batch_id=0")) === before)
+  }
+
+  test("streaming: arrival order wins across batches, not id order") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_subooo").toString
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingDedup.substringBatchStep(spark, s"$dir/registry",
+        s"$dir/clean", "doc_id", "text", 3)(rows.toDF("doc_id", "text"), id)
+    // the HIGH id arrives first and claims the grams; the later LOW id
+    // is cut — the batch operator on the union would decide the reverse
+    step(Seq(100L -> "a b c d"), 0L)
+    step(Seq(5L -> "a b c d"), 1L)
+    val out = outRows(spark.read.option("basePath", s"$dir/clean")
+      .parquet(s"$dir/clean"))
+    assert(out === Set((100L, "a b c d", 4, 0), (5L, "", 4, 4)))
+  }
+
+  test("streaming: compacted registry suppresses identically and probes exchange-free") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_subcompact").toString
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingDedup.substringBatchStep(spark, s"$dir/registry",
+        s"$dir/clean", "doc_id", "text", 3)(rows.toDF("doc_id", "text"), id)
+    step(Seq(1L -> "a b c d e f", 2L -> "g h i j"), 0L)
+    step(Seq(3L -> "k l m n o"), 1L)
+    spark.sql("DROP TABLE IF EXISTS t_substr_registry_compact")
+    val compacted = StreamingDedup.compactSubstringRegistry(
+      spark, s"$dir/registry", s"$dir/compacted",
+      "t_substr_registry_compact", buckets = 4)
+    try {
+      val raw = StreamingDedup.readSubstringRegistry(spark, s"$dir/registry")
+        .select("h")
+      assert(compacted.count() === raw.distinct().count())
+
+      // a fresh batch (one replayed run + one novel doc) suppresses
+      // identically against raw and compacted registries
+      val fresh = Seq(50L -> "x y a b c d z", 51L -> "p q r s t").toDF("doc_id", "text")
+      val (cleanRaw, _) = Dedup.substringSuppress(fresh, raw, "doc_id", "text", 3)
+      val (cleanCompact, claimsCompact) =
+        Dedup.substringSuppress(fresh, compacted, "doc_id", "text", 3)
+      assert(outRows(cleanRaw) === outRows(cleanCompact))
+      assert(outRows(cleanCompact).contains((50L, "x y z", 7, 4)))
+
+      // the registry side — the bare bucketed scan the probe join
+      // consumes — reads with ZERO exchanges, and end-to-end the
+      // compacted probe plans strictly fewer exchanges than the raw one
+      val regSide = compacted.select("h").distinct()
+        .queryExecution.executedPlan.toString
+      assert(regSide.contains("Bucketed: true"))
+      assert(!regSide.contains("Exchange"))
+      // at 100 TB the all-history registry is never broadcast-able;
+      // model that (disable auto-broadcast) and the compacted probe
+      // must plan strictly fewer exchanges than the raw partitioned one
+      def nExchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (bigRaw, _) = Dedup.substringSuppress(fresh, raw, "doc_id", "text", 3)
+        val (bigCompact, _) = Dedup.substringSuppress(fresh, compacted, "doc_id", "text", 3)
+        assert(nExchanges(bigCompact) < nExchanges(bigRaw))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      // novel grams only in the new claims
+      assert(claimsCompact.join(raw.distinct(), Seq("h")).count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_substr_registry_compact")
+    }
   }
 
   test("no cartesian or broadcast-nested-loop in the plan") {
