@@ -91,6 +91,14 @@ class PlanAuditSpec extends SparkSpec {
       s"asofJoin lost its window carry:\n$p")
   }
 
+  test("substring dedup is gram-hash equi-joins + bounded windows: no nested loop, no cartesian") {
+    for (q <- Seq("d_substring", "d_stream_substring")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+    }
+  }
+
   test("importance scoring is equi-joins + hash aggregates, never pairwise in docs") {
     val p = plan("pipe_importance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
