@@ -760,6 +760,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // Deterministic corpus sharding: the reproducible global shuffle a
+    // training dataloader consumes — shard = salted hash mod N, pos =
+    // rank under a second independent salted hash. One hash shuffle +
+    // per-shard rank windows; the shard is the output-file unit, so
+    // nothing ever sorts globally.
+    "pipe_shard" -> ((s, d) =>
+      TextOps.shardAssignment(Tables.documents(s, d), "doc_id", 16)
+        .orderBy("doc_id")),
+
     // Exact-N stratified sample: the first 50 docs per source under the
     // deterministic hash order (not a rate — a COUNT guarantee per
     // stratum; resharding-stable, auditable, no RNG). WindowGroupLimit
@@ -1031,7 +1040,14 @@ object SparkEntry {
     // error is one bin width (score ∈ [0,1] → ≤ 1/256 here). Oracle
     // parity of the sketch itself is proven by k_quantile_hist.
     "pipe_quality_gate" -> ((s, d) => {
+      // two consumers (the median sketch + the gate itself) would re-run
+      // the tokenize/regex feature pipeline per consumer — at 100× that
+      // doubled the dominant cost; one lazy materialization of the thin
+      // 3-column stream pays for both (the perplexityBuckets reuse
+      // pattern)
       val staged = TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+        .select("doc_id", "source", "score")
+        .localCheckpoint(false)
       val med = graft.sketch.Sketches
         .histogramQuantiles(staged, "score", 256, Seq(0.5))
         .select(col("estimate").as("__med"))
@@ -1709,6 +1725,10 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "pipe_shard" ->
+      (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16)}) " +
+        "ORDER BY doc_id"),
 
     "pipe_stratified" ->
       (s"SELECT doc_id, source, rk FROM (" +

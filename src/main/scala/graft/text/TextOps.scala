@@ -186,6 +186,40 @@ object TextOps {
       s"WHEN $h < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
   }
 
+  /** Deterministic corpus sharding for training dataloaders: every doc
+    * gets (shard, pos) — shard = salted hash mod nShards, pos = the
+    * doc's rank within its shard under a SECOND independent salted hash
+    * (ties by id). Together they are a reproducible global shuffle of
+    * the corpus expressed as a pure projection plus one per-shard rank
+    * window: no RNG state, stable under any input re-partitioning
+    * (assignment depends on ids only), and auditable by re-running the
+    * same expression. Salts ("shard:", "ord:") keep both hashes
+    * independent of [[hashSplit]] and [[mixtureKeep]] buckets.
+    *
+    * Scale shape: one hash shuffle on shard + per-shard windows; the
+    * shard is the natural output-file unit, so the window partition IS
+    * the write partition and nothing global ever sorts. */
+  def shardAssignment(df: org.apache.spark.sql.DataFrame, idCol: String,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__ord"), col(idCol))
+    df.select(col(idCol),
+        (graft.functions.NativeExprs.polyHash(
+          concat(lit("shard:"), col(idCol).cast("string")), CharMul, P)
+          % nShards).cast("int").as("shard"),
+        graft.functions.NativeExprs.polyHash(
+          concat(lit("ord:"), col(idCol).cast("string")), CharMul, P).as("__ord"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  def shardAssignmentSql(table: String, id: String, nShards: Int): String = {
+    val hs = s"CAST(${charFoldSql(s"'shard:' || CAST($id AS VARCHAR)")} % $nShards AS INTEGER)"
+    val ho = charFoldSql(s"'ord:' || CAST($id AS VARCHAR)")
+    s"SELECT $id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY __ord, $id) AS INTEGER) AS pos " +
+      s"FROM (SELECT $id, $hs AS shard, $ho AS __ord FROM $table)"
+  }
+
   /** Deterministic per-source downsampling for corpus-mixture control:
     * keep a document iff its hash bucket falls under the source's target
     * percentage. The hash is salted ("mix:") so sampling decisions are

@@ -788,4 +788,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getString(1) === "a_cls"))
   }
+
+  test("shardAssignment: id-only dependence, contiguous per-shard positions, every shard used") {
+    val sess = spark
+    import sess.implicits._
+    val docs = (0L until 200L).map(id => (id, s"text $id")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
+      TextOps.shardAssignment(df, "doc_id", 16).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val a = rows(docs)
+    // reproducible shuffle: identical under any input re-partitioning
+    assert(a === rows(docs.repartition(7).sortWithinPartitions(desc("text"))))
+    // shards cover [0, 16) and positions are 1..count within each shard
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet === (0 until 16).toSet)
+    byShard.foreach { case (_, members) =>
+      assert(members.map(_._3) === (1 to members.size).toSet)
+    }
+    // the intra-shard order is the salted ord-hash order, not id order
+    assert(byShard.exists { case (_, members) =>
+      members.toSeq.sortBy(_._3).map(_._1) !=
+        members.toSeq.sortBy(_._3).map(_._1).sorted
+    })
+  }
 }
