@@ -475,6 +475,15 @@ object SparkEntry {
         Seq("lang", "source"), 0.9)
         .orderBy("id_a", "id_b")),
 
+    // Max-containment near-dup pairs: catches SUBSET duplication (a
+    // short doc embedded in a long one) that doc-level Jaccard
+    // structurally misses — common/min(n_a, n_b) over the same
+    // inverted-index join as d_jaccard.
+    "d_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 0.9)
+        .orderBy("id_a", "id_b")),
+
     // the PPJoin prefix-filtered plan must produce the identical result
     // set — it shares d_jaccard's oracle SQL below
     "d_jaccard_prefix" -> ((s, d) =>
@@ -1528,6 +1537,10 @@ object SparkEntry {
         "WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.9 " +
         "ORDER BY id_a, id_b"
     },
+
+    "d_containment" ->
+      (s"SELECT * FROM (${Dedup.containmentPairsSql("documents", "doc_id", "text",
+        Seq("lang", "source"), 0.9)}) ORDER BY id_a, id_b"),
 
     // identical statement: the prefix-filtered Spark plan is exact, so it
     // sits under the same oracle as the full inverted-index plan

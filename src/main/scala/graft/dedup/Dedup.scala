@@ -147,6 +147,65 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Containment-scored near-dup pairs: same inverted-index candidate
+    * generation as [[jaccardPairs]], scored by MAX-containment
+    * `common / min(n_a, n_b)` instead of Jaccard. Containment catches
+    * SUBSET duplication — a short doc wholly embedded in a long one
+    * (quote farms, boilerplate wrappers, truncated re-crawls) scores
+    * containment ≈ 1 while its Jaccard ≈ |short|/|long| can sit far
+    * below any dedup threshold. The asymmetric metric of choice in
+    * web-corpus dedup exactly because near-subset pairs are what
+    * doc-level Jaccard structurally misses.
+    *
+    * Same 100 TB shape and levers as [[jaccardPairs]] (inverted-index
+    * equi-join on 8-byte hashes, block columns, maxDf hot-token cap);
+    * the score is one double division of exact ints — engine-exact. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double, n: Int = 1,
+      maxDf: Option[Long] = None): DataFrame = {
+    val dtAll = docTokens(df, idCol, textCol, blockCols, n).localCheckpoint(false)
+    val dt = maxDf match {
+      case None => dtAll
+      case Some(cap) =>
+        val tokKey = "tok" +: blockCols
+        val keep = dtAll.groupBy(tokKey.map(col): _*)
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          .select(tokKey.map(col): _*)
+        dtAll.join(keep, tokKey, "left_semi").localCheckpoint(false)
+    }
+    val sizes = dt.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val joinKeys = ("tok" +: blockCols).map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    dt.as("a").join(dt.as("b"), joinKeys)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("n").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("n").as("n_b"))), "id_b")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "containment")
+  }
+
+  /** Oracle twin for [[containmentPairs]] (n = 1, no maxDf): the
+    * d_jaccard statement with the containment formula. */
+  def containmentPairsSql(table: String, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): String = {
+    val toks = TextOps.tokensSql(textCol)
+    val blocks = blockCols.mkString(", ")
+    val blockEq = blockCols.map(c => s"a.$c = b.$c").map(" AND " + _).mkString
+    val score = "CAST(common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)"
+    s"WITH __u AS (SELECT $idCol, $blocks, unnest($toks) AS tok FROM $table), " +
+      s"uniq AS (SELECT DISTINCT $idCol, $blocks, ${TextOps.tokenHashSql("tok")} AS tok FROM __u), " +
+      s"sizes AS (SELECT $idCol, count(*) AS n FROM uniq GROUP BY $idCol), " +
+      s"pairs AS (SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS common " +
+      s"FROM uniq a JOIN uniq b ON a.tok = b.tok$blockEq " +
+      s"AND a.$idCol < b.$idCol GROUP BY 1, 2) " +
+      s"SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b, $score AS containment " +
+      s"FROM pairs JOIN sizes sa ON sa.$idCol = id_a JOIN sizes sb ON sb.$idCol = id_b " +
+      s"WHERE $score >= $threshold"
+  }
+
   /** The PPJoin prefix index: each doc's `n - ceil(t*n) + 1` rarest
     * tokens under the global (document frequency, token) total order —
     * rarest-first ordering makes prefix buckets the SMALLEST buckets of

@@ -789,6 +789,24 @@ class TextDedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getString(1) === "a_cls"))
   }
 
+  test("containment catches a subset dup that jaccard misses") {
+    val sess = spark
+    import sess.implicits._
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val short = (1 to 5).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long, "en", "s"), (2L, short, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text",
+      Seq("lang", "source"), 0.9).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert(r.getAs[Long]("common") === 5L && r.getAs[Double]("containment") === 1.0)
+    // the same pair scores jaccard 5/20 = 0.25 — invisible at any
+    // plausible jaccard dedup threshold
+    assert(Dedup.jaccardPairs(df, "doc_id", "text",
+      Seq("lang", "source"), 0.9).isEmpty)
+  }
+
   test("shardAssignment: id-only dependence, contiguous per-shard positions, every shard used") {
     val sess = spark
     import sess.implicits._
