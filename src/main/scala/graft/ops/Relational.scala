@@ -259,6 +259,49 @@ object Relational {
     df.sparkSession.table(tableName)
   }
 
+  /** Z-order (Morton) key: round-robin bit interleave of up to a few
+    * non-negative integer columns, each clamped to `bits` bits. Rows
+    * sorted by this key cluster into small HYPER-RECTANGLES of the
+    * multi-column space instead of thin slices of the leading column —
+    * the layout Delta's OPTIMIZE ZORDER / Iceberg's sort-order z-curve
+    * produce, in plain Spark expressions. Callers pre-scale each column
+    * into [0, 2^bits) (rank, modulo, or min-max scale — the spec shows
+    * the pattern); `bits * cols.length` must stay ≤ 62. */
+  def zOrderKey(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.length <= 62,
+      s"need 1+ cols and bits*n <= 62 (got ${cols.length} cols x $bits bits)")
+    val mask = (1L << bits) - 1
+    val clamped = cols.map(c => least(greatest(c.cast("long"), lit(0L)), lit(mask)))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      clamped.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c, i).bitwiseAND(lit(1L)), i * cols.length + j))
+      }
+    }
+  }
+
+  /** Write `df` as parquet clustered on the Z-order key of `cols`:
+    * range-partition on the key (one write-time shuffle), sort within
+    * each file, drop the key. Every output file then covers a small
+    * hyper-rectangle of the clustered columns, so the per-file /
+    * per-row-group min-max stats are TIGHT in EVERY clustered dimension
+    * — a range filter on any of them skips most of the data (parquet
+    * row-group pruning; file-level skipping too under a stats manifest
+    * à la Delta/Iceberg). Linear sort gives this for the leading column
+    * only; Z-order buys it for all of them at the cost of slightly
+    * looser leading-column bounds. The complement of
+    * [[materializeBucketed]]: bucketing optimizes equi-JOIN locality,
+    * Z-order optimizes multi-column range SCANS. */
+  def materializeZOrdered(df: DataFrame, path: String, cols: Seq[Column],
+      nFiles: Int, bits: Int = 16): DataFrame = {
+    df.withColumn("__z", zOrderKey(cols, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Skew-safe equi-join (the 100 TB tool for hot keys, e.g. one sensor
     * producing most archive rows): the big side's hot partitions are split
     * by a salt derived from a per-row expression, the small side is

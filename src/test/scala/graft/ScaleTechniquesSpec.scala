@@ -163,4 +163,52 @@ class ScaleTechniquesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("z-ordered files bound EVERY clustered column; linear sort bounds only the leading one") {
+    val sess = spark
+    import sess.implicits._
+    // the full 256x256 grid: a and b independent and uniform, so file
+    // statistics measure the LAYOUT, not fixture luck
+    val n = 1 << 16
+    val df = (0 until n).map(id => (id.toLong, id % 256, id / 256))
+      .toDF("id", "a", "b")
+
+    def fileSpans(path: String): Seq[(Double, Double)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.startsWith("part-")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min("a"), max("a"), min("b"), max("b")).head()
+          ((r.getInt(1) - r.getInt(0)) / 255.0, (r.getInt(3) - r.getInt(2)) / 255.0)
+        }
+    }
+    def mean(xs: Seq[Double]): Double = xs.sum / xs.size
+
+    // linear sort on (a, b): thin slices of a, every file spans all of b
+    df.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet("/tmp/graft-zorder/linear")
+    val lin = fileSpans("/tmp/graft-zorder/linear")
+
+    val z = Relational.materializeZOrdered(df, "/tmp/graft-zorder/z",
+      Seq(col("a"), col("b")), nFiles = 16, bits = 8)
+    // relayout only: nothing lost or duplicated
+    assert(z.count() === n && z.agg(sum("id")).head().getLong(0) === (0L until n).sum)
+    val zs = fileSpans("/tmp/graft-zorder/z")
+    assert(zs.size > 1 && lin.size > 1)
+
+    // linear: leading column tight, second column unbounded
+    assert(mean(lin.map(_._1)) < 0.15, s"linear a-span ${mean(lin.map(_._1))}")
+    assert(mean(lin.map(_._2)) > 0.9, s"linear b-span ${mean(lin.map(_._2))}")
+    // z-order: BOTH columns bounded well below the linear layout's
+    // unbounded dimension (16 files over a 2^16 morton space = 64x64
+    // squares ~ 0.25 span; boundary files loosen it a little)
+    assert(mean(zs.map(_._1)) < 0.5, s"z a-span ${mean(zs.map(_._1))}")
+    assert(mean(zs.map(_._2)) < 0.5, s"z b-span ${mean(zs.map(_._2))}")
+    // the quantity pruning cares about: the WORST dimension per file
+    assert(mean(zs.map(s => math.max(s._1, s._2))) <
+      0.6 * mean(lin.map(s => math.max(s._1, s._2))))
+  }
 }
