@@ -337,6 +337,19 @@ object SparkEntry {
           "mean_tok_len", "score")
         .orderBy("doc_id")),
 
+    // Per-source percentile normalization of the quality score: the
+    // cross-source-comparable form a mixed-corpus gate needs (a raw
+    // threshold means different strictness per source). One rank window
+    // per source; (rank-1)/(n-1) is exact given exact ranks.
+    "t_quality_pct" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score"), col("doc_id"))
+      TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"), col("score"))
+        .withColumn("score_pct", percent_rank().over(w))
+        .orderBy("doc_id")
+    }),
+
     "t_langid" -> ((s, d) =>
       TextOps.withLangId(Tables.documents(s, d), "text")
         .select("doc_id", "lang", "lang_pred")
@@ -578,9 +591,28 @@ object SparkEntry {
       Dedup.contaminationMatrix(Tables.documents(s, d), "source", "text", 3)
         .orderBy("source_a", "source_b")),
 
+    // Marginal-new-content score: fraction of each doc's distinct
+    // 3-grams first seen in THAT doc (crawl-ordering/pruning signal the
+    // pairwise near-dup scores can't express). First-occurrence min per
+    // gram hash + join back — linear in the inverted index.
+    "t_novelty" -> ((s, d) =>
+      Dedup.noveltyScores(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
+
+    // Semantic decontamination: max cosine from every corpus vector
+    // (label<>0) to the benchmark set (label 0) — the embedding face of
+    // d_contam; benchmark broadcast, corpus never shuffled with vectors.
+    "s_contam_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.embedContamination(
+        e.filter(col("label") =!= 0), e.filter(col("label") === 0),
+        threshold = 0.38, dim = 64)
+        .orderBy("vec_id")
+    }),
 
     // SemDeDup: semantic dedup blocked by a LEARNED k-means bucket
     // instead of a label — cluster the embedding corpus, find
@@ -663,6 +695,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("source")),
+
+    // Temperature-rebalanced language mixture (XLM-R §3.1, alpha=0.5):
+    // head language downsampled, tail languages repeated — per-doc
+    // n_copies from one catalog-sized count + a broadcast + a pure
+    // projection (no corpus shuffle at all; see TextOps doc).
+    "pipe_temperature" -> ((s, d) =>
+      TextOps.temperatureSample(Tables.documents(s, d), "doc_id", "lang",
+        budget = 500L, alpha = 0.5)
+        .orderBy("doc_id")),
 
     // ---- §7.1.8 similarity search -----------------------------------------
     "s_knn_brute" -> ((s, d) =>
@@ -776,6 +817,13 @@ object SparkEntry {
     // nothing ever sorts globally.
     "pipe_shard" -> ((s, d) =>
       TextOps.shardAssignment(Tables.documents(s, d), "doc_id", 16)
+        .orderBy("doc_id")),
+
+    // Epoch-rotated shuffle: epoch 2's salts give an independent
+    // permutation of the same corpus — multi-epoch training order is
+    // reproducible from (ids, epoch) with no stored RNG state.
+    "pipe_shard_epoch" -> ((s, d) =>
+      TextOps.shardAssignment(Tables.documents(s, d), "doc_id", 16, epoch = 2)
         .orderBy("doc_id")),
 
     // Exact-N stratified sample: the first 50 docs per source under the
@@ -1431,6 +1479,15 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"
     },
 
+    // NULLS FIRST pinned: Spark ASC defaults to nulls-first, DuckDB to
+    // nulls-last; the doc_id tie-break makes every rank unique so tied
+    // scores cannot produce engine-dependent percent_rank values.
+    "t_quality_pct" ->
+      (s"SELECT doc_id, source, score, percent_rank() OVER (PARTITION BY source " +
+        s"ORDER BY score ASC NULLS FIRST, doc_id) AS score_pct FROM " +
+        s"(SELECT doc_id, source, ${TextOps.qualityScoreSql("text")} AS score " +
+        "FROM documents) ORDER BY doc_id"),
+
     "t_langid" ->
       (s"SELECT doc_id, lang, ${TextOps.langIdSql("text")} AS lang_pred " +
         "FROM documents ORDER BY doc_id"),
@@ -1611,6 +1668,10 @@ object SparkEntry {
       (s"SELECT * FROM (${Dedup.contaminationMatrixSql("documents", "source", "text", 3)}) " +
         "ORDER BY source_a, source_b"),
 
+    "t_novelty" ->
+      (s"SELECT * FROM (${Dedup.noveltyScoresSql("documents", "doc_id", "text", 3)}) " +
+        "ORDER BY doc_id"),
+
     "o_asof" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') " +
@@ -1645,12 +1706,20 @@ object SparkEntry {
         s"FROM documents WHERE ${TextOps.mixtureKeepSql("doc_id", "source", MixtureRates)} " +
         "GROUP BY source ORDER BY source"),
 
+    "pipe_temperature" ->
+      (s"SELECT * FROM (${TextOps.temperatureSampleSql("documents", "doc_id", "lang",
+        budget = 500L, alpha = 0.5)}) ORDER BY doc_id"),
+
     "d_embed_near" ->
       (s"SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"${Similarity.cosineSql("a.embedding", "b.embedding", 64)} AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
         s"WHERE ${Similarity.cosineSql("a.embedding", "b.embedding", 64)} >= 0.4 " +
         "ORDER BY id_a, id_b"),
+
+    "s_contam_embed" ->
+      (s"SELECT * FROM (${Similarity.embedContaminationSql("embeddings",
+        "label = 0", "label <> 0", threshold = 0.38, dim = 64)}) ORDER BY vec_id"),
 
     "pipe_semdedup" ->
       Similarity.semDedupSql("embeddings", 64),
@@ -1741,6 +1810,10 @@ object SparkEntry {
 
     "pipe_shard" ->
       (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16)}) " +
+        "ORDER BY doc_id"),
+
+    "pipe_shard_epoch" ->
+      (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16, epoch = 2)}) " +
         "ORDER BY doc_id"),
 
     "pipe_stratified" ->

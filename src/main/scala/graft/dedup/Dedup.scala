@@ -255,6 +255,52 @@ object Dedup {
         col("n_hit").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** N-gram novelty score: the fraction of a document's DISTINCT
+    * n-gram shingles that appear in NO document with a smaller id — the
+    * standard curation signal for ordering/pruning a crawl by marginal
+    * new content (a doc whose grams all appeared earlier adds nothing
+    * even if no single earlier doc duplicates it, which is exactly the
+    * case Jaccard/MinHash pair scoring cannot see).
+    *
+    * A gram is novel for doc d iff min(doc_id) over its occurrences is
+    * d itself — so the whole score is one first-occurrence aggregate
+    * (map-side combinable min per 8-byte gram hash) joined back on that
+    * hash. Per-gram join fanout = its document frequency: LINEAR in the
+    * inverted index, never pairwise in documents. Documents with fewer
+    * than n tokens have no grams and are absent from the output.
+    * novelty = n_novel/n_grams is one double division of exact ints —
+    * engine-exact. */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val dt = docTokens(docs, idCol, textCol, Nil, n)
+    val first = dt.groupBy("tok").agg(min(col(idCol)).as("__first"))
+    dt.join(first, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Oracle twin of [[noveltyScores]]: same shingles, same hash fold,
+    * same first-occurrence min + join-back arithmetic. */
+  def noveltyScoresSql(table: String, idCol: String, textCol: String,
+      n: Int = 3): String = {
+    val sh = shinglesSql(textCol, n)
+    s"""WITH __dt AS (
+       |  SELECT DISTINCT $idCol, ${TextOps.tokenHashSql("tok")} AS tok
+       |  FROM (SELECT $idCol, unnest($sh) AS tok FROM $table)
+       |), __f AS (
+       |  SELECT tok, min($idCol) AS __first FROM __dt GROUP BY tok
+       |)
+       |SELECT d.$idCol, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN f.__first = d.$idCol THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN f.__first = d.$idCol THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM __dt d JOIN __f f ON d.tok = f.tok
+       |GROUP BY d.$idCol""".stripMargin
+  }
+
   /** Cross-source contamination matrix: for every source pair (a < b),
     * the number of shared distinct n-gram shingles, each side's
     * vocabulary size, and the Jaccard overlap — the corpus-level

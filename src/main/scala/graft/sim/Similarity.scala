@@ -60,6 +60,59 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Embedding-space decontamination: for every corpus vector, its
+    * maximum cosine to ANY benchmark vector, the nearest benchmark id
+    * (ties → smallest id), and a `contaminated` flag at `threshold` —
+    * the semantic face of [[graft.dedup.Dedup.contamination]]'s n-gram
+    * probe (catches eval paraphrases that share no shingle).
+    *
+    * 100 TB shape: the benchmark side is an eval set — thousands of
+    * vectors, catalog-sized BY DEFINITION — so it broadcasts and the
+    * corpus is never shuffled with its vectors. The per-vector argmax is
+    * the suite's standard rank-1 window (cos DESC, bench_id):
+    * WindowGroupLimit keeps only each vector's best row on the MAP side,
+    * so the one shuffle carries a single thin (id, bench_id, cos) row
+    * per corpus vector — an aggregate argmax (max(struct)/max_by) is
+    * declarative-with-struct-buffer and regresses to SortAggregate,
+    * which is the same sort without the map-side group limit. */
+  def embedContamination(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.withColumn("__cn", sqrt(dot(vecCol, vecCol, dim)))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("b_vec"))
+      .withColumn("__bn", sqrt(dot("b_vec", "b_vec", dim)))
+    val scored = c.join(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        (dot(vecCol, "b_vec", dim) / (col("__cn") * col("__bn"))).as("cos"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("bench_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("bench_id"), col("cos").as("max_cos"),
+        (col("cos") >= threshold).as("contaminated"))
+  }
+
+  /** Oracle twin of [[embedContamination]]: same cosine folds, the
+    * argmax expressed as the rank-1 row under (cos DESC, bench_id). */
+  def embedContaminationSql(table: String, benchPred: String,
+      corpusPred: String, threshold: Double, dim: Int): String = {
+    s"""WITH __b AS (
+       |  SELECT vec_id AS bench_id, embedding AS b_vec FROM $table WHERE $benchPred
+       |), __c AS (
+       |  SELECT vec_id, embedding FROM $table WHERE $corpusPred
+       |), __s AS (
+       |  SELECT c.vec_id, b.bench_id,
+       |         ${cosineSql("c.embedding", "b.b_vec", dim)} AS cos
+       |  FROM __c c CROSS JOIN __b b
+       |), __r AS (
+       |  SELECT vec_id, bench_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
+       |  FROM __s
+       |)
+       |SELECT vec_id, bench_id, cos AS max_cos, cos >= $threshold AS contaminated
+       |FROM __r WHERE rk = 1""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), returned as a
     * literal array column: planes(p)(i) — no data-dependent state. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

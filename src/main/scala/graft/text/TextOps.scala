@@ -198,24 +198,34 @@ object TextOps {
     *
     * Scale shape: one hash shuffle on shard + per-shard windows; the
     * shard is the natural output-file unit, so the window partition IS
-    * the write partition and nothing global ever sorts. */
+    * the write partition and nothing global ever sorts.
+    *
+    * `epoch` rotates the shuffle: each epoch's salt ("shard:eN:" /
+    * "ord:eN:"; epoch 0 keeps the original unsuffixed salts) yields an
+    * independent permutation, so multi-epoch training re-shuffles the
+    * corpus without any stored RNG state — epoch k's order is fully
+    * reproducible from (ids, k) alone. */
+  private def epochSalt(prefix: String, epoch: Int): String =
+    if (epoch == 0) s"$prefix:" else s"$prefix:e$epoch:"
+
   def shardAssignment(df: org.apache.spark.sql.DataFrame, idCol: String,
-      nShards: Int): org.apache.spark.sql.DataFrame = {
+      nShards: Int, epoch: Int = 0): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__ord"), col(idCol))
     df.select(col(idCol),
         (graft.functions.NativeExprs.polyHash(
-          concat(lit("shard:"), col(idCol).cast("string")), CharMul, P)
+          concat(lit(epochSalt("shard", epoch)), col(idCol).cast("string")), CharMul, P)
           % nShards).cast("int").as("shard"),
         graft.functions.NativeExprs.polyHash(
-          concat(lit("ord:"), col(idCol).cast("string")), CharMul, P).as("__ord"))
+          concat(lit(epochSalt("ord", epoch)), col(idCol).cast("string")), CharMul, P).as("__ord"))
       .withColumn("pos", row_number().over(w))
       .select(col(idCol), col("shard"), col("pos"))
   }
 
-  def shardAssignmentSql(table: String, id: String, nShards: Int): String = {
-    val hs = s"CAST(${charFoldSql(s"'shard:' || CAST($id AS VARCHAR)")} % $nShards AS INTEGER)"
-    val ho = charFoldSql(s"'ord:' || CAST($id AS VARCHAR)")
+  def shardAssignmentSql(table: String, id: String, nShards: Int,
+      epoch: Int = 0): String = {
+    val hs = s"CAST(${charFoldSql(s"'${epochSalt("shard", epoch)}' || CAST($id AS VARCHAR)")} % $nShards AS INTEGER)"
+    val ho = charFoldSql(s"'${epochSalt("ord", epoch)}' || CAST($id AS VARCHAR)")
     s"SELECT $id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY __ord, $id) AS INTEGER) AS pos " +
       s"FROM (SELECT $id, $hs AS shard, $ho AS __ord FROM $table)"
   }
@@ -245,6 +255,102 @@ object TextOps {
       s"CASE WHEN $source = '$src' THEN $p ELSE $acc END"
     }
     s"$h < $pct"
+  }
+
+  /** Temperature-based corpus rebalancing (the XLM-R / mT5 multilingual
+    * sampling scheme, Conneau et al. 2020 §3.1): group g is sampled in
+    * proportion to n_g^alpha, flattening the head and lifting the tail.
+    * Output is (id, group, n_copies >= 1): a downsampled group keeps a
+    * deterministic hash-rate subset at 1 copy; an upsampled (tail)
+    * group keeps everything and marks the repetition factor the
+    * dataloader should apply. sum(n_copies) concentrates on `budget`
+    * (binomial tails — exact to ~1e-6 relative at production scale).
+    *
+    * Everything after the weight quantization is INTEGER arithmetic, so
+    * both engines agree bit-for-bit: w_g = floor(n_g^alpha * 2^20)
+    * (alpha restricted to {1, 0.5, 0.25} = identity / sqrt / sqrt∘sqrt,
+    * all correctly-rounded IEEE in Spark and DuckDB alike — arbitrary
+    * pow() is NOT cross-engine exact and is deliberately unsupported),
+    * k_g = budget*w_g div sum(w), base copies = k_g div n_g, and the
+    * fractional remainder is realized by salted-hash rate: bucket
+    * b = ((h² + h) mod P) mod 2^20 gets the extra copy iff
+    * b < (k_g mod n_g)*2^20 div n_g. The square is load-bearing: the
+    * poly-31 char fold is LINEAR in the trailing id digits, so
+    * near-consecutive ids land in a window a few thousand wide and the
+    * raw low 20 bits are grossly non-uniform (a % 100 bucket as in
+    * [[mixtureKeep]] is far below the window width and unaffected);
+    * squaring avalanche-mixes the window across [0, P) and stays exact
+    * in both engines (h < 2^31 → h² < 2^62 < 2^63). Preconditions
+    * (documented, generous): budget * sum(w) < 2^63 and n_g < 2^43 —
+    * at 10^12 documents both hold with room.
+    *
+    * 100 TB shape: ONE map-side-combinable count per group (output rows
+    * = number of groups), a broadcast of that catalog-sized table, then
+    * a pure projection — no window, no rank, no shuffle of the corpus
+    * at all. The exact-count alternative (rank rk <= k_g per group)
+    * needs a per-group global sort that cannot be WindowGroupLimit-
+    * pruned for upsampled groups; the rate form trades a vanishing
+    * budget error for a shuffle-free plan. */
+  val TempScale = 1048576L // 2^20
+  private def alphaPow(c: Column, alpha: Double): Column = alpha match {
+    case 1.0  => c.cast("double")
+    case 0.5  => sqrt(c.cast("double"))
+    case 0.25 => sqrt(sqrt(c.cast("double")))
+    case a => throw new IllegalArgumentException(
+      s"alpha=$a: only {1, 0.5, 0.25} are cross-engine exact (see doc)")
+  }
+  private def alphaPowSql(e: String, alpha: Double): String = alpha match {
+    case 1.0  => s"CAST($e AS DOUBLE)"
+    case 0.5  => s"sqrt($e)"
+    case 0.25 => s"sqrt(sqrt($e))"
+    case a => throw new IllegalArgumentException(s"alpha=$a unsupported")
+  }
+
+  def temperatureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, budget: Long, alpha: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    val st = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(alphaPow(col("n"), alpha) * TempScale).cast("long"))
+    val tot = st.agg(sum("w").as("tw"))
+    val kg = st.crossJoin(broadcast(tot))
+      .withColumn("k", expr(s"(CAST($budget AS BIGINT) * w) DIV tw"))
+      .select(col(groupCol), col("n"), col("k"))
+    val h = graft.functions.NativeExprs.polyHash(
+      concat(lit("temp:"), col(idCol).cast("string")), CharMul, P)
+    df.select(col(idCol), col(groupCol))
+      .withColumn("__h", h)
+      .withColumn("__b", ((col("__h") * col("__h") + col("__h")) % P) % TempScale)
+      .join(broadcast(kg), Seq(groupCol))
+      .withColumn("n_copies",
+        (expr("k DIV n") +
+          when(col("__b") < expr(s"((k % n) * ${TempScale}L) DIV n"), lit(1L))
+            .otherwise(lit(0L))).cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(groupCol), col("n_copies"))
+  }
+
+  /** Oracle twin of [[temperatureSample]]: same quantized weights,
+    * integer division (`//`), and salted-hash remainder rate. */
+  def temperatureSampleSql(table: String, id: String, group: String,
+      budget: Long, alpha: Double = 0.5): String = {
+    val h = charFoldSql(s"'temp:' || CAST($id AS VARCHAR)")
+    s"""WITH __st AS (
+       |  SELECT $group, count(*) AS n,
+       |         CAST(floor(${alphaPowSql("count(*)", alpha)} * $TempScale) AS BIGINT) AS w
+       |  FROM $table GROUP BY $group),
+       |__kg AS (
+       |  SELECT $group, n, (CAST($budget AS BIGINT) * w) // (SELECT sum(w) FROM __st) AS k
+       |  FROM __st),
+       |__d AS (
+       |  SELECT $id, $group, ((__h * __h + __h) % $P) % $TempScale AS __b
+       |  FROM (SELECT $id, $group, $h AS __h FROM $table)),
+       |__c AS (
+       |  SELECT d.$id, d.$group,
+       |         CAST(g.k // g.n + CASE WHEN d.__b < ((g.k % g.n) * $TempScale) // g.n
+       |           THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+       |  FROM __d d JOIN __kg g USING ($group))
+       |SELECT $id, $group, n_copies FROM __c WHERE n_copies > 0""".stripMargin
   }
 
   // ---- n-gram shingles --------------------------------------------------

@@ -155,6 +155,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"d_contam has no hash aggregation:\n$p")
   }
 
+  test("novelty scoring is a first-occurrence equi-join, never pairwise in docs") {
+    val p = plan("t_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t_novelty degenerated to a cross join:\n$p")
+    assert(p.contains("HashAggregate"), s"t_novelty has no hash aggregation:\n$p")
+  }
+
+  test("temperature sampling never shuffles the corpus: broadcast stats + pure projection") {
+    val p = plan("pipe_temperature")
+    // the ONLY nested loop permitted is the scalar total-weight broadcast
+    // (one row); group stats reach the corpus via BroadcastHashJoin
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"pipe_temperature shuffled the corpus for a catalog-sized join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"group stats not broadcast:\n$p")
+  }
+
+  test("embedding decontamination broadcasts the bench set; corpus shuffle is thin rows") {
+    val p = plan("s_contam_embed")
+    assert(!p.contains("SortMergeJoin"), s"bench join not broadcast:\n$p")
+    // the rank-1 argmax prunes to one row per vector on the map side —
+    // the shuffle never carries the m-per-vector scored rows
+    assert(p.contains("WindowGroupLimit"), s"argmax not map-side group-limited:\n$p")
+    // and no aggregate-based argmax regression to sort-based folding
+    assert(!p.contains("SortAggregate"), s"aggregate fell back to sort-based:\n$p")
+  }
+
   test("ts_interp is union-sort: keyed window carry, no range join, no cartesian") {
     val p = plan("ts_interp")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

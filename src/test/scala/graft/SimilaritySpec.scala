@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedContamination: max-cosine to the bench set, min-id tie-break, threshold flag") {
+    val sess = spark
+    import sess.implicits._
+    def vec(xs: Float*) = xs.toArray
+    val bench = Seq(
+      (10L, vec(1f, 0f, 0f, 0f)),
+      (11L, vec(1f, 0f, 0f, 0f)),  // duplicate direction: tie on cos → min id wins
+      (12L, vec(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(2f, 0f, 0f, 0f)),   // cos 1.0 with bench 10 AND 11 → bench_id 10
+      (2L, vec(0f, 0f, 3f, 0f)),   // orthogonal to all → max_cos 0.0
+      (3L, vec(1f, 1f, 0f, 0f))    // cos 1/sqrt(2) ≈ .707 with 10/11/12 → bench 10
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embedContamination(corpus, bench, threshold = 0.5, dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 === 10L && math.abs(out(1L)._2 - 1.0) < 1e-12 && out(1L)._3)
+    assert(out(2L)._2 === 0.0 && !out(2L)._3)
+    assert(out(3L)._1 === 10L && math.abs(out(3L)._2 - math.sqrt(0.5)) < 1e-12 && out(3L)._3)
+    // the bench side broadcasts: no sort-merge join anywhere in the plan
+    val plan = Similarity.embedContamination(corpus, bench, 0.5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("lshTopK achieves >= 40% recall@10 vs brute force on fixtures") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
