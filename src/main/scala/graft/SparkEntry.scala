@@ -711,6 +711,14 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // SQ8 compressed flat scan: int8-quantized vectors, BIGINT-exact
+    // integer dot scores (no float anywhere after quantization) — the
+    // 4×-smaller memory/bandwidth form of the brute scan.
+    "s_knn_sq8" -> ((s, d) =>
+      Similarity.sq8TopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
     // ANN path: deterministic literal hyperplanes → the bucket folds are
     // bit-identical in SQL, so even the LSH path gets a cell-exact oracle
     // (recall floor vs brute force additionally asserted in SimilaritySpec).
@@ -1738,6 +1746,10 @@ object SparkEntry {
         "r AS (SELECT query_id, neighbor_id, cos, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
         "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "s_knn_sq8" ->
+      (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",
+        k = 10, dim = 64)}) ORDER BY query_id, rank"),
 
     "s_knn_lsh" ->
       Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),

@@ -92,6 +92,76 @@ object Similarity {
         (col("cos") >= threshold).as("contaminated"))
   }
 
+  /** SQ8 scalar-quantized ANN scan (the faiss `SQ8` flat-index shape):
+    * every component is affinely quantized to int8 — q = clamp(round(
+    * x·127/absmax), ±127) with absmax = the corpus-wide max |component|
+    * — and similarity is the INTEGER dot product of the quantized
+    * vectors. 4× less memory/bandwidth than float32 and, unlike every
+    * float scoring path, the scores are BIGINT-exact in any engine by
+    * construction (127²·dim ≪ 2^63, no rounding anywhere after the
+    * quantization; round() is away-from-zero-on-.5 in Spark HALF_UP and
+    * DuckDB alike).
+    *
+    * 100 TB shape: absmax is ONE scalar aggregate broadcast to both
+    * sides (never collected); quantization is a pure projection; the
+    * scan scores with the codegen'd [[graft.functions.IntVecDot]] and
+    * the per-query top-k is the WindowGroupLimit rank window over thin
+    * (query, id, score) rows. Corpus-linear like every flat scan — the
+    * compression is the point (bandwidth, cache), composition with an
+    * IVF coarse index is the sub-linear deployment, exactly as with PQ. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val am = corpus.agg(
+      max(aggregate(col(vecCol), lit(0.0d),
+        (a, x) => greatest(a, abs(x.cast("double"))))).as("__absmax"))
+    def quant(v: Column): Column =
+      transform(v, x => least(greatest(
+        round(x.cast("double") * 127.0 / col("__absmax")),
+        lit(-127.0)), lit(127.0)).cast("int"))
+    val c = corpus.crossJoin(broadcast(am))
+      .select(col(idCol), quant(col(vecCol)).as("__cq"))
+    val q = queries.crossJoin(broadcast(am))
+      .select(col(idCol).as("query_id"), quant(col(vecCol)).as("__qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        graft.functions.NativeExprs.intVecDot(col("__qq"), col("__cq")).as("qdot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("qdot"), col("rank"))
+  }
+
+  /** Oracle twin of [[sq8TopK]]: same absmax scalar, same round/clamp
+    * quantization, same integer dot and (qdot DESC, id) ranking. */
+  def sq8TopKSql(table: String, queryPred: String, k: Int, dim: Int): String = {
+    // absmax is joined in as a column — DuckDB rejects subqueries
+    // inside lambda bodies, so the scalar CTE cross-joins into scope
+    def quant(v: String) =
+      s"list_transform($v, __x -> CAST(least(greatest(round(CAST(__x AS DOUBLE) * 127.0 / " +
+        s"absmax), -127.0), 127.0) AS INTEGER))"
+    val idot =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, $dim + 1), " +
+        s"__i -> CAST(q.qq[__i] AS BIGINT) * CAST(c.cq[__i] AS BIGINT))), (__a, __x) -> __a + __x)"
+    s"""WITH __am AS (
+       |  SELECT max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, __x -> abs(CAST(__x AS DOUBLE)))),
+       |    (__a, __x) -> greatest(__a, __x))) AS absmax
+       |  FROM $table
+       |), __c AS (
+       |  SELECT vec_id, ${quant("embedding")} AS cq FROM $table, __am
+       |), __q AS (
+       |  SELECT vec_id AS query_id, ${quant("embedding")} AS qq FROM $table, __am WHERE $queryPred
+       |), __s AS (
+       |  SELECT q.query_id, c.vec_id, $idot AS qdot
+       |  FROM __q q JOIN __c c ON c.vec_id <> q.query_id
+       |), __r AS (
+       |  SELECT query_id, vec_id AS neighbor_id, qdot,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INTEGER) AS rank
+       |  FROM __s
+       |)
+       |SELECT query_id, neighbor_id, qdot, rank FROM __r WHERE rank <= $k""".stripMargin
+  }
+
   /** Oracle twin of [[embedContamination]]: same cosine folds, the
     * argmax expressed as the rank-1 row under (cos DESC, bench_id). */
   def embedContaminationSql(table: String, benchPred: String,

@@ -55,6 +55,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("sq8TopK: int8 quantized scan keeps a high recall floor and exact integer scores") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(emb, q, 10, 64).collect()
+    val approx = sq8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 at dim=64 loses little: much tighter floor than the bucketed
+    // ANN paths (cosine vs dot ranking differences account for the slack)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // scores are exact BIGINTs bounded by 127²·64, ranks contiguous 1..10
+    sq8.foreach { r =>
+      assert(math.abs(r.getLong(2)) <= 127L * 127L * 64L)
+    }
+    sq8.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to 10))
+      val ds = rows.sortBy(_.getInt(3)).map(_.getLong(2)).toSeq
+      assert(ds === ds.sorted.reverse)
+    }
+    // deterministic under re-partitioning (absmax is a corpus scalar)
+    val again = Similarity.sq8TopK(emb.repartition(7), q, 10, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again === sq8.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet)
+  }
+
   test("lshTopK achieves >= 40% recall@10 vs brute force on fixtures") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
