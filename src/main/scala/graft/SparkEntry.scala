@@ -719,6 +719,14 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // IVF-SQ8 composition (the sub-linear deployment of the SQ8 scan):
+    // coarse probe by cluster equi-join, byte-dot ADC on probed codes
+    // only, exact cosine re-rank on queries × nCandidates rows.
+    "s_knn_ivfsq8" -> ((s, d) =>
+      Similarity.ivfSq8TopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
     // ANN path: deterministic literal hyperplanes → the bucket folds are
     // bit-identical in SQL, so even the LSH path gets a cell-exact oracle
     // (recall floor vs brute force additionally asserted in SimilaritySpec).
@@ -1749,6 +1757,10 @@ object SparkEntry {
 
     "s_knn_sq8" ->
       (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",
+        k = 10, dim = 64)}) ORDER BY query_id, rank"),
+
+    "s_knn_ivfsq8" ->
+      (s"SELECT * FROM (${Similarity.ivfSq8TopKSql("embeddings", "q.vec_id < 5",
         k = 10, dim = 64)}) ORDER BY query_id, rank"),
 
     "s_knn_lsh" ->

@@ -250,6 +250,99 @@ case class IntVecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Pack an INT array into a BINARY of the same length, one byte per
+  * element (caller guarantees values fit a signed byte — the SQ8
+  * quantizer clamps to ±127). This is what makes an SQ8 index table
+  * genuinely 1 byte/component on disk and in shuffle buffers: an
+  * ARRAY<INT> column stores 4 bytes per component plus array overhead,
+  * which forfeits the whole point of int8 quantization. */
+case class PackInt8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"PackInt8 needs ARRAY<INT>, got $t")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = x.getInt(i).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("pkN")
+      val i = ctx.freshName("pkI")
+      val out = ctx.freshName("pkOut")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) $a.getInt($i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PackInt8 =
+    copy(child = c)
+}
+
+/** Dot product of two BINARY columns as signed int8 vectors, accumulated
+  * as LONG in index order (mismatched lengths → NULL) — the scoring
+  * kernel over [[PackInt8]]-packed SQ8 codes. Bytes sign-extend, so the
+  * sum equals [[IntVecDot]] over the unpacked int arrays exactly; pure
+  * integer arithmetic, bit-identical in any engine. */
+case class ByteVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ByteVecDot needs BINARY inputs, got $l / $r")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < x.length) { acc += x(i).toLong * y(i).toLong; i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("bDotAcc")
+      val i = ctx.freshName("bDotI")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += ((long) $a[$i]) * ((long) $b[$i]);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ByteVecDot =
+    copy(left = l, right = r)
+}
+
 object NativeExprs {
   def polyHash(c: Column, mul: Long, mod: Long): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c), mul, mod))
@@ -262,4 +355,9 @@ object NativeExprs {
   def intVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       IntVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def packInt8(a: Column): Column =
+    ColumnBridge.column(PackInt8(ColumnBridge.expression(a)))
+  def byteVecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ByteVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -162,6 +162,162 @@ object Similarity {
        |SELECT query_id, neighbor_id, qdot, rank FROM __r WHERE rank <= $k""".stripMargin
   }
 
+  /** A trained IVF-SQ8 index: coarse centroids + the one quantization
+    * scalar (both catalog-sized, collected once like the PQ codebooks),
+    * plus the distributed index table (id, cluster, dim-byte BINARY
+    * code — [[graft.functions.PackInt8]]-packed, genuinely 1
+    * byte/component where an ARRAY<INT> column would spend 4). The SQ8
+    * sibling of [[IvfPqModel]]: coarser compression (dim bytes vs m
+    * code ints) but a simpler, higher-fidelity scorer — no codebook
+    * training, no LUT, recall limited only by int8 rounding. */
+  final case class IvfSq8Model(
+      centroids: Array[(Int, Seq[Double])],
+      absmax: Double,
+      index: DataFrame)
+
+  private def sq8QuantLit(v: Column, absmax: Double): Column =
+    transform(v, x => least(greatest(
+      round(x.cast("double") * 127.0 / lit(absmax)),
+      lit(-127.0)), lit(127.0)).cast("int"))
+
+  /** Build the IVF-SQ8 index: coarse k-means (bit-reproducible) + one
+    * absmax scalar, then ONE projection pass encodes every vector to
+    * (id, cluster, packed int8 code) and DROPS the raw floats. Linear
+    * in the corpus by nature; run once, reuse per query batch —
+    * persist via [[graft.ops.Relational.materializeBucketed]] on
+    * `cluster` exactly as [[ivfPqIndexMaterialized]] does. */
+  def ivfSq8Index(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): IvfSq8Model = {
+    val cents = trainedCentroids(corpus, dim, nCentroids, 1, idCol, vecCol, trainMod)
+    val absmax = Option(corpus.agg(
+      max(aggregate(col(vecCol), lit(0.0d),
+        (a, x) => greatest(a, abs(x.cast("double")))))).head.get(0))
+      .fold(0.0)(_.asInstanceOf[Double])
+    val asg = assignClustersLocal(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      cents, "c_vec", "neighbor_id")
+    val index =
+      if (absmax <= 0.0)
+        asg.select(col("neighbor_id"), col("cluster"),
+          lit(null).cast("binary").as("__code")).limit(0)
+      else asg.select(col("neighbor_id"), col("cluster"),
+        graft.functions.NativeExprs.packInt8(
+          sq8QuantLit(col("c_vec"), absmax)).as("__code"))
+    IvfSq8Model(cents, absmax, index)
+  }
+
+  /** Probe-limited SQ8 query against a built [[IvfSq8Model]]: each query
+    * quantizes once (model absmax is a literal), probes its nProbe
+    * nearest coarse clusters, and byte-dot-scores ONLY those clusters'
+    * codes via a cluster EQUI-join — never the corpus; the integer
+    * approx scores cut to nCandidates per query (WindowGroupLimit thin
+    * rows), then the exact cosine re-rank touches raw vectors for
+    * queries × nCandidates rows only. Same sub-linear probe shape as
+    * [[ivfPqQuery]] with the SQ8 scorer swapped in. */
+  def ivfSq8Query(model: IvfSq8Model, corpus: DataFrame, queries: DataFrame,
+      k: Int, dim: Int, nProbe: Int = 3, nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    if (model.absmax <= 0.0) return emptyTopK(corpus, queries, idCol)
+    val scoredCents = array(model.centroids.map { case (cid, c) =>
+      struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("q_vec"), array(c.map(lit): _*)))
+        .as("neg"), lit(cid).as("cid"))
+    }: _*)
+    val probeCol =
+      explode(slice(transform(array_sort(scoredCents), x => x("cid")), 1, nProbe))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"),
+        graft.functions.NativeExprs.packInt8(
+          sq8QuantLit(col("q_vec"), model.absmax)).as("__qcode"),
+        probeCol.as("cluster"))
+    val approx = model.index.join(broadcast(qb), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.NativeExprs.byteVecDot(col("__qcode"), col("__code")).as("adot"))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("adot").desc, col("neighbor_id"))
+    // dropDuplicates: no-op on a clean index (one cluster per vector) but
+    // makes a replayed streaming append unable to rank a neighbor twice —
+    // same contract as ivfPqQuery
+    val cand = approx.withColumn("__ra", row_number().over(wA))
+      .filter(col("__ra") <= nCandidates).select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val cn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cn.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Build + query in one call (the bench/oracle entry; deployments
+    * build once via [[ivfSq8Index]] and query many). */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3, nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = ivfSq8Index(corpus, dim, nCentroids, idCol, vecCol)
+    ivfSq8Query(model, corpus, queries, k, dim, nProbe, nCandidates, idCol, vecCol)
+  }
+
+  /** Oracle twin of [[ivfSq8TopK]]: the IVF oracle's bit-identical
+    * coarse index ([[kmeansAssignCtes]]) + the SQ8 oracle's exact
+    * integer quantization/dot, the same nCandidates cut, the same exact
+    * cosine re-rank. The packed-binary storage is a Spark-side detail:
+    * byte dots sign-extend to the identical integer sums. */
+  def ivfSq8TopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      nCentroids: Int = 8, nProbe: Int = 3, nCandidates: Int = 50): String = {
+    def quant(v: String) =
+      s"list_transform($v, __x -> CAST(least(greatest(round(CAST(__x AS DOUBLE) * 127.0 / " +
+        s"absmax), -127.0), 127.0) AS INTEGER))"
+    val idot =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, $dim + 1), " +
+        s"__i -> CAST(q.qq[__i] AS BIGINT) * CAST(c.cq[__i] AS BIGINT))), (__a, __x) -> __a + __x)"
+    def dotCl(v: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * c.cl[i])), (acc, x) -> acc + x)"
+    s"""WITH ${kmeansAssignCtes(table, dim, nCentroids)}, __am AS (
+       |  SELECT max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, __x -> abs(CAST(__x AS DOUBLE)))),
+       |    (__a, __x) -> greatest(__a, __x))) AS absmax
+       |  FROM $table
+       |), __cq AS (
+       |  SELECT vec_id AS neighbor_id, cluster, ${quant("embedding")} AS cq
+       |  FROM __asg, __am
+       |), __qp AS (
+       |  SELECT query_id, q_vec, cluster FROM (
+       |    SELECT query_id, q_vec, cluster,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cluster) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cluster,
+       |                 ${dotCl("q.embedding")} AS d
+       |          FROM $table q CROSS JOIN __cf c WHERE $queryPred)) WHERE rn <= $nProbe
+       |), __qq AS (
+       |  SELECT query_id, cluster, ${quant("q_vec")} AS qq FROM __qp, __am
+       |), __s AS (
+       |  SELECT q.query_id, c.neighbor_id, $idot AS adot
+       |  FROM __qq q JOIN __cq c USING (cluster) WHERE q.query_id <> c.neighbor_id
+       |), __cand AS (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS ra
+       |    FROM __s) WHERE ra <= $nCandidates
+       |), __x AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${cosineSql("qv.embedding", "ev.embedding", dim)} AS cos
+       |  FROM __cand cd JOIN $table qv ON qv.vec_id = cd.query_id
+       |                 JOIN $table ev ON ev.vec_id = cd.neighbor_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __x
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k""".stripMargin
+  }
+
   /** Oracle twin of [[embedContamination]]: same cosine folds, the
     * argmax expressed as the rank-1 row under (cos DESC, bench_id). */
   def embedContaminationSql(table: String, benchPred: String,

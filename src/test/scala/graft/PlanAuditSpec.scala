@@ -181,6 +181,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"aggregate fell back to sort-based:\n$p")
   }
 
+  test("IVF-SQ8 probes by cluster equi-join: no nested loop anywhere") {
+    val p = plan("s_knn_ivfsq8")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"s_knn_ivfsq8 degenerated to a cross join:\n$p")
+    // candidate cut is map-side group-limited before the shuffle
+    assert(p.contains("WindowGroupLimit"), s"candidate cut not group-limited:\n$p")
+  }
+
   test("ts_interp is union-sort: keyed window carry, no range join, no cartesian") {
     val p = plan("ts_interp")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

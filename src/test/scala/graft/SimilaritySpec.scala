@@ -81,6 +81,39 @@ class SimilaritySpec extends SparkSpec {
     assert(again === sq8.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet)
   }
 
+  test("ivfSq8TopK: recall floor vs brute force; candidates only from probed clusters; 1-byte codes") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.ivfSq8TopK(emb, q, 10, 64, nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+    val approx = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    // sub-linearity contract: every neighbor's cluster is one of its
+    // query's probes (the scorer joined by cluster, not a corpus scan)
+    val model = Similarity.ivfSq8Index(emb, 64, nCentroids = 8)
+    val corpusCluster = model.index.select("neighbor_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probesByQuery = {
+      val scored = org.apache.spark.sql.functions.array(model.centroids.map { case (cid, c) =>
+        struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("embedding"),
+          org.apache.spark.sql.functions.array(c.map(lit): _*))).as("neg"), lit(cid).as("cid"))
+      }: _*)
+      q.select(col("vec_id"), slice(transform(array_sort(scored), x => x("cid")), 1, 3).as("probes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    }
+    out.foreach { r =>
+      assert(probesByQuery(r.getLong(0)).contains(corpusCluster(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} of query ${r.getLong(0)} outside the probed clusters")
+    }
+    // the packed code is genuinely dim BYTES (not 4·dim): binary length 64
+    val codeLens = model.index.select(length(col("__code"))).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    assert(codeLens === Seq(64), s"code lengths $codeLens")
+  }
+
   test("lshTopK achieves >= 40% recall@10 vs brute force on fixtures") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
