@@ -217,7 +217,8 @@ object Similarity {
     * [[ivfPqQuery]] with the SQ8 scorer swapped in. */
   def ivfSq8Query(model: IvfSq8Model, corpus: DataFrame, queries: DataFrame,
       k: Int, dim: Int, nProbe: Int = 3, nCandidates: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pruneBuckets: Boolean = false): DataFrame = {
     if (model.absmax <= 0.0) return emptyTopK(corpus, queries, idCol)
     val scoredCents = array(model.centroids.map { case (cid, c) =>
       struct((-graft.functions.NativeExprs.floatDoubleVecDot(col("q_vec"), array(c.map(lit): _*)))
@@ -230,7 +231,18 @@ object Similarity {
         graft.functions.NativeExprs.packInt8(
           sq8QuantLit(col("q_vec"), model.absmax)).as("__qcode"),
         probeCol.as("cluster"))
-    val approx = model.index.join(broadcast(qb), Seq("cluster"))
+    // pruneBuckets: pin the batch's probed cluster ids as an IN-filter —
+    // on a materializeBucketed index the scan turns it into bucket
+    // pruning (SelectedBucketsCount), same contract as ivfPqQuery
+    val idx =
+      if (!pruneBuckets) model.index
+      else {
+        val probed = queries.select(col(vecCol).as("q_vec"))
+          .select(probeCol.as("cluster")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        model.index.filter(col("cluster").isin(probed: _*))
+      }
+    val approx = idx.join(broadcast(qb), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.NativeExprs.byteVecDot(col("__qcode"), col("__code")).as("adot"))
@@ -253,6 +265,22 @@ object Similarity {
       .withColumn("rank", row_number().over(wC))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** [[ivfSq8Index]] with the index PERSISTED as a parquet table
+    * bucketed (and per-file sorted) by `cluster` — identical deployment
+    * contract to [[ivfPqIndexMaterialized]]: the linear build runs ONCE,
+    * cluster-keyed reads are exchange-free, and
+    * [[ivfSq8Query]]`(pruneBuckets = true)` prunes whole bucket FILES at
+    * the scan. The stored rows are (id, cluster, dim-byte binary). */
+  def ivfSq8IndexMaterialized(corpus: DataFrame, dim: Int,
+      path: String, tableName: String, buckets: Int = 16,
+      nCentroids: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Long = 1L): IvfSq8Model = {
+    val model = ivfSq8Index(corpus, dim, nCentroids, idCol, vecCol, trainMod)
+    model.copy(index = graft.ops.Relational.materializeBucketed(
+      model.index, path, tableName, "cluster", buckets))
   }
 
   /** Build + query in one call (the bench/oracle entry; deployments

@@ -57,6 +57,32 @@ class IvfPqIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_ivfpq_mat")
   }
 
+  test("materialized IVF-SQ8 index: identical top-k, exchange-free index side, bucket-pruned scan") {
+    val dir = Files.createTempDirectory("graft_ivfsq8_mat").toString
+    spark.sql("DROP TABLE IF EXISTS t_ivfsq8_mat")
+    val model = Similarity.ivfSq8IndexMaterialized(emb, 64, s"$dir/idx", "t_ivfsq8_mat",
+      buckets = 8)
+    try {
+      val expect = rows(Similarity.ivfSq8TopK(emb, q, 10, 64))
+      assert(rows(Similarity.ivfSq8Query(model, emb, q, 10, 64)) === expect)
+
+      val agg = model.index.groupBy("cluster").count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      agg.collect()
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed index aggregate should not shuffle:\n$aggPlan")
+
+      val pruned = Similarity.ivfSq8Query(model, emb, q, 10, 64, pruneBuckets = true)
+      assert(rows(pruned) === expect)
+      val scanPlan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanPlan)
+      assert(sel.isDefined, s"expected a bucket-pruned scan:\n$scanPlan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe should select a strict subset of buckets:\n${sel.get.matched}")
+    } finally spark.sql("DROP TABLE IF EXISTS t_ivfsq8_mat")
+  }
+
   test("two-installment append equals the single-shot index; query parity holds") {
     val dir = Files.createTempDirectory("graft_ivfpq_app").toString
     spark.sql("DROP TABLE IF EXISTS t_ivfpq_app")
