@@ -29,6 +29,17 @@ object SparkEntry {
     * (sources not listed keep 100%). */
   private val MixtureRates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 25)
 
+  /** The brute-force exact kNN oracle statement — shared by s_knn_brute
+    * and as the ground-truth side of the recall evaluations. */
+  private lazy val BruteKnnSql =
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
+      "s AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+      s"${graft.sim.Similarity.cosineSql("q_vec", "e.embedding", 64)} AS cos " +
+      "FROM embeddings e JOIN q ON query_id <> e.vec_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"
+
   /** The reference's `element` tree (site → unit) modeled from
     * region (level 0, roots) ∪ nation (level 1, element_id offset +100). */
   private def elementDim(s: SparkSession, dir: String): DataFrame = {
@@ -726,6 +737,18 @@ object SparkEntry {
       Similarity.ivfSq8TopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
+
+    // ANN evaluation loop: per-query recall@10 of the LSH path vs the
+    // exact scan — a thin (query, neighbor) probe join, cell-exact
+    // because both inputs are themselves deterministic.
+    "s_recall_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.lshTopK(e, q, k = 10, dim = 64),
+        Similarity.bruteForceTopK(e, q, k = 10, dim = 64))
+        .orderBy("query_id")
+    }),
 
     // ANN path: deterministic literal hyperplanes → the bucket folds are
     // bit-identical in SQL, so even the LSH path gets a cell-exact oracle
@@ -1746,14 +1769,15 @@ object SparkEntry {
     "pipe_semdedup_auto" ->
       Similarity.semDedupAutoSql("embeddings", 64, targetBucket = 40),
 
-    "s_knn_brute" ->
-      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
-        "s AS (SELECT query_id, e.vec_id AS neighbor_id, " +
-        s"${Similarity.cosineSql("q_vec", "e.embedding", 64)} AS cos " +
-        "FROM embeddings e JOIN q ON query_id <> e.vec_id), " +
-        "r AS (SELECT query_id, neighbor_id, cos, " +
-        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
-        "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+    "s_knn_brute" -> BruteKnnSql,
+
+    // recall@10 of the LSH ANN path against the brute-force exact scan —
+    // both sides are themselves oracle-exact statements, so the recall
+    // numbers are cell-exact too (the ANN evaluation loop, closed)
+    "s_recall_lsh" ->
+      (s"SELECT * FROM (${Similarity.annRecallSql(
+        Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+        BruteKnnSql)}) ORDER BY query_id"),
 
     "s_knn_sq8" ->
       (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",

@@ -346,6 +346,41 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k""".stripMargin
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation operator that closes the ANN loop: every `*TopK` here
+    * emits (query_id, neighbor_id, score, rank), so any two are
+    * comparable. Per query: |approx ∩ exact| / |exact| (exact count in
+    * the denominator, so a short approx list is penalized, a long one
+    * isn't rewarded). One thin (query, neighbor) equi-join + one count —
+    * the d_contam probe shape; recall is a double division of exact
+    * ints, engine-exact. */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
+  /** Oracle twin of [[annRecall]]: wraps two complete top-k statements
+    * (each already oracle-exact) and applies the same join + count. */
+  def annRecallSql(approxSql: String, exactSql: String): String =
+    s"""WITH __ap AS (
+       |  SELECT query_id, neighbor_id, 1 AS hit FROM ($approxSql)
+       |), __ex AS (
+       |  SELECT query_id, neighbor_id FROM ($exactSql)
+       |)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hit,
+       |       CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM __ex e LEFT JOIN __ap a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Oracle twin of [[embedContamination]]: same cosine folds, the
     * argmax expressed as the rank-1 row under (cos DESC, bench_id). */
   def embedContaminationSql(table: String, benchPred: String,

@@ -114,6 +114,25 @@ class SimilaritySpec extends SparkSpec {
     assert(codeLens === Seq(64), s"code lengths $codeLens")
   }
 
+  test("annRecall: self-recall is 1.0; missing neighbors count against the exact set") {
+    val sess = spark
+    import sess.implicits._
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+    // an exact result evaluated against itself is perfect recall
+    val self = Similarity.annRecall(exact, exact).collect()
+    assert(self.length === 5)
+    self.foreach { r =>
+      assert(r.getLong(1) === 10L && r.getLong(2) === 10L && r.getDouble(3) === 1.0)
+    }
+    // drop one neighbor of one query: that query scores 9/10, others 1.0
+    val crippled = exact.filter(!(col("query_id") === 0 && col("rank") === 1))
+    val part = Similarity.annRecall(crippled, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(part(0L) === 0.9)
+    assert((1L until 5L).forall(part(_) === 1.0))
+  }
+
   test("lshTopK achieves >= 40% recall@10 vs brute force on fixtures") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
