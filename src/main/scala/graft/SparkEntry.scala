@@ -1039,6 +1039,14 @@ object SparkEntry {
         .orderBy("attribute_id", "timestamp")
     }),
 
+    // Rolling z-score anomaly flags per series ("this sensor just jumped
+    // N sigmas"): quantized-integer window sums (a moving SUM of doubles
+    // is engine-order-dependent; BIGINTs are not) + one deterministic
+    // double op chain — so even the z values are cell-exact.
+    "ts_zscore" -> ((s, d) =>
+      graft.ops.TimeSeries.zscoreAnomalies(archiveDim(s, d))
+        .orderBy("attribute_id", "timestamp")),
+
     // Staleness report: each attribute's newest point + its age relative
     // to the reporting instant — the "is this sensor still alive" probe.
     // Points dedupe to unique (attribute, timestamp) first so the
@@ -1961,6 +1969,11 @@ object SparkEntry {
         "count(*) OVER w AS mov_n " +
         "FROM __pts " +
         "WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_zscore" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.zscoreAnomaliesSql("SELECT * FROM archive")}) " +
         "ORDER BY attribute_id, timestamp"),
 
     "ts_staleness" ->

@@ -239,4 +239,88 @@ object TimeSeries {
        |       END AS value
        |FROM __b WHERE side = 1""".stripMargin
   }
+
+  /** Quantization scale for the z-score sums: q = round(value · 2^10).
+    * ×2^10 is a power-of-two scaling (exact in IEEE), round() is
+    * away-from-zero-on-.5 in Spark (HALF_UP) and DuckDB alike, and all
+    * window sums run over BIGINTs — order-INDEPENDENT, where a moving
+    * SUM of doubles is engine-order-dependent (segment tree vs running
+    * accumulation; the reason ts_moving restricts itself to
+    * min/max/count). The z computed from the integer sums has ONE
+    * deterministic double op chain at the end. */
+  val ZScoreQ = 1024L
+
+  /** Rolling z-score anomaly detection per series: each point scored
+    * against the mean/stddev of the `window` points STRICTLY BEFORE it
+    * (ROWS window PRECEDING .. 1 PRECEDING), anomaly iff |z| ≥
+    * `zThresh`. The monitoring face of the archive — "this sensor just
+    * jumped N sigmas". Excluding the current point is load-bearing: a
+    * self-inclusive frame caps |z| at (n−1)/√n ≈ √n (the outlier
+    * inflates its own baseline), so a 3σ threshold could never fire at
+    * small windows; against the trailing baseline z is unbounded.
+    *
+    * With S1 = Σq, S2 = Σq² over the baseline frame (exact BIGINTs):
+    * z = (q·n − S1) / sqrt((n·S2 − S1²) · n / (n−1)) — algebraically
+    * (x − mean)/stddev_samp, but every intermediate is an exact integer
+    * and the final chain (×, /, sqrt, /) is one fixed IEEE op tree the
+    * SQL twin mirrors verbatim. NULL z (→ anomaly false) when n < 2 or
+    * the baseline is constant. Rows collapse to unique
+    * (attribute, timestamp) first — a ROWS frame over tied sort keys
+    * would be order-ambiguous across engines (ts_moving's rationale).
+    *
+    * Scale shape: one hash shuffle on attribute_id + a linear window
+    * pass per series; integer precondition |value| · 2^10 · window
+    * within BIGINT — vast headroom for physical sensor ranges. */
+  def zscoreAnomalies(archive: DataFrame, window: Int = 7,
+      zThresh: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("attribute_id").orderBy("timestamp")
+      .rowsBetween(-window, -1)
+    val n = col("__n"); val s1 = col("__s1"); val s2 = col("__s2")
+    val a = (col("__q") * n - s1).cast("double")
+    val b = (n * s2 - s1 * s1).cast("double")
+    archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("__q")).over(w))
+      .withColumn("__s2", sum(col("__q") * col("__q")).over(w))
+      .withColumn("z",
+        when(n >= 2 && (n * s2 > s1 * s1),
+          a / sqrt(b * n.cast("double") / (n - 1).cast("double"))))
+      .withColumn("anomaly", coalesce(abs(col("z")) >= zThresh, lit(false)))
+      .select("attribute_id", "timestamp", "value", "z", "anomaly")
+  }
+
+  /** Oracle twin of [[zscoreAnomalies]]: same dedup, quantization,
+    * BIGINT window sums (DuckDB's HUGEINT sum is cast back down), and
+    * the identical final double op tree. */
+  def zscoreAnomaliesSql(archiveSql: String, window: Int = 7,
+      zThresh: Double = 3.0): String =
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __qd AS (
+       |  SELECT attribute_id, timestamp, value,
+       |         CAST(round(value * $ZScoreQ) AS BIGINT) AS q
+       |  FROM __pts
+       |), __wd AS (
+       |  SELECT attribute_id, timestamp, value, q,
+       |         CAST(count(*) OVER w AS BIGINT) AS n,
+       |         CAST(sum(q) OVER w AS BIGINT) AS s1,
+       |         CAST(sum(q * q) OVER w AS BIGINT) AS s2
+       |  FROM __qd
+       |  WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp
+       |               ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT attribute_id, timestamp, value,
+       |       CASE WHEN n >= 2 AND n * s2 > s1 * s1
+       |            THEN CAST(q * n - s1 AS DOUBLE)
+       |                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+       |       END AS z,
+       |       coalesce(abs(CASE WHEN n >= 2 AND n * s2 > s1 * s1
+       |            THEN CAST(q * n - s1 AS DOUBLE)
+       |                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+       |       END) >= $zThresh, false) AS anomaly
+       |FROM __wd""".stripMargin
 }

@@ -179,4 +179,34 @@ class TimeSeriesSpec extends SparkSpec {
       assert(math.abs(gv - wv) < 1e-9, s"attr $ga at $gt: $gv vs $wv")
     }
   }
+
+  test("zscoreAnomalies: a spike flags against its trailing baseline; constants never do") {
+    // gently varying baseline (std > 0) then a spike far outside it
+    val baseVals = Seq(9.5, 10.5, 9.5, 10.5, 9.5, 10.5, 9.5, 10.5)
+    val rows = baseVals.zipWithIndex.map { case (v, i) =>
+      (1, f"2024-01-01 $i%02d:00:00", Some(v))
+    } :+ ((1, "2024-01-01 08:00:00", Some(100.0)))
+    val steady = (0 until 9).map(i => (2, f"2024-01-01 $i%02d:00:00", Some(10.0)))
+    val out = TimeSeries.zscoreAnomalies(archive(rows ++ steady))
+      .orderBy("attribute_id", "timestamp").collect()
+    val spike = out.filter(r => r.getInt(0) == 1 && r.getDouble(2) == 100.0)
+    assert(spike.length === 1)
+    // brute-force recompute from the same quantized-integer definition:
+    // baseline frame = the 7 points BEFORE the spike (current excluded)
+    val q = baseVals.takeRight(7).map(v => math.round(v * 1024.0))
+    val (n, s1) = (q.length.toLong, q.sum)
+    val s2 = q.map(x => x * x).sum
+    val expectZ = (102400L * n - s1).toDouble /
+      math.sqrt((n * s2 - s1 * s1).toDouble * n.toDouble / (n - 1).toDouble)
+    assert(spike.head.getDouble(3) === expectZ)
+    assert(expectZ > 100.0, s"spike z $expectZ should be enormous vs a ±0.5 baseline")
+    assert(spike.head.getBoolean(4), "the spike must flag")
+    // a constant series has a zero-variance baseline -> NULL z, no flag
+    val const = out.filter(_.getInt(0) == 2)
+    assert(const.length === 9)
+    assert(const.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+    // the alternating baseline points themselves stay within ~1.2 sigma
+    assert(out.filter(r => r.getInt(0) == 1 && r.getDouble(2) < 50.0)
+      .forall(!_.getBoolean(4)))
+  }
 }
