@@ -610,6 +610,14 @@ object SparkEntry {
       Dedup.noveltyScores(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id")),
 
+    // Corpus drift monitor: total-variation distance between the
+    // "previous crawl" (even doc ids) and "current crawl" unigram
+    // mixtures, per source — exact via cross-multiplied integer counts.
+    "t_drift" -> ((s, d) =>
+      TextOps.vocabDrift(Tables.documents(s, d), "source", "text",
+        col("doc_id") % 2 === 0)
+        .orderBy("source")),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
@@ -1718,6 +1726,10 @@ object SparkEntry {
     "t_novelty" ->
       (s"SELECT * FROM (${Dedup.noveltyScoresSql("documents", "doc_id", "text", 3)}) " +
         "ORDER BY doc_id"),
+
+    "t_drift" ->
+      (s"SELECT * FROM (${TextOps.vocabDriftSql("documents", "source", "text",
+        "doc_id % 2 = 0")}) ORDER BY source"),
 
     "o_asof" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +

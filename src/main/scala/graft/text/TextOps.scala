@@ -353,6 +353,74 @@ object TextOps {
        |SELECT $id, $group, n_copies FROM __c WHERE n_copies > 0""".stripMargin
   }
 
+  /** Vocabulary drift between two corpus snapshots, per group: the
+    * total-variation distance between the reference and current unigram
+    * distributions — the "did the crawl shift under me" monitor a
+    * continuously-ingested corpus needs (quality scores catch bad
+    * DOCUMENTS; drift catches a changed MIXTURE at unchanged per-doc
+    * quality).
+    *
+    * TVD = ½·Σ_t |p_ref(t) − p_cur(t)| is computed EXACTLY:
+    * Σ|c_ref·N_cur − c_cur·N_ref| is a BIGINT sum (order-independent —
+    * a float Σ|p−q| would be engine-order-dependent), and the single
+    * final double division by (2·N_ref·N_cur) is correctly rounded.
+    * Precondition: c·N < 2^63 (token count × corpus tokens; at 10^9 ×
+    * 10^12 scale switch the numerator to DECIMAL — documented, not
+    * silently wrong: ANSI mode throws on overflow).
+    *
+    * Shape: one explode linear in tokens, a (group, tok-hash) count
+    * with map-side combine, a broadcast-sized per-group total join, one
+    * integer sum. Nothing pairwise; hot tokens cost their count, not
+    * its square. A group empty on either side yields NULL tvd. */
+  def vocabDrift(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, refPred: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(groupCol), refPred.as("__ref"), tokens(col(textCol)).as("__toks"))
+      .select(col(groupCol), col("__ref"), explode(col("__toks")).as("__tok"))
+      .select(col(groupCol), col("__ref"),
+        graft.functions.NativeExprs.polyHash(col("__tok"), CharMul, P).as("tok"))
+    val counts = toks.groupBy(col(groupCol), col("tok"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("c_cur"))
+    val tot = counts.groupBy(col(groupCol))
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    counts.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol), col("n_ref"), col("n_cur"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(abs(col("c_ref") * col("n_cur") - col("c_cur") * col("n_ref"))).as("__num"))
+      .withColumn("tvd",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__num").cast("double") /
+            (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double"))))
+      .select(col(groupCol), col("n_ref"), col("n_cur"), col("vocab"), col("tvd"))
+  }
+
+  /** Oracle twin of [[vocabDrift]]: same hash, same integer
+    * cross-multiplied numerator, same single final division. */
+  def vocabDriftSql(table: String, group: String, textCol: String,
+      refPred: String): String = {
+    s"""WITH __tk AS (
+       |  SELECT $group, ($refPred) AS ref, ${tokenHashSql("__tok")} AS tok
+       |  FROM (SELECT *, unnest(${tokensSql(textCol)}) AS __tok FROM $table)
+       |), __c AS (
+       |  SELECT $group, tok,
+       |         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       |         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+       |  FROM __tk GROUP BY $group, tok
+       |), __t AS (
+       |  SELECT $group, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+       |         CAST(sum(c_cur) AS BIGINT) AS n_cur
+       |  FROM __c GROUP BY $group
+       |)
+       |SELECT c.$group, t.n_ref, t.n_cur, count(*) AS vocab,
+       |       CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN
+       |         CAST(sum(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref)) AS DOUBLE)
+       |           / (2.0 * CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE))
+       |       END AS tvd
+       |FROM __c c JOIN __t t USING ($group)
+       |GROUP BY c.$group, t.n_ref, t.n_cur""".stripMargin
+  }
+
   // ---- n-gram shingles --------------------------------------------------
 
   /** N-gram shingle array from an ALREADY-MATERIALIZED token-array

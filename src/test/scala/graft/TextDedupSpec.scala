@@ -891,6 +891,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("vocabDrift: identical halves 0, disjoint halves 1, half-shifted mixture exact") {
+    val sess = spark
+    import sess.implicits._
+    def tvd(rows: Seq[(Long, String, String)]): Map[String, (Long, Long, Double)] =
+      TextOps.vocabDrift(rows.toDF("doc_id", "source", "text"), "source", "text",
+        col("doc_id") % 2 === 0).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    // identical distributions → zero drift
+    val same = tvd(Seq((0L, "a", "x y z"), (1L, "a", "x y z")))
+    assert(same("a") === ((3L, 3L, 0.0)))
+    // disjoint vocabularies → total drift 1.0
+    val disj = tvd(Seq((0L, "a", "x x y"), (1L, "a", "p q r")))
+    assert(disj("a")._3 === 1.0)
+    // hand-computed mixture: ref = {x:2, y:2}, cur = {x:2, z:2}
+    // TVD = ½(|2/4−2/4| + |2/4−0| + |0−2/4|) = 0.5
+    val mix = tvd(Seq((0L, "a", "x x y y"), (1L, "a", "x x z z")))
+    assert(mix("a") === ((4L, 4L, 0.5)))
+    // a group with one empty side reports NULL, not a division blow-up
+    val lop = tvd(Seq((0L, "b", "x y"), (2L, "b", "y z")))
+    assert(lop("b")._1 === 4L && lop("b")._2 === 0L && lop("b")._3.isNaN)
+  }
+
   test("noveltyScores: first occurrence owns its grams; later copies score zero") {
     val sess = spark
     import sess.implicits._
