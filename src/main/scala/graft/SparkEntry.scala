@@ -1104,6 +1104,37 @@ object SparkEntry {
           col("user_id"), col("n"))
         .orderBy("user_id", "session_start")),
 
+    // Conversion funnel: for every click, the NEXT purchase by the same
+    // user (forward as-of — union-sort carry, never a range explosion),
+    // converted iff it lands within 6h; per-user rate + mean lag.
+    // Lags stay integer MICROS until one final double division.
+    "w4_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val j = Relational.asofJoinForward(clicks, purchases, "user_id", "ts",
+        Seq("p_ts", "p_id"), Seq("p_id"))
+      val lagUs = unix_micros(col("p_ts").cast("timestamp")) -
+        unix_micros(col("ts").cast("timestamp"))
+      j.withColumn("__conv",
+          when(col("p_ts").isNotNull && lagUs <= 21600000000L, 1L).otherwise(0L))
+        .withColumn("__lag", when(col("__conv") === 1L, lagUs).otherwise(lit(0L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"), sum(col("__conv")).as("n_conv"),
+          sum(col("__lag")).as("__lagsum"))
+        .withColumn("conv_rate",
+          col("n_conv").cast("double") / col("n_clicks").cast("double"))
+        .withColumn("avg_lag_sec",
+          when(col("n_conv") > 0,
+            col("__lagsum").cast("double") /
+              (col("n_conv").cast("double") * lit(1000000.0))))
+        .select("user_id", "n_clicks", "n_conv", "conv_rate", "avg_lag_sec")
+        .orderBy("user_id")
+    }),
+
     // Sequence packing (pretraining batch assembly): documents are
     // packed greedily in a deterministic order (per source, by doc_id);
     // a doc joins the pack its first token falls into — pack_id =
@@ -2021,6 +2052,22 @@ object SparkEntry {
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    "w4_funnel" ->
+      ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT c.user_id, c.ts, pp.p_ts FROM c LEFT JOIN LATERAL (" +
+        "SELECT p.ts AS p_ts, p.event_id AS p_id FROM p " +
+        "WHERE p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS pp ON true), " +
+        "g AS (SELECT user_id, " +
+        "CASE WHEN p_ts IS NOT NULL AND epoch_us(p_ts) - epoch_us(ts) <= 21600000000 THEN 1 ELSE 0 END AS conv, " +
+        "CASE WHEN p_ts IS NOT NULL AND epoch_us(p_ts) - epoch_us(ts) <= 21600000000 " +
+        "THEN epoch_us(p_ts) - epoch_us(ts) ELSE 0 END AS lag_us FROM j) " +
+        "SELECT user_id, count(*) AS n_clicks, CAST(sum(conv) AS BIGINT) AS n_conv, " +
+        "CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate, " +
+        "CASE WHEN sum(conv) > 0 THEN CAST(sum(lag_us) AS DOUBLE) / (CAST(sum(conv) AS DOUBLE) * 1000000.0) END AS avg_lag_sec " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
 
     "k_cms" ->
       (s"SELECT * FROM (${graft.sketch.Sketches.countMinTokensSql("documents", "text", 64)}) " +
