@@ -567,6 +567,19 @@ object SparkEntry {
       cleaned.orderBy("doc_id")
     }),
 
+    // Streaming novelty, batch kernel: even ids play the already-seen
+    // corpus (the gram registry), odd ids the arriving batch — the
+    // per-micro-batch unit of StreamingDedup.noveltyBatchStep.
+    "d_stream_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reg = Dedup.docTokens(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", Nil, 3)
+        .select(col("tok").as("h")).distinct()
+      val (scored, _) = Dedup.noveltySuppress(
+        docs.filter(col("doc_id") % 2 === 1), reg, "doc_id", "text", 3)
+      scored.orderBy("doc_id")
+    }),
+
     // Streaming near-dup suppression, batch kernel: even doc_ids play the
     // already-ingested registry, odd doc_ids the arriving micro-batch
     // (ts = doc_id). First-writer-wins, register-all-seen semantics —
@@ -1739,6 +1752,11 @@ object SparkEntry {
     "d_stream_substring" ->
       (s"SELECT * FROM (${Dedup.substringSuppressSql("documents",
         "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", 8)}) " +
+        "ORDER BY doc_id"),
+
+    "d_stream_novelty" ->
+      (s"SELECT * FROM (${Dedup.noveltySuppressSql("documents",
+        "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", 3)}) " +
         "ORDER BY doc_id"),
 
     "d_stream_neardup" ->

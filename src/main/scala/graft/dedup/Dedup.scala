@@ -301,6 +301,68 @@ object Dedup {
        |GROUP BY d.$idCol""".stripMargin
   }
 
+  /** Streaming face of [[noveltyScores]]: score one arriving batch
+    * against the registry of every gram seen in EARLIER batches, and
+    * emit the batch's first-seen grams as new claims. A gram is novel
+    * for doc d iff it is absent from the registry AND d is its
+    * within-batch first occurrence — so when batches arrive in id
+    * order, concatenating the per-batch outputs is EXACTLY the batch
+    * operator on the union (the global min(doc_id) lives in the batch
+    * that first contains the gram, and within that batch the min
+    * coincides); out-of-order ids only move WHICH doc counts a gram as
+    * novel (arrival order wins — the streaming contract), never the
+    * gram totals. Registry rows are one 8-byte hash per distinct seen
+    * gram: linear in CONTENT, not occurrences.
+    *
+    * Returns (scored, claims): scored = (id, n_grams, n_novel,
+    * novelty) for the batch's docs; claims = the `h` column to append
+    * to the registry. */
+  def noveltySuppress(batch: DataFrame, registry: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): (DataFrame, DataFrame) = {
+    // consumed by both the first-occurrence aggregate and the join-back
+    // — same lazy-localCheckpoint rationale as jaccardPairs
+    val dt = docTokens(batch, idCol, textCol, Nil, n).localCheckpoint(false)
+    val reg = registry.select(col("h").as("tok")).distinct()
+      .withColumn("__seen", lit(1L))
+    val first = dt.groupBy("tok").agg(min(col(idCol)).as("__first"))
+      .join(reg, Seq("tok"), "left")
+    val scored = dt.join(first, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull && col("__first") === col(idCol), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    val claims = first.filter(col("__seen").isNull).select(col("tok").as("h"))
+    (scored, claims)
+  }
+
+  /** Oracle twin of one [[noveltySuppress]] step: registry = the
+    * distinct grams of the `registryPred` rows, batch = the
+    * `batchPred` rows. */
+  def noveltySuppressSql(table: String, registryPred: String,
+      batchPred: String, idCol: String, textCol: String, n: Int = 3): String = {
+    val sh = shinglesSql(textCol, n)
+    s"""WITH __bt AS (
+       |  SELECT DISTINCT $idCol, ${TextOps.tokenHashSql("tok")} AS tok
+       |  FROM (SELECT $idCol, unnest($sh) AS tok FROM $table WHERE $batchPred)
+       |), __rg AS (
+       |  SELECT DISTINCT ${TextOps.tokenHashSql("tok")} AS tok
+       |  FROM (SELECT unnest($sh) AS tok FROM $table WHERE $registryPred)
+       |), __f AS (
+       |  SELECT b.tok, min(b.$idCol) AS __first,
+       |         CASE WHEN max(r.tok) IS NULL THEN 0 ELSE 1 END AS __seen
+       |  FROM __bt b LEFT JOIN __rg r ON b.tok = r.tok
+       |  GROUP BY b.tok
+       |)
+       |SELECT d.$idCol, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN f.__seen = 0 AND f.__first = d.$idCol THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN f.__seen = 0 AND f.__first = d.$idCol THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM __bt d JOIN __f f ON d.tok = f.tok
+       |GROUP BY d.$idCol""".stripMargin
+  }
+
   /** Cross-source contamination matrix: for every source pair (a < b),
     * the number of shared distinct n-gram shingles, each side's
     * vocabulary size, and the Jaccard overlap — the corpus-level

@@ -165,6 +165,46 @@ object StreamingDedup {
       .start()
   }
 
+  /** One micro-batch of streaming novelty scoring
+    * ([[graft.dedup.Dedup.noveltySuppress]]): the batch scores against
+    * every EARLIER batch's gram claims, its first-seen grams append to
+    * the registry. Shares the substring registry's schema (h, batch_id)
+    * and therefore its maintenance path —
+    * [[compactSubstringRegistry]] applies unchanged. Same exactly-once
+    * discipline: per-batch-partition overwrites + registry read
+    * excludes the current batch id → replay rewrites both partitions
+    * byte-identically. */
+  def noveltyBatchStep(spark: SparkSession, registryDir: String,
+      scoredDir: String, idCol: String, textCol: String, n: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val registry = readSubstringRegistry(spark, registryDir)
+      .filter(col("batch_id") =!= batchId)
+      .select("h")
+    val (scored, claims) =
+      graft.dedup.Dedup.noveltySuppress(batch, registry, idCol, textCol, n)
+    scored.write.mode("overwrite").parquet(s"$scoredDir/batch_id=$batchId")
+    claims.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** Wire a streaming document source through the novelty scorer:
+    * per-batch scores under `scoredDir/batch_id=*`, first-seen gram
+    * claims under `registryDir/batch_id=*`. */
+  def startNovelty(docs: DataFrame, registryDir: String, scoredDir: String,
+      checkpointPath: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          noveltyBatchStep(spark, registryDir, scoredDir, idCol, textCol, n)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Wire a streaming document source through the suppressor. `docs`
     * must carry (idCol, tsCol, textCol); kept documents land under
     * `keptDir/batch_id=*`, bucket claims under `registryDir/batch_id=*`. */

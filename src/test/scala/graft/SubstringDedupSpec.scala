@@ -112,6 +112,50 @@ class SubstringDedupSpec extends SparkSpec {
     assert(outRows(spark.read.parquet(s"$dir/clean/batch_id=0")) === before)
   }
 
+  test("streaming novelty: id-ordered installments concatenate to the batch scorer; replay idempotent") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_novstream").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mid = docs(docs.length / 2)._1
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = StreamingDedup.startNovelty(stream, s"$dir/registry",
+        s"$dir/scored", s"$dir/ckpt", n = 3)
+      q.awaitTermination(120000)
+    }
+    val (b0, b1) = docs.partition(_._1 < mid)
+    mem.addData(b0); run()
+    mem.addData(b1); run()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Double)] =
+      df.select("doc_id", "n_grams", "n_novel", "novelty").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val streamed = rows(spark.read.option("basePath", s"$dir/scored")
+      .parquet(s"$dir/scored"))
+    val batch = rows(Dedup.noveltyScores(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 3))
+    assert(streamed === batch)
+
+    // claims across batches: disjoint, and together the corpus vocabulary
+    val claims = spark.read.option("basePath", s"$dir/registry")
+      .parquet(s"$dir/registry")
+    val vocab = Dedup.docTokens(docs.toDF("doc_id", "text"),
+      "doc_id", "text", Nil, 3).select("tok").distinct()
+    assert(claims.count() === claims.select("h").distinct().count())
+    assert(claims.count() === vocab.count())
+
+    // replay batch 0 (crash between writes): outputs must not change
+    val before = rows(spark.read.parquet(s"$dir/scored/batch_id=0"))
+    StreamingDedup.noveltyBatchStep(spark, s"$dir/registry",
+      s"$dir/scored", "doc_id", "text", 3)(b0.toDF("doc_id", "text"), 0L)
+    assert(rows(spark.read.parquet(s"$dir/scored/batch_id=0")) === before)
+  }
+
   test("streaming: arrival order wins across batches, not id order") {
     val sess = spark
     import sess.implicits._
