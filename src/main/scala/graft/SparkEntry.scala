@@ -631,6 +631,22 @@ object SparkEntry {
         col("doc_id") % 2 === 0)
         .orderBy("source")),
 
+    // Tokenizer fertility per language (subword/word ratio — the
+    // multilingual token-budget planning metric: languages the lexer
+    // fragments cost more compute per word). Integer sums, one final
+    // division.
+    "t_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("__ws"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("__bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"), sum(col("__bpe")).as("bpe_tokens"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+        .orderBy("lang")),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
@@ -1779,6 +1795,14 @@ object SparkEntry {
     "t_drift" ->
       (s"SELECT * FROM (${TextOps.vocabDriftSql("documents", "source", "text",
         "doc_id % 2 = 0")}) ORDER BY source"),
+
+    "t_fertility" ->
+      (s"SELECT lang, count(*) AS n_docs, " +
+        s"CAST(sum(len(${TextOps.tokensSql("text")})) AS BIGINT) AS ws_tokens, " +
+        s"CAST(sum(len(regexp_extract_all(text, '${TextOps.BpeRe}'))) AS BIGINT) AS bpe_tokens, " +
+        s"CAST(sum(len(regexp_extract_all(text, '${TextOps.BpeRe}'))) AS DOUBLE) / " +
+        s"CAST(sum(len(${TextOps.tokensSql("text")})) AS DOUBLE) AS fertility " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
 
     "o_asof" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +

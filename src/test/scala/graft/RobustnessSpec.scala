@@ -239,4 +239,56 @@ class RobustnessSpec extends SparkSpec {
     assert(byG.keys.forall(_._1 == "a"))
     assert(byG.map { case ((_, q), e) => q -> e } === want)
   }
+
+  test("temperatureSample invariants over random group shapes") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { trial =>
+      val groups = (0 until 2 + rnd.nextInt(4)).map(g => s"g$g" -> (1 + rnd.nextInt(200)))
+      val rows = groups.flatMap { case (g, n) =>
+        (0 until n).map(i => (rnd.nextLong().abs % 1000000L + i * 1000000L, g))
+      }
+      val df = rows.toDF("doc_id", "lang")
+      val budget = 1L + rnd.nextInt(2 * rows.size)
+      val out = TextOps.temperatureSample(df, "doc_id", "lang", budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      // never more than one output row per doc; copies >= 1
+      assert(out.map(_._1).distinct.length === out.length)
+      assert(out.forall(_._3 >= 1))
+      // per-group realized copies never exceed ceil-ish of its k budget:
+      // sum(n_copies) <= ceil(k/n)*kept <= k + n (base+1 cap per doc)
+      val byG = out.groupBy(_._2)
+      groups.foreach { case (g, n) =>
+        val copies = byG.get(g).map(_.map(_._3.toLong).sum).getOrElse(0L)
+        // the group can never emit more than (k div n + 1) * n = k + n - k mod n copies
+        assert(copies <= budget + n,
+          s"trial $trial group $g emitted $copies copies for budget $budget, n=$n")
+      }
+      // total concentrates on the budget (loose 3-sigma-ish band for tiny n)
+      val total = out.map(_._3.toLong).sum
+      assert(total <= budget + rows.size, s"total $total far above budget $budget")
+    }
+  }
+
+  test("vocabDrift is always in [0,1] (or NULL) over random corpora") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "fff")
+    val rows = (0 until 120).map { i =>
+      val text = Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, s"s${rnd.nextInt(3)}", text)
+    }
+    val out = TextOps.vocabDrift(rows.toDF("doc_id", "source", "text"),
+      "source", "text", col("doc_id") % 2 === 0).collect()
+    out.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val tvd = r.getDouble(4)
+        assert(tvd >= 0.0 && tvd <= 1.0, s"tvd $tvd out of range")
+      }
+      // totals are consistent: vocab <= n_ref + n_cur
+      assert(r.getLong(3) <= r.getLong(1) + r.getLong(2))
+    }
+  }
 }
