@@ -886,6 +886,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // T5 span corruption: deterministic 15% token masking, consecutive
+    // runs collapse to one sentinel, (inputs, targets) seq2seq pair —
+    // pure projection, reproducible from (doc_id, position).
+    "pipe_span_corrupt" -> ((s, d) =>
+      TextOps.spanCorrupt(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Deterministic corpus sharding: the reproducible global shuffle a
     // training dataloader consumes — shard = salted hash mod N, pos =
     // rank under a second independent salted hash. One hash shuffle +
@@ -1948,6 +1955,10 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "pipe_span_corrupt" ->
+      (s"SELECT * FROM (${TextOps.spanCorruptSql("documents", "doc_id", "text")}) " +
+        "ORDER BY doc_id"),
 
     "pipe_shard" ->
       (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16)}) " +

@@ -421,6 +421,82 @@ object TextOps {
        |GROUP BY c.$group, t.n_ref, t.n_cur""".stripMargin
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the
+    * denoising-objective data prep): each token position is masked by a
+    * deterministic salted hash at `pct`%, consecutive masked runs
+    * collapse to ONE sentinel in the inputs, and the targets carry each
+    * span's tokens behind the same sentinel — (inputs, targets) being
+    * the seq2seq training pair. Unnumbered sentinel (`<X>`): numbering
+    * needs a prefix count per position, which neither engine's lambda
+    * dialect shares portably; span STRUCTURE is what the objective
+    * needs and run-starts are position-local.
+    *
+    * Everything is a pure projection: mask(i) and mask(i−1) recompute
+    * the position hash directly (no window, no explode), so the
+    * operator is embarrassingly parallel and reproducible from
+    * (doc_id, position) alone — same auditability contract as
+    * [[hashSplit]]/[[shardAssignment]]. The `% 100` bucket is safe
+    * against the poly-31 low-bit clustering because adjacent positions
+    * step the hash by a full multiplier (see [[temperatureSample]]'s
+    * square-mix note; 100 ≪ the cluster window). */
+  def spanCorrupt(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, pct: Int = 15): org.apache.spark.sql.DataFrame = {
+    def mh(i: Column): Column =
+      graft.functions.NativeExprs.polyHash(
+        concat(lit("msk:"), col(idCol).cast("string"), lit(":"), i.cast("string")),
+        CharMul, P) % 100
+    def masked(i: Column): Column = mh(i) < pct
+    def runStart(i: Column): Column = (i === 1) || !masked(i - 1)
+    val toksC = col("__toks")
+    val n = size(toksC)
+    val idxs = sequence(lit(1), n)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("inputs", when(n === 0, lit("")).otherwise(
+        array_join(filter(
+          transform(idxs, i =>
+            when(!masked(i), element_at(toksC, i))
+              .otherwise(when(runStart(i), lit("<X>")))),
+          x => x.isNotNull), " ")))
+      .withColumn("targets", when(n === 0, lit("")).otherwise(
+        array_join(filter(
+          transform(idxs, i =>
+            when(masked(i) && runStart(i),
+              concat_ws(" ", lit("<X>"), element_at(toksC, i)))
+              .when(masked(i), element_at(toksC, i))),
+          x => x.isNotNull), " ")))
+      .withColumn("n_masked",
+        size(filter(idxs, i => masked(i))).cast("long"))
+      .withColumn("n_spans",
+        size(filter(idxs, i => masked(i) && runStart(i))).cast("long"))
+      .select(col(idCol), col("inputs"), col("targets"),
+        col("n_masked"), col("n_spans"))
+  }
+
+  /** Oracle twin of [[spanCorrupt]]: same position hash, the same
+    * run-start collapse, the same join order. */
+  def spanCorruptSql(table: String, id: String, textCol: String,
+      pct: Int = 15): String = {
+    def mh(i: String) =
+      s"(${charFoldSql(s"'msk:' || CAST($id AS VARCHAR) || ':' || CAST($i AS VARCHAR)")} % 100)"
+    def masked(i: String) = s"(${mh(i)} < $pct)"
+    def runStart(i: String) = s"($i = 1 OR NOT ${masked(s"($i - 1)")})"
+    s"""SELECT $id,
+       |  coalesce(array_to_string(list_filter(
+       |    list_transform(range(1, len(__toks) + 1), __i ->
+       |      CASE WHEN NOT ${masked("__i")} THEN __toks[__i]
+       |           WHEN ${runStart("__i")} THEN '<X>' END),
+       |    __x -> __x IS NOT NULL), ' '), '') AS inputs,
+       |  coalesce(array_to_string(list_filter(
+       |    list_transform(range(1, len(__toks) + 1), __i ->
+       |      CASE WHEN ${masked("__i")} AND ${runStart("__i")} THEN '<X> ' || __toks[__i]
+       |           WHEN ${masked("__i")} THEN __toks[__i] END),
+       |    __x -> __x IS NOT NULL), ' '), '') AS targets,
+       |  CAST(len(list_filter(range(1, len(__toks) + 1), __i -> ${masked("__i")})) AS BIGINT) AS n_masked,
+       |  CAST(len(list_filter(range(1, len(__toks) + 1), __i ->
+       |    ${masked("__i")} AND ${runStart("__i")})) AS BIGINT) AS n_spans
+       |FROM (SELECT $id, ${tokensSql(textCol)} AS __toks FROM $table)""".stripMargin
+  }
+
   // ---- n-gram shingles --------------------------------------------------
 
   /** N-gram shingle array from an ALREADY-MATERIALIZED token-array

@@ -891,6 +891,46 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: splicing targets back into inputs reconstructs every document") {
+    val sess = spark
+    import sess.implicits._
+    val out = TextOps.spanCorrupt(docs.limit(100), "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    val orig = docs.limit(100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty && out.exists(_._4 > 0), "15% masking must hit something")
+    out.foreach { case (id, inputs, targets, nMasked, nSpans) =>
+      val origToks = orig(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      // token accounting: inputs = unmasked + one sentinel per span;
+      // targets = masked + one sentinel per span
+      val inToks = if (inputs.isEmpty) Seq.empty else inputs.split(" ").toSeq
+      val tgToks = if (targets.isEmpty) Seq.empty else targets.split(" ").toSeq
+      assert(inToks.length === origToks.length - nMasked + nSpans)
+      assert(tgToks.length === nMasked + nSpans)
+      assert(inToks.count(_ == "<X>") === nSpans)
+      assert(tgToks.count(_ == "<X>") === nSpans)
+      // reconstruct: spans in targets are in document order, so replacing
+      // the j-th <X> of inputs with the j-th span restores the original
+      val spans = {
+        var acc = List.empty[List[String]]
+        tgToks.foreach {
+          case "<X>" => acc = List.empty[String] :: acc
+          case t     => acc = (acc.head :+ t) :: acc.tail
+        }
+        acc.reverse
+      }
+      val rebuilt = {
+        var si = 0
+        inToks.flatMap {
+          case "<X>" => val s = spans(si); si += 1; s
+          case t     => Seq(t)
+        }
+      }
+      assert(rebuilt === origToks, s"doc $id failed round-trip")
+    }
+  }
+
   test("vocabDrift: identical halves 0, disjoint halves 1, half-shifted mixture exact") {
     val sess = spark
     import sess.implicits._
