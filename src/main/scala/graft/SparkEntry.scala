@@ -893,6 +893,12 @@ object SparkEntry {
       TextOps.spanCorrupt(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Fill-in-the-middle (PSM): deterministic (prefix, middle, suffix)
+    // cut + reorder — infilling data prep as a pure projection.
+    "pipe_fim" -> ((s, d) =>
+      TextOps.fimTransform(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Deterministic corpus sharding: the reproducible global shuffle a
     // training dataloader consumes — shard = salted hash mod N, pos =
     // rank under a second independent salted hash. One hash shuffle +
@@ -1958,6 +1964,10 @@ object SparkEntry {
 
     "pipe_span_corrupt" ->
       (s"SELECT * FROM (${TextOps.spanCorruptSql("documents", "doc_id", "text")}) " +
+        "ORDER BY doc_id"),
+
+    "pipe_fim" ->
+      (s"SELECT * FROM (${TextOps.fimTransformSql("documents", "doc_id", "text")}) " +
         "ORDER BY doc_id"),
 
     "pipe_shard" ->

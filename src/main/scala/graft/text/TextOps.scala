@@ -497,6 +497,63 @@ object TextOps {
        |FROM (SELECT $id, ${tokensSql(textCol)} AS __toks FROM $table)""".stripMargin
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, PSM mode) —
+    * the code-model counterpart of [[spanCorrupt]]: two deterministic
+    * cut points split the token stream into (prefix, middle, suffix)
+    * and the training text is reordered `<PRE> prefix <SUF> suffix
+    * <MID> middle`, teaching infilling with a plain LM objective. Cut
+    * points c1 ≤ c2 come from two independent salted hashes mod (n+1),
+    * so the transform is a pure projection reproducible from doc_id
+    * alone; empty segments are legal (c1=0, c2=n degenerate to plain
+    * continuation). Sentinels and segments assemble through ONE
+    * array flatten + join — no string surgery, no window, no shuffle. */
+  def fimTransform(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def cutHash(salt: String): Column =
+      graft.functions.NativeExprs.polyHash(
+        concat(lit(salt), col(idCol).cast("string")), CharMul, P)
+    val toksC = col("__toks")
+    val n = size(toksC)
+    val h1 = cutHash("fim1:") % (n + 1)
+    val h2 = cutHash("fim2:") % (n + 1)
+    val c1 = least(h1, h2)
+    val c2 = greatest(h1, h2)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__c1", c1.cast("int"))
+      .withColumn("__c2", c2.cast("int"))
+      .withColumn("psm", array_join(flatten(array(
+        array(lit("<PRE>")), slice(toksC, lit(1), col("__c1")),
+        array(lit("<SUF>")), slice(toksC, col("__c2") + 1, n - col("__c2")),
+        array(lit("<MID>")), slice(toksC, col("__c1") + 1, col("__c2") - col("__c1")))), " "))
+      .select(col(idCol), col("psm"),
+        col("__c1").cast("long").as("n_prefix"),
+        (col("__c2") - col("__c1")).cast("long").as("n_middle"),
+        (n - col("__c2")).cast("long").as("n_suffix"))
+  }
+
+  /** Oracle twin of [[fimTransform]]: same cut hashes, same 1-based
+    * inclusive slices, same flatten order. */
+  def fimTransformSql(table: String, id: String, textCol: String): String = {
+    def cutHash(salt: String) =
+      charFoldSql(s"'$salt' || CAST($id AS VARCHAR)")
+    s"""SELECT $id,
+       |  array_to_string(
+       |    ['<PRE>'] || __toks[1:__c1] ||
+       |    ['<SUF>'] || __toks[__c2 + 1:__n] ||
+       |    ['<MID>'] || __toks[__c1 + 1:__c2], ' ') AS psm,
+       |  CAST(__c1 AS BIGINT) AS n_prefix,
+       |  CAST(__c2 - __c1 AS BIGINT) AS n_middle,
+       |  CAST(__n - __c2 AS BIGINT) AS n_suffix
+       |FROM (
+       |  SELECT $id, __toks, __n,
+       |         least(__h1, __h2) AS __c1, greatest(__h1, __h2) AS __c2
+       |  FROM (
+       |    SELECT $id, __toks, len(__toks) AS __n,
+       |           ${cutHash("fim1:")} % (len(__toks) + 1) AS __h1,
+       |           ${cutHash("fim2:")} % (len(__toks) + 1) AS __h2
+       |    FROM (SELECT $id, ${tokensSql(textCol)} AS __toks FROM $table)))""".stripMargin
+  }
+
   // ---- n-gram shingles --------------------------------------------------
 
   /** N-gram shingle array from an ALREADY-MATERIALIZED token-array

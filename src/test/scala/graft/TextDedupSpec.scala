@@ -931,6 +931,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("fimTransform: prefix+middle+suffix reassemble every document; cuts are deterministic") {
+    val sess = spark
+    import sess.implicits._
+    val out = TextOps.fimTransform(docs.limit(100), "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val orig = docs.limit(100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, psm, nPre, nMid, nSuf) =>
+      val origToks = orig(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(nPre + nMid + nSuf === origToks.length)
+      // parse PSM: <PRE> p... <SUF> s... <MID> m...
+      val toks = psm.split(" ").toSeq
+      val iSuf = toks.indexOf("<SUF>"); val iMid = toks.indexOf("<MID>")
+      assert(toks.head === "<PRE>" && iSuf > 0 && iMid > iSuf)
+      val pre = toks.slice(1, iSuf)
+      val suf = toks.slice(iSuf + 1, iMid)
+      val mid = toks.drop(iMid + 1)
+      assert(pre.length === nPre && mid.length === nMid && suf.length === nSuf)
+      assert(pre ++ mid ++ suf === origToks, s"doc $id failed FIM round-trip")
+    }
+    // non-degenerate on the fixture: some docs get a real 3-way split
+    assert(out.exists(o => o._3 > 0 && o._4 > 0 && o._5 > 0))
+    // reproducible: same cuts on a reshuffled input
+    val again = TextOps.fimTransform(docs.limit(100).repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { case (id, psm, _, _, _) => assert(again(id) === psm) }
+  }
+
   test("vocabDrift: identical halves 0, disjoint halves 1, half-shifted mixture exact") {
     val sess = spark
     import sess.implicits._
