@@ -567,6 +567,17 @@ object SparkEntry {
       cleaned.orderBy("doc_id")
     }),
 
+    // Streaming drift, batch kernel: even ids play the count registry
+    // (the corpus so far), odd ids the arriving batch — the
+    // per-micro-batch unit of StreamingDedup.driftBatchStep.
+    "d_stream_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.vocabDriftAgainst(
+        TextOps.hashTokenCounts(docs.filter(col("doc_id") % 2 === 1), "text"),
+        TextOps.hashTokenCounts(docs.filter(col("doc_id") % 2 === 0), "text"))
+        .orderBy("n_ref")
+    }),
+
     // Streaming novelty, batch kernel: even ids play the already-seen
     // corpus (the gram registry), odd ids the arriving batch — the
     // per-micro-batch unit of StreamingDedup.noveltyBatchStep.
@@ -1787,6 +1798,12 @@ object SparkEntry {
       (s"SELECT * FROM (${Dedup.noveltySuppressSql("documents",
         "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", 3)}) " +
         "ORDER BY doc_id"),
+
+    // the one-group form of vocabDriftSql: ref = even ids, cur = odd
+    "d_stream_drift" ->
+      (s"SELECT n_ref, n_cur, vocab, tvd FROM (${TextOps.vocabDriftSql(
+        "(SELECT *, 'all' AS __g FROM documents)", "__g", "text",
+        "doc_id % 2 = 0")}) ORDER BY n_ref"),
 
     "d_stream_neardup" ->
       (s"SELECT * FROM (${Dedup.nearDupSuppressSql("documents", "doc_id", "text", 3,

@@ -205,6 +205,76 @@ object StreamingDedup {
       .start()
   }
 
+  /** The token-COUNT registry across all batches (h, cnt, batch_id) —
+    * the drift monitor's state: one row per distinct token per batch,
+    * linear in vocabulary, never in corpus. */
+  def readCountRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.option("basePath", dir).parquet(dir)
+    else
+      spark.range(0)
+        .select(lit(0L).as("h"), lit(0L).as("cnt"), lit(0L).as("batch_id"))
+        .limit(0)
+  }
+
+  /** One micro-batch of streaming drift monitoring
+    * ([[graft.text.TextOps.vocabDriftAgainst]]): the batch's unigram
+    * mixture scores against the summed counts of every batch STRICTLY
+    * BEFORE it; its own counts append to the registry. First batch has
+    * no baseline → NULL tvd (visible, not a fake zero).
+    *
+    * The registry filter is `batch_id < batchId`, NOT the
+    * exclude-own-batch `=!=` the claim-based steps use — and the
+    * difference is load-bearing for replay: a claim registry is
+    * MONOTONE (a later batch can never claim a gram an earlier batch
+    * contains, so extra later rows never intersect a replayed batch),
+    * but drift reads every other batch's counts wholesale, so a
+    * replayed batch under `=!=` would see counts from batches after it
+    * and emit a different row. Strictly-earlier makes the replay
+    * byte-identical at any point in the stream's progress. */
+  def driftBatchStep(spark: SparkSession, registryDir: String,
+      driftDir: String, textCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val reg = readCountRegistry(spark, registryDir)
+      .filter(col("batch_id") < batchId)
+      .select("h", "cnt")
+    val cur = graft.text.TextOps.hashTokenCounts(batch, textCol)
+      .localCheckpoint(false) // consumed by the drift row AND the claim write
+    graft.text.TextOps.vocabDriftAgainst(cur, reg)
+      .write.mode("overwrite").parquet(s"$driftDir/batch_id=$batchId")
+    cur.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** Table maintenance for the count registry: SUM-fold the per-batch
+    * counts into one table bucketed on `h` — the reference side of
+    * every future drift step then reads with zero exchanges. */
+  def compactCountRegistry(spark: SparkSession, registryDir: String,
+      path: String, tableName: String, buckets: Int = 32): DataFrame = {
+    val summed = readCountRegistry(spark, registryDir)
+      .groupBy("h").agg(sum("cnt").as("cnt"))
+    graft.ops.Relational.materializeBucketed(summed, path, tableName, "h", buckets)
+  }
+
+  /** Wire a streaming document source through the drift monitor:
+    * per-batch drift rows under `driftDir/batch_id=*`, token counts
+    * under `registryDir/batch_id=*`. */
+  def startDrift(docs: DataFrame, registryDir: String, driftDir: String,
+      checkpointPath: String, textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          driftBatchStep(spark, registryDir, driftDir, textCol)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Wire a streaming document source through the suppressor. `docs`
     * must carry (idCol, tsCol, textCol); kept documents land under
     * `keptDir/batch_id=*`, bucket claims under `registryDir/batch_id=*`. */

@@ -421,6 +421,43 @@ object TextOps {
        |GROUP BY c.$group, t.n_ref, t.n_cur""".stripMargin
   }
 
+  /** Hashed unigram counts of a document set: (h, cnt) — the
+    * aggregate [[vocabDriftAgainst]] consumes and the unit the
+    * streaming drift registry stores (one row per distinct token,
+    * linear in VOCABULARY). */
+  def hashTokenCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(col("__toks")).as("__tok"))
+      .select(graft.functions.NativeExprs.polyHash(col("__tok"), CharMul, P).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+
+  /** [[vocabDrift]] against a PRE-COUNTED reference — the streaming
+    * face: the arriving batch's counts score against the summed count
+    * registry of every earlier batch (full-outer join on the 8-byte
+    * hash; same cross-multiplied integer numerator, same single final
+    * division). One row: (n_ref, n_cur, vocab, tvd); NULL tvd until a
+    * baseline exists (first batch). Both inputs are vocabulary-sized
+    * aggregates, so the join is vocabulary × 1 — never corpus-sized. */
+  def vocabDriftAgainst(curCounts: org.apache.spark.sql.DataFrame,
+      refCounts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ref = refCounts.groupBy("h").agg(sum("cnt").as("c_ref"))
+    val cur = curCounts.groupBy("h").agg(sum("cnt").as("c_cur"))
+    val j = ref.join(cur, Seq("h"), "full_outer")
+      .select(coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = j.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    j.crossJoin(broadcast(tot))
+      .groupBy("n_ref", "n_cur")
+      .agg(count(lit(1)).as("vocab"),
+        sum(abs(col("c_ref") * col("n_cur") - col("c_cur") * col("n_ref"))).as("__num"))
+      .withColumn("tvd",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__num").cast("double") /
+            (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double"))))
+      .select(col("n_ref"), col("n_cur"), col("vocab"), col("tvd"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the
     * denoising-objective data prep): each token position is masked by a
     * deterministic salted hash at `pct`%, consecutive masked runs

@@ -156,6 +156,80 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$dir/scored/batch_id=0")) === before)
   }
 
+  test("streaming drift: each batch scores against all earlier counts; replay idempotent") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_driftstream").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val third = docs.length / 3
+    val (b0, rest) = docs.splitAt(third)
+    val (b1, b2) = rest.splitAt(third)
+    def step(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingDedup.driftBatchStep(spark, s"$dir/registry",
+        s"$dir/drift", "text")(b.toDF("doc_id", "text"), id)
+    step(b0, 0); step(b1, 1); step(b2, 2)
+
+    def driftRow(b: Long): (Long, Long, Long, Option[Double]) = {
+      val r = spark.read.parquet(s"$dir/drift/batch_id=$b").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    // batch 0 has no baseline: NULL tvd, zero reference tokens
+    assert(driftRow(0)._1 === 0L && driftRow(0)._4.isEmpty)
+    // batch 2's drift equals the batch kernel of (b0 ++ b1) vs b2
+    val want = graft.text.TextOps.vocabDriftAgainst(
+      graft.text.TextOps.hashTokenCounts(b2.toDF("doc_id", "text"), "text"),
+      graft.text.TextOps.hashTokenCounts((b0 ++ b1).toDF("doc_id", "text"), "text"))
+      .collect().head
+    val got2 = driftRow(2)
+    assert(got2 === ((want.getLong(0), want.getLong(1), want.getLong(2),
+      Some(want.getDouble(3)))))
+    // replay batch 1 (crash between writes): drift row unchanged
+    val before = driftRow(1)
+    step(b1, 1)
+    assert(driftRow(1) === before)
+
+    // the streaming wiring itself: whatever micro-batch boundaries the
+    // engine picks, every batch's reference token count equals the sum
+    // of all EARLIER batches' own counts (the cumulative contract)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = StreamingDedup.startDrift(stream, s"$dir/registry2",
+        s"$dir/drift2", s"$dir/ckpt2")
+      q.awaitTermination(120000)
+    }
+    mem.addData(b0); run()
+    mem.addData(b1 ++ b2); run()
+    val rows = spark.read.option("basePath", s"$dir/drift2")
+      .parquet(s"$dir/drift2")
+      .select(col("batch_id").cast("long"), col("n_ref"), col("n_cur")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (_, nRef, nCur) =>
+      assert(nRef === cum, s"reference tokens must be the cumulative prior count")
+      cum += nCur
+    }
+    val corpusTokens = graft.text.TextOps
+      .hashTokenCounts(docs.toDF("doc_id", "text"), "text")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+    assert(cum === corpusTokens)
+    // compacted registry sums to the raw registry's totals per hash
+    spark.sql("DROP TABLE IF EXISTS t_drift_reg")
+    val compacted = StreamingDedup.compactCountRegistry(spark,
+      s"$dir/registry", s"$dir/compact", "t_drift_reg")
+    try {
+      val raw = StreamingDedup.readCountRegistry(spark, s"$dir/registry")
+        .groupBy("h").agg(sum("cnt").as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val comp = compacted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp === raw)
+    } finally spark.sql("DROP TABLE IF EXISTS t_drift_reg")
+  }
+
   test("streaming: arrival order wins across batches, not id order") {
     val sess = spark
     import sess.implicits._
