@@ -194,17 +194,68 @@ object Similarity {
       max(aggregate(col(vecCol), lit(0.0d),
         (a, x) => greatest(a, abs(x.cast("double")))))).head.get(0))
       .fold(0.0)(_.asInstanceOf[Double])
-    val asg = assignClustersLocal(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      cents, "c_vec", "neighbor_id")
-    val index =
+    val model = IvfSq8Model(cents, absmax, null)
+    model.copy(index =
       if (absmax <= 0.0)
-        asg.select(col("neighbor_id"), col("cluster"),
+        corpus.select(col(idCol).as("neighbor_id"),
+          lit(null).cast("int").as("cluster"),
           lit(null).cast("binary").as("__code")).limit(0)
-      else asg.select(col("neighbor_id"), col("cluster"),
-        graft.functions.NativeExprs.packInt8(
-          sq8QuantLit(col("c_vec"), absmax)).as("__code"))
-    IvfSq8Model(cents, absmax, index)
+      else ivfSq8Encode(model, corpus, dim, idCol, vecCol))
+  }
+
+  /** Encode vectors against a FROZEN [[IvfSq8Model]]: coarse cluster by
+    * broadcast argmax + the packed int8 code, in one projection that
+    * then DROPS the raw floats. Pure per-row, so an index built in
+    * installments (batch or streaming) is ROW-IDENTICAL to a
+    * single-shot encode of the union under the same model — the
+    * no-rebuild append contract, exactly as [[ivfPqEncode]]. */
+  def ivfSq8Encode(model: IvfSq8Model, vecs: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = assignClustersLocal(
+      vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      model.centroids, "c_vec", "neighbor_id")
+    asg.select(col("neighbor_id"), col("cluster"),
+      graft.functions.NativeExprs.packInt8(
+        sq8QuantLit(col("c_vec"), model.absmax)).as("__code"))
+  }
+
+  /** Incremental SQ8 index maintenance: encode `newVecs` with the
+    * frozen model and APPEND to the persisted bucketed table — no
+    * retrain, no rebuild, no touch of existing files (same contract
+    * and same bucket-spec re-declaration rule as [[ivfPqIndexAppend]]).
+    * Returns the model re-pointed at the refreshed table. */
+  def ivfSq8IndexAppend(model: IvfSq8Model, newVecs: DataFrame, dim: Int,
+      tableName: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfSq8Model = {
+    val spark = newVecs.sparkSession
+    ivfSq8Encode(model, newVecs, dim, idCol, vecCol)
+      .write.bucketBy(bucketCount(spark, tableName), "cluster").sortBy("cluster")
+      .mode("append").saveAsTable(tableName)
+    model.copy(index = spark.table(tableName))
+  }
+
+  /** Streaming maintenance for the SQ8 index — foreachBatch append with
+    * the owning session's relation cache refreshed after each batch
+    * (see [[ivfPqIndexAppendStream]] for why that refresh is
+    * load-bearing). */
+  def ivfSq8IndexAppendStream(model: IvfSq8Model, vecs: DataFrame, dim: Int,
+      tableName: String, checkpointPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = vecs.sparkSession
+    vecs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          ivfSq8IndexAppend(model, batch, dim, tableName, idCol, vecCol)
+          owner.catalog.refreshTable(tableName)
+        }
+        ()
+      }
+      .start()
   }
 
   /** Probe-limited SQ8 query against a built [[IvfSq8Model]]: each query

@@ -110,6 +110,33 @@ class IvfPqIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_ivfpq_app")
   }
 
+  test("SQ8 two-installment append equals the single-shot index; query parity holds") {
+    val dir = Files.createTempDirectory("graft_ivfsq8_app").toString
+    spark.sql("DROP TABLE IF EXISTS t_ivfsq8_app")
+    val modelFull = Similarity.ivfSq8Index(emb, 64)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    def sq8IndexRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Seq[Byte])] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val m1 = modelFull.copy(index = graft.ops.Relational.materializeBucketed(
+      Similarity.ivfSq8Encode(modelFull, a, 64), s"$dir/idx", "t_ivfsq8_app",
+      "cluster", 8))
+    try {
+      val m2 = Similarity.ivfSq8IndexAppend(m1, b, 64, "t_ivfsq8_app")
+      // row-identical to the batch-built index (encode is pure per-row)
+      assert(sq8IndexRows(m2.index) === sq8IndexRows(modelFull.index))
+      // the oracle-pinned query result is reproduced from the table
+      assert(rows(Similarity.ivfSq8Query(m2, emb, q, 10, 64)) ===
+        rows(Similarity.ivfSq8TopK(emb, q, 10, 64)))
+      // appends keep the exchange-free bucketed read
+      val agg = m2.index.groupBy("cluster").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"appended bucketed index should still avoid the shuffle:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS t_ivfsq8_app")
+  }
+
   test("streaming append: stream-built index rows equal the batch encode") {
     val sess = spark
     import sess.implicits._
