@@ -755,6 +755,13 @@ object SparkEntry {
           max(col("doc_id")).as("last_doc"))
         .orderBy("source")),
 
+    // Contrastive pair mining: near-dup clusters yield (anchor,
+    // positive); the negative is the next different-cluster doc in the
+    // anchor's hash shard — reproducible, never a global sort.
+    "pipe_contrastive" -> ((s, d) =>
+      Dedup.contrastivePairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("anchor_id", "positive_id")),
+
     // Temperature-rebalanced language mixture (XLM-R §3.1, alpha=0.5):
     // head language downsampled, tail languages repeated — per-doc
     // n_copies from one catalog-sized count + a broadcast + a pure
@@ -1871,6 +1878,10 @@ object SparkEntry {
     "pipe_temperature" ->
       (s"SELECT * FROM (${TextOps.temperatureSampleSql("documents", "doc_id", "lang",
         budget = 500L, alpha = 0.5)}) ORDER BY doc_id"),
+
+    "pipe_contrastive" ->
+      (s"SELECT * FROM (${Dedup.contrastivePairsSql("documents", "doc_id", "text", 3)}) " +
+        "ORDER BY anchor_id, positive_id"),
 
     "d_embed_near" ->
       (s"SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +

@@ -363,6 +363,87 @@ object Dedup {
        |GROUP BY d.$idCol""".stripMargin
   }
 
+  /** Contrastive training pairs from near-dup clusters: every ordered
+    * intra-cluster pair is an (anchor, positive), and each anchor gets
+    * a deterministic NEGATIVE — the next doc with a DIFFERENT cluster
+    * in its shard's salted-hash order (NULL at a shard tail). The
+    * standard recipe for mining embedding-training data from a dedup
+    * pass: near-dups are semantic positives, and the hash-shard
+    * neighbor is an unbiased random negative that is reproducible from
+    * ids alone (no RNG state).
+    *
+    * Scale shape: positives are the intra-cluster self-join — bounded
+    * by near-dup cluster sizes, the quantity being mined. Negatives
+    * never sort globally: shard-partitioned windows (the
+    * [[graft.text.TextOps.shardAssignment]] discipline) compute
+    * consecutive equal-cluster runs, and because runs are consecutive
+    * in window order, the row that STARTS a run is that run's first
+    * doc — so "next different-cluster doc" is one lag/cumsum window
+    * pass plus an equi-join on (shard, runId+1), no argmin anywhere. */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, nShards: Int = 16): DataFrame = {
+    val cl = clusters(docs.select(col(idCol)),
+      minhashLshCandidates(docs, idCol, textCol, n), idCol)
+    val sh = cl.select(col("id"), col("cluster"),
+      (graft.functions.NativeExprs.polyHash(
+        concat(lit("cshard:"), col("id").cast("string")), TextOps.CharMul, TextOps.P)
+        % nShards).cast("int").as("shard"),
+      graft.functions.NativeExprs.polyHash(
+        concat(lit("cord:"), col("id").cast("string")), TextOps.CharMul, TextOps.P)
+        .as("ord"))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("id"))
+    val rr = sh
+      .withColumn("__chg",
+        when(lag(col("cluster"), 1).over(w).isNull ||
+          lag(col("cluster"), 1).over(w) =!= col("cluster"), 1L).otherwise(0L))
+      .withColumn("__runid",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runFirst = rr.filter(col("__chg") === 1L)
+      .select(col("shard"), (col("__runid") - 1).as("__runid"),
+        col("id").as("negative_id"))
+    val neg = rr.join(runFirst, Seq("shard", "__runid"), "left")
+      .select(col("id"), col("negative_id"))
+    val a = cl.select(col("cluster"), col("id").as("anchor_id"))
+    val b = cl.select(col("cluster"), col("id").as("positive_id"))
+    a.join(b, Seq("cluster")).filter(col("anchor_id") < col("positive_id"))
+      .join(neg.withColumnRenamed("id", "anchor_id"), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"))
+  }
+
+  /** Oracle twin of [[contrastivePairs]]: the d_cluster recursive CTE
+    * for components, the same shard/ord hashes, the same run windows. */
+  def contrastivePairsSql(table: String, idCol: String, textCol: String,
+      n: Int = 3, nShards: Int = 16): String = {
+    val hs = s"CAST(${TextOps.tokenHashSql(s"'cshard:' || CAST(id AS VARCHAR)")} % $nShards AS INTEGER)"
+    val ho = TextOps.tokenHashSql(s"'cord:' || CAST(id AS VARCHAR)")
+    s"""WITH RECURSIVE __pairs AS (${minhashLshCandidatesSql(table, idCol, textCol, n)}),
+       |__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs
+       |          UNION ALL SELECT id_b, id_a FROM __pairs),
+       |__reach(src, dst) AS (
+       |  SELECT $idCol, $idCol FROM $table
+       |  UNION
+       |  SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src),
+       |__cl AS (SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src),
+       |__sh AS (SELECT id, cluster, $hs AS shard, $ho AS ord FROM __cl),
+       |__rs AS (
+       |  SELECT *, CASE WHEN lag(cluster) OVER w IS NULL
+       |                   OR lag(cluster) OVER w <> cluster THEN 1 ELSE 0 END AS chg
+       |  FROM __sh WINDOW w AS (PARTITION BY shard ORDER BY ord, id)),
+       |__rr AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY shard ORDER BY ord, id
+       |                           ROWS UNBOUNDED PRECEDING) AS runid
+       |  FROM __rs),
+       |__rf AS (SELECT shard, runid, id AS negative_id FROM __rr WHERE chg = 1),
+       |__neg AS (
+       |  SELECT r.id, f.negative_id
+       |  FROM __rr r LEFT JOIN __rf f ON r.shard = f.shard AND f.runid = r.runid + 1),
+       |__pos AS (
+       |  SELECT a.id AS anchor_id, b.id AS positive_id
+       |  FROM __cl a JOIN __cl b ON a.cluster = b.cluster AND a.id < b.id)
+       |SELECT p.anchor_id, p.positive_id, g.negative_id
+       |FROM __pos p JOIN __neg g ON g.id = p.anchor_id""".stripMargin
+  }
+
   /** Cross-source contamination matrix: for every source pair (a < b),
     * the number of shared distinct n-gram shingles, each side's
     * vocabulary size, and the Jaccard overlap — the corpus-level

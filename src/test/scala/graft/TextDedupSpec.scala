@@ -983,6 +983,35 @@ class TextDedupSpec extends SparkSpec {
     assert(lop("b")._1 === 4L && lop("b")._2 === 0L && lop("b")._3.isNaN)
   }
 
+  test("contrastivePairs: intra-cluster positives, different-cluster deterministic negatives") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // cluster {1,2}
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "zeta eta theta iota kappa"),        // cluster {3,4}
+      (5L, "lambda mu nu xi omicron")           // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.contrastivePairs(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // positives: exactly the ordered intra-cluster pairs
+    assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (3L, 4L)))
+    val clusterOf = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L)
+    out.foreach { case (a, p, negOpt) =>
+      negOpt.foreach { neg =>
+        assert(clusterOf(neg) !== clusterOf(a),
+          s"negative $neg of anchor $a shares its cluster")
+      }
+    }
+    // deterministic under re-partitioning
+    val again = Dedup.contrastivePairs(df.repartition(5), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(again.sortBy(t => (t._1, t._2)) === out.sortBy(t => (t._1, t._2)))
+  }
+
   test("noveltyScores: first occurrence owns its grams; later copies score zero") {
     val sess = spark
     import sess.implicits._
