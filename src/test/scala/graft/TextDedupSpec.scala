@@ -1010,6 +1010,13 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
     assert(again.sortBy(t => (t._1, t._2)) === out.sortBy(t => (t._1, t._2)))
+    // the negative windows are shard-partitioned: nothing in the plan
+    // funnels the corpus through one partition or a global range sort
+    val plan = Dedup.contrastivePairs(df, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"contrastive mining must not sort globally:\n$plan")
   }
 
   test("noveltyScores: first occurrence owns its grams; later copies score zero") {
