@@ -89,6 +89,15 @@ final class GraftApi(spark: SparkSession, root: String) {
         (if (singleFile) df.coalesce(1) else df)
           .write.option("header", "true").mode("overwrite").csv(fname)
       case "parquet" => df.write.mode("overwrite").parquet(fname)
+      // JSONL — the training-pipeline interchange format: one JSON
+      // object per line, rendered ON THE EXECUTORS by `to_json` (the
+      // same executor-side rendering contract as streamExportCsv), so a
+      // bulk export (singleFile = false) writes every partition in
+      // parallel and a dataloader globs the part files
+      case "jsonl" =>
+        (if (singleFile) df.coalesce(1) else df)
+          .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+          .write.mode("overwrite").text(fname)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
     fname

@@ -49,6 +49,28 @@ class ExportServingSpec extends SparkSpec {
     assert(streamed === fileLines)
   }
 
+  test("JSONL export: one parseable object per line, round-trips through a JSON read") {
+    val a = api()
+    val df = fixtureFrame()
+    val out = Files.createTempDirectory("graft_jsonl").toString
+    val dir = a.writeExport(df, out, "train_docs", "jsonl")
+    assert(dir.endsWith("train_docs.jsonl"))
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val lines = Files.readAllLines(part).asScala.toList
+    assert(lines.size === 3)
+    // every line is a self-contained JSON object with escaped quotes
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    assert(lines.exists(_.contains("comma, and \\\"quotes\\\"")))
+    // round-trip: Spark's own JSON reader recovers the rows (the NULL
+    // field is absent from its line, not "null"-stringed)
+    val back = spark.read.json(dir)
+    assert(back.count() === 3)
+    assert(back.filter(back("id") === 2L).select("score").head.isNullAt(0))
+    val labels = back.select("label").collect().map(_.getString(0)).toSet
+    assert(labels === Set("plain", "comma, and \"quotes\"", ""))
+  }
+
   test("S8: CSV-hostile COLUMN NAMES are escaped identically by stream and file sink") {
     val a = api()
     // a comma and a quote in the header line itself — the stream renders
