@@ -762,6 +762,32 @@ object SparkEntry {
       Dedup.contrastivePairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("anchor_id", "positive_id")),
 
+    // Corpus card: the one-row datasheet a dataset release ships —
+    // size, diversity, exact-dup rate (rolling fingerprints), and mean
+    // quality via a quantized-integer sum (a mean of raw doubles is
+    // summation-order-dependent; round(score·2^20) BIGINTs are not).
+    "pipe_corpus_card" -> ((s, d) => {
+      val q = lit(1048576.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("__tok"),
+          TextOps.fingerprint("text").as("__fp"),
+          round(TextOps.qualityScore(col("text")) * q).cast("long").as("__q"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("__fp")).as("n_unique"),
+          sum(col("__q")).as("__qsum"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+        .withColumn("mean_quality",
+          col("__qsum").cast("double") / (col("n_docs").cast("double") * q))
+        .select("n_docs", "n_tokens", "n_langs", "n_sources", "n_unique",
+          "dup_rate", "mean_quality")
+    }),
+
     // Temperature-rebalanced language mixture (XLM-R §3.1, alpha=0.5):
     // head language downsampled, tail languages repeated — per-doc
     // n_copies from one catalog-sized count + a broadcast + a pure
@@ -1882,6 +1908,18 @@ object SparkEntry {
     "pipe_contrastive" ->
       (s"SELECT * FROM (${Dedup.contrastivePairsSql("documents", "doc_id", "text", 3)}) " +
         "ORDER BY anchor_id, positive_id"),
+
+    "pipe_corpus_card" ->
+      (s"SELECT count(*) AS n_docs, " +
+        s"CAST(sum(len(${TextOps.tokensSql("text")})) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        s"CAST(count(DISTINCT ${TextOps.fingerprintSql("text")}) AS BIGINT) AS n_unique, " +
+        s"1.0 - CAST(count(DISTINCT ${TextOps.fingerprintSql("text")}) AS DOUBLE) " +
+        "/ CAST(count(*) AS DOUBLE) AS dup_rate, " +
+        s"CAST(sum(CAST(round((${TextOps.qualityScoreSql("text")}) * 1048576.0) AS BIGINT)) AS DOUBLE) " +
+        "/ (CAST(count(*) AS DOUBLE) * 1048576.0) AS mean_quality " +
+        "FROM documents"),
 
     "d_embed_near" ->
       (s"SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +
