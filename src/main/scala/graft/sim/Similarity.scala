@@ -111,9 +111,14 @@ object Similarity {
     * IVF coarse index is the sub-linear deployment, exactly as with PQ. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the 1e-300 floor only engages on an all-zero corpus (absmax ≥
+    // every |x|, so any real corpus keeps its own max): without it the
+    // degenerate quantizer divides by zero and the engines DIVERGE —
+    // Spark casts the NaN code to 0, DuckDB errors on CAST(NaN AS INT);
+    // floored, both produce all-zero codes and id-ordered ties
     val am = corpus.agg(
-      max(aggregate(col(vecCol), lit(0.0d),
-        (a, x) => greatest(a, abs(x.cast("double"))))).as("__absmax"))
+      greatest(max(aggregate(col(vecCol), lit(0.0d),
+        (a, x) => greatest(a, abs(x.cast("double"))))), lit(1e-300)).as("__absmax"))
     def quant(v: Column): Column =
       transform(v, x => least(greatest(
         round(x.cast("double") * 127.0 / col("__absmax")),
@@ -143,9 +148,9 @@ object Similarity {
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, $dim + 1), " +
         s"__i -> CAST(q.qq[__i] AS BIGINT) * CAST(c.cq[__i] AS BIGINT))), (__a, __x) -> __a + __x)"
     s"""WITH __am AS (
-       |  SELECT max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  SELECT greatest(max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(embedding, __x -> abs(CAST(__x AS DOUBLE)))),
-       |    (__a, __x) -> greatest(__a, __x))) AS absmax
+       |    (__a, __x) -> greatest(__a, __x))), 1e-300) AS absmax
        |  FROM $table
        |), __c AS (
        |  SELECT vec_id, ${quant("embedding")} AS cq FROM $table, __am

@@ -271,6 +271,21 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("sq8TopK on an all-zero corpus degrades to zero scores, never NaN codes") {
+    val sess = spark
+    import sess.implicits._
+    val zeros = (0L until 6L).map(i => (i, Array.fill(4)(0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(zeros, zeros.filter(col("vec_id") < 2), 3, 4)
+      .collect()
+    assert(out.length === 6) // 2 queries × k=3
+    assert(out.forall(_.getLong(2) === 0L)) // all-zero codes → zero dots
+    // ties break by neighbor id, so ranks are still contiguous
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to 3))
+    }
+  }
+
   test("vocabDrift is always in [0,1] (or NULL) over random corpora") {
     val sess = spark
     import sess.implicits._
