@@ -189,6 +189,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"candidate cut not group-limited:\n$p")
   }
 
+  test("vocabulary drift is hash-keyed counting, never pairwise in tokens") {
+    val p = plan("t_drift")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"t_drift should broadcast its catalog-sized totals:\n$p")
+    assert(p.contains("HashAggregate"), s"t_drift has no hash aggregation:\n$p")
+  }
+
+  test("conversion funnel rides the as-of union-sort: no range-join explosion") {
+    val p = plan("w4_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"w4_funnel degenerated to a pair join:\n$p")
+    assert(p.contains("HashAggregate"), s"w4_funnel has no hash aggregation:\n$p")
+  }
+
+  test("span corruption and FIM are pure projections: no join, no window, no mid-plan shuffle") {
+    Seq("pipe_span_corrupt", "pipe_fim").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Window"), s"$q must not need a window:\n$p")
+      // the only exchange allowed is the final presentation ORDER BY
+      // ("Exchange (" matches tree nodes only, not the detail section)
+      val exchanges = "Exchange \\(".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q should shuffle at most for the final sort:\n$p")
+    }
+  }
+
+  test("SQ8 flat scan broadcasts queries and group-limits the rank window") {
+    val p = plan("s_knn_sq8")
+    assert(!p.contains("SortMergeJoin"), s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not map-side pruned:\n$p")
+  }
+
   test("ts_interp is union-sort: keyed window carry, no range join, no cartesian") {
     val p = plan("ts_interp")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
