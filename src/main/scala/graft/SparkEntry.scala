@@ -1221,6 +1221,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Cohort retention matrix: users bucketed by first-activity week,
+    // distinct actives per (cohort, weeks-since) cell — the classic
+    // retention triangle. Per-user min is map-side combinable; the
+    // only corpus shuffle is the user-keyed cohort join-back. Week =
+    // integer DIV of epoch micros (a floor of the double quotient can
+    // round UP across a boundary when the remainder is ≲ 1 ulp).
+    "w5_cohort" -> ((s, d) => {
+      val wk = expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+      val e = Tables.events(s, d).select(col("user_id"), wk.as("__week"))
+      val cohort = e.groupBy("user_id").agg(min(col("__week")).as("cohort_week"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("__week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Sequence packing (pretraining batch assembly): documents are
     // packed greedily in a deterministic order (per source, by doc_id);
     // a doc joins the pack its first token falls into — pack_id =
@@ -2181,6 +2198,14 @@ object SparkEntry {
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    "w5_cohort" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events), " +
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id) " +
+        "SELECT c.cohort_week, e.week - c.cohort_week AS week_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM e JOIN c USING (user_id) " +
+        "GROUP BY c.cohort_week, week_offset ORDER BY cohort_week, week_offset"),
 
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
