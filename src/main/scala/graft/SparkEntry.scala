@@ -1221,6 +1221,37 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Three-step funnel (signup → first later click → first later
+    // purchase): two CHAINED forward as-ofs — the second step re-anchors
+    // at the click's timestamp, so each stage is the same union-sort
+    // carry and nothing ever pair-joins. Unreached signups survive via
+    // the left join-back on the unique signup event id.
+    "w6_funnel3" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val j1 = Relational.asofJoinForward(signups, clicks, "user_id", "ts",
+        Seq("c_ts", "c_id"), Seq("c_id"))
+      val j2 = Relational.asofJoinForward(
+        j1.filter(col("c_ts").isNotNull)
+          .select(col("user_id"), col("c_ts").as("ts"), col("event_id")),
+        purchases, "user_id", "ts", Seq("p_ts", "p_id"), Seq("p_id"))
+      j1.join(j2.select(col("event_id"), col("p_ts")), Seq("event_id"), "left")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_signups"),
+          sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+          sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
+        .withColumn("full_rate",
+          col("n_purchased").cast("double") / col("n_signups").cast("double"))
+        .orderBy("user_id")
+    }),
+
     // Cohort retention matrix: users bucketed by first-activity week,
     // distinct actives per (cohort, weeks-since) cell — the classic
     // retention triangle. Per-user min is map-side combinable; the
@@ -2198,6 +2229,24 @@ object SparkEntry {
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    "w6_funnel3" ->
+      ("WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'), " +
+        "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "j1 AS (SELECT s.user_id, s.event_id, s.ts, cc.c_ts FROM s LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS c_ts, c.event_id AS c_id FROM c " +
+        "WHERE c.user_id = s.user_id AND c.ts >= s.ts " +
+        "ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS cc ON true), " +
+        "j2 AS (SELECT j1.user_id, j1.event_id, j1.c_ts, pp.p_ts FROM j1 LEFT JOIN LATERAL (" +
+        "SELECT p.ts AS p_ts FROM p " +
+        "WHERE j1.c_ts IS NOT NULL AND p.user_id = j1.user_id AND p.ts >= j1.c_ts " +
+        "ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS pp ON true) " +
+        "SELECT user_id, count(*) AS n_signups, " +
+        "CAST(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked, " +
+        "CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased, " +
+        "CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS full_rate " +
+        "FROM j2 GROUP BY user_id ORDER BY user_id"),
 
     "w5_cohort" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events), " +
