@@ -1495,6 +1495,31 @@ object SparkEntry {
         Seq("hour", "event_type"), 64)
         .orderBy("hour", "event_type")),
 
+    // Join-key skew diagnostic: the numbers you read BEFORE choosing a
+    // salting/broadcast strategy — per candidate key: rows, distinct
+    // keys, hottest key and its frequency, and skew = max_freq·n_keys/
+    // n_rows (1.0 = uniform). One map-combinable count per key column,
+    // then a catalog-sized stats fold; never touches row payloads.
+    "k_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def keyStats(c: String) = {
+        val counts = li.groupBy(col(c).cast("long").as("k"))
+          .agg(count(lit(1)).as("f"))
+        // sort+limit(1) = TakeOrderedAndProject: map-side partial top-1,
+        // never a single-partition global rank window over the key table
+        counts.orderBy(col("f").desc, col("k")).limit(1)
+          .crossJoin(broadcast(counts.agg(
+            sum(col("f")).as("n_rows"), count(lit(1)).as("n_keys"))))
+          .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+            col("k").as("top_key"), col("f").as("max_freq"),
+            (col("f").cast("double") * col("n_keys").cast("double") /
+              col("n_rows").cast("double")).as("skew"))
+      }
+      keyStats("l_orderkey").unionByName(keyStats("l_partkey"))
+        .unionByName(keyStats("l_suppkey"))
+        .orderBy("key_col")
+    }),
+
     // ---- §7.1.8 composed corpus pipeline ---------------------------------
     // The end-to-end training-data cleaning shape: language-ID → quality
     // gate → exact dedup → per-(source, lang) corpus stats. ONE declarative
@@ -2271,6 +2296,21 @@ object SparkEntry {
         "CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate, " +
         "CASE WHEN sum(conv) > 0 THEN CAST(sum(lag_us) AS DOUBLE) / (CAST(sum(conv) AS DOUBLE) * 1000000.0) END AS avg_lag_sec " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+
+    "k_skew" -> {
+      def keyStatsSql(c: String) =
+        s"""SELECT '$c' AS key_col, t.n_rows, t.n_keys, m.k AS top_key,
+           |       m.f AS max_freq,
+           |       CAST(m.f AS DOUBLE) * CAST(t.n_keys AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS skew
+           |FROM (SELECT k, f FROM (
+           |        SELECT CAST($c AS BIGINT) AS k, count(*) AS f FROM lineitem GROUP BY 1)
+           |      ORDER BY f DESC, k LIMIT 1) m
+           |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |                   CAST(count(DISTINCT $c) AS BIGINT) AS n_keys
+           |            FROM lineitem) t""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey")
+        .map(keyStatsSql).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY key_col")
+    },
 
     "k_cms" ->
       (s"SELECT * FROM (${graft.sketch.Sketches.countMinTokensSql("documents", "text", 64)}) " +
