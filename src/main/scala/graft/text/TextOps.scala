@@ -466,7 +466,12 @@ object TextOps {
     * the seq2seq training pair. Unnumbered sentinel (`<X>`): numbering
     * needs a prefix count per position, which neither engine's lambda
     * dialect shares portably; span STRUCTURE is what the objective
-    * needs and run-starts are position-local.
+    * needs and run-starts are position-local. Caveat shared with every
+    * in-band sentinel scheme: a document whose TEXT contains the
+    * literal sentinel token is ambiguous to reconstruct — harmless for
+    * training (the model sees the same kind of stream either way), but
+    * pick a sentinel outside the corpus vocabulary if round-tripping
+    * matters.
     *
     * Everything is a pure projection: mask(i) and mask(i−1) recompute
     * the position hash directly (no window, no explode), so the

@@ -286,6 +286,55 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt and fimTransform round-trip over random corpora (punct, digits, repeats)") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(71)
+    // tokens deliberately include punctuation-only, single-char, digit,
+    // and repeated tokens — anything the fixture's clean vocab avoids
+    val alphabet = Vector("a", "zz", "7", "!!", "x.y", "<tok>", "-", "Q")
+    val rows = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12) // includes 0-token docs
+      (i, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val orig = rows.toMap
+
+    // spanCorrupt: splice targets back into inputs → original tokens
+    TextOps.spanCorrupt(df, "doc_id", "text").collect().foreach { r =>
+      val (id, inputs, targets) = (r.getLong(0), r.getString(1), r.getString(2))
+      val origToks = orig(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val inToks = if (inputs.isEmpty) Seq.empty else inputs.split(" ").toSeq
+      val tgToks = if (targets.isEmpty) Seq.empty else targets.split(" ").toSeq
+      val spans = {
+        var acc = List.empty[List[String]]
+        tgToks.foreach {
+          case "<X>" => acc = List.empty[String] :: acc
+          case t     => acc = (acc.head :+ t) :: acc.tail
+        }
+        acc.reverse
+      }
+      var si = 0
+      val rebuilt = inToks.flatMap {
+        case "<X>" => val sp = spans(si); si += 1; sp
+        case t     => Seq(t)
+      }
+      assert(rebuilt === origToks, s"doc $id span round-trip")
+    }
+
+    // FIM: the three segments reassemble the original
+    TextOps.fimTransform(df, "doc_id", "text").collect().foreach { r =>
+      val (id, psm) = (r.getLong(0), r.getString(1))
+      val origToks = orig(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks = psm.split(" ").toSeq
+      val iSuf = toks.indexOf("<SUF>"); val iMid = toks.indexOf("<MID>")
+      val pre = toks.slice(1, iSuf)
+      val suf = toks.slice(iSuf + 1, iMid)
+      val mid = toks.drop(iMid + 1)
+      assert(pre ++ mid ++ suf === origToks, s"doc $id FIM round-trip")
+    }
+  }
+
   test("vocabDrift is always in [0,1] (or NULL) over random corpora") {
     val sess = spark
     import sess.implicits._
