@@ -494,6 +494,19 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // Normalization-insensitive exact dedup: case/punctuation/whitespace
+    // variants collapse to one canonical key. The fixture has no such
+    // variants, so every doc gets a noisy twin (id+100000, upper-cased,
+    // padded, "!!" suffix) that must land in its canon group — keeper /
+    // n_dups audited per doc.
+    "d_canon" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val noisy = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!")).as("text"))
+      Dedup.canonicalDedup(base.unionByName(noisy), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "d_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
         Seq("lang", "source"), 0.9)
@@ -533,6 +546,21 @@ object SparkEntry {
 
     "d_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshCandidates(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")),
+
+    // LSH configuration tuning: what fraction of the TRUE 3-gram
+    // Jaccard >= 0.8 pairs does the banded MinHash index surface, and
+    // at what candidate cost — the measurement that justifies (or
+    // rejects) a (bands, rows) choice before a full-corpus run.
+    "d_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallEval(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
+
+    // Signature-estimate calibration: every LSH candidate pair scored
+    // by its MinHash component-agreement estimate NEXT TO the exact
+    // Jaccard — per-pair absolute error of the only similarity a
+    // signature-store dedup ever sees.
+    "d_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstimatePairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
     "d_simhash" -> ((s, d) =>
@@ -754,6 +782,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("source")),
+
+    // Per-domain token-budget curation: greedy best-quality-first
+    // intake per source until the 600-token allowance is spent — one
+    // window per source partition, no global sort.
+    "pipe_token_budget" -> ((s, d) =>
+      TextOps.tokenBudgetSelect(Tables.documents(s, d), "doc_id", "source",
+        "text", 600L)
+        .orderBy("source", "doc_id")),
 
     // Contrastive pair mining: near-dup clusters yield (anchor,
     // positive); the negative is the next different-cluster doc in the
@@ -1844,6 +1880,19 @@ object SparkEntry {
       (s"SELECT * FROM (${Dedup.containmentPairsSql("documents", "doc_id", "text",
         Seq("lang", "source"), 0.9)}) ORDER BY id_a, id_b"),
 
+    "d_canon" -> {
+      val aug = "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, '  ' || upper(text) || ' !!' FROM documents)"
+      s"SELECT * FROM (${Dedup.canonicalDedupSql(aug, "doc_id", "text")}) ORDER BY doc_id"
+    },
+
+    "d_lsh_recall" ->
+      Dedup.lshRecallEvalSql("documents", "doc_id", "text", 3, 0.8),
+
+    "d_minhash_est" ->
+      (s"SELECT * FROM (${Dedup.minhashEstimatePairsSql("documents", "doc_id", "text", 3)}) " +
+        "ORDER BY id_a, id_b"),
+
     // identical statement: the prefix-filtered Spark plan is exact, so it
     // sits under the same oracle as the full inverted-index plan
     "d_jaccard_prefix" -> {
@@ -1977,6 +2026,10 @@ object SparkEntry {
     "pipe_temperature" ->
       (s"SELECT * FROM (${TextOps.temperatureSampleSql("documents", "doc_id", "lang",
         budget = 500L, alpha = 0.5)}) ORDER BY doc_id"),
+
+    "pipe_token_budget" ->
+      (s"SELECT * FROM (${TextOps.tokenBudgetSelectSql("documents", "doc_id",
+        "source", "text", 600L)}) ORDER BY source, doc_id"),
 
     "pipe_contrastive" ->
       (s"SELECT * FROM (${Dedup.contrastivePairsSql("documents", "doc_id", "text", 3)}) " +

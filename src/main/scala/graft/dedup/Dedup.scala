@@ -35,6 +35,47 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Canonical text form for normalization-insensitive exact dedup:
+    * lowercase, punctuation → space, whitespace collapsed, trimmed.
+    * The "exact dedup after normalization" pass every web-corpus
+    * pipeline runs between byte-exact and fuzzy dedup — re-crawls that
+    * differ only in case, punctuation, or spacing collapse to one key.
+    * Both regexes are alternation-free character classes, so Java regex
+    * and RE2 substitute identical spans (the [[TextOps.redactPii]]
+    * argument). */
+  def canonicalKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  def canonicalKeySql(text: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Normalization-insensitive exact dedup audit: every doc with its
+    * canonical-form hash, whether it is the keeper (lowest id of its
+    * canon group), and the group size. One hash shuffle on the 8-byte
+    * canon key (the window partition), same cost as [[exact]]; the
+    * canon string itself never shuffles. The hash is the shared
+    * [[TextOps.tokenHash]] fold, so collisions merge identically in
+    * both engines and parity is exact by construction. */
+  def canonicalDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("canon_h"))
+    df.select(col(idCol), graft.functions.NativeExprs.polyHash(
+        canonicalKey(col(textCol)), TextOps.CharMul, TextOps.P).as("canon_h"))
+      .withColumn("keeper", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("n_dups", count(lit(1)).over(w))
+  }
+
+  /** Oracle twin of [[canonicalDedup]]: same canon regexes ('g' flag —
+    * DuckDB substitutes only the first match otherwise), same hash
+    * fold, same window. */
+  def canonicalDedupSql(table: String, idCol: String, textCol: String): String = {
+    s"SELECT $idCol, canon_h, " +
+      s"$idCol = min($idCol) OVER (PARTITION BY canon_h) AS keeper, " +
+      "CAST(count(*) OVER (PARTITION BY canon_h) AS BIGINT) AS n_dups " +
+      s"FROM (SELECT $idCol, ${TextOps.tokenHashSql(canonicalKeySql(textCol))} AS canon_h " +
+      s"FROM $table)"
+  }
+
   /** Distinct (doc, token-HASH) pairs — the inverted-index input. With
     * n > 1 the "token" is an n-gram shingle (tokenized into a bound
     * column first — see [[shinglesFromTokens]]).
@@ -778,6 +819,160 @@ object Dedup {
     s"""WITH __sig AS (${minhashSignaturesSql(table, idCol, textCol, n)})
        |SELECT sa.$idCol AS id_a, sb.$idCol AS id_b
        |FROM __sig sa JOIN __sig sb ON sa.$idCol < sb.$idCol AND ($bandEq)""".stripMargin
+  }
+
+  // ---- LSH calibration ---------------------------------------------------
+
+  /** Recall evaluation of the MinHash-LSH candidate generator against
+    * the EXACT n-gram Jaccard pairs at `threshold` — the tuning loop a
+    * production dedup needs before committing to a (bands, rows)
+    * configuration: what fraction of the true near-dup pairs does the
+    * banded index actually surface, and how many candidates does it pay
+    * for them. One summary row: (n_true, n_cand, n_hit, recall,
+    * candidate_precision).
+    *
+    * Scale shape: truth is the inverted-index equi-join of
+    * [[jaccardPairs]], candidates the band equi-join of
+    * [[minhashLshCandidates]] — both linear in the index, never
+    * pairwise in docs; the evaluation itself is one equi-join on
+    * (id_a, id_b) pairs plus two single-row aggregates crossed
+    * broadcast-style. Ratios are divisions of exact longs —
+    * engine-exact; zero denominators yield NULL in both engines. */
+  def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, Nil, threshold, n)
+      .select("id_a", "id_b")
+    val cands = minhashLshCandidates(df, idCol, textCol, n)
+      .localCheckpoint(false) // read by the hit join AND its own count
+    val tAgg = truth
+      .join(cands.withColumn("__c", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+    val cAgg = cands.agg(count(lit(1)).as("n_cand"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    tAgg.crossJoin(cAgg) // both sides are single-row aggregates
+      .select(col("n_true"), col("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        ratio(coalesce(col("n_hit"), lit(0L)), col("n_true")).as("recall"),
+        ratio(coalesce(col("n_hit"), lit(0L)), col("n_cand")).as("candidate_precision"))
+  }
+
+  /** Shared truth-pair CTE body: the d_jaccard statement without blocks,
+    * stopping at (id_a, id_b) at `threshold`. */
+  private def truthPairsSql(table: String, idCol: String, textCol: String,
+      n: Int, threshold: Double): String = {
+    val sh = shinglesSql(textCol, n)
+    s"""WITH __u AS (SELECT $idCol, unnest($sh) AS tok FROM $table),
+       |uniq AS (SELECT DISTINCT $idCol, ${TextOps.tokenHashSql("tok")} AS tok FROM __u),
+       |sizes AS (SELECT $idCol, count(*) AS n FROM uniq GROUP BY $idCol),
+       |pairs AS (SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS common
+       |  FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.$idCol < b.$idCol GROUP BY 1, 2)
+       |SELECT id_a, id_b FROM pairs
+       |JOIN sizes sa ON sa.$idCol = id_a JOIN sizes sb ON sb.$idCol = id_b
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= $threshold""".stripMargin
+  }
+
+  /** Oracle twin for [[lshRecallEval]]: the d_jaccard truth CTE (no
+    * blocks) composed with the d_minhash_lsh candidate statement. */
+  def lshRecallEvalSql(table: String, idCol: String, textCol: String,
+      n: Int, threshold: Double): String = {
+    s"""WITH __truth AS (SELECT * FROM (${truthPairsSql(table, idCol, textCol, n, threshold)})),
+       |__cand AS (SELECT * FROM (${minhashLshCandidatesSql(table, idCol, textCol, n)})),
+       |__t AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(coalesce(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+       |  FROM __truth t LEFT JOIN __cand c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+       |__c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM __cand)
+       |SELECT n_true, n_cand, n_hit,
+       |  CASE WHEN n_true = 0 THEN NULL
+       |       ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+       |  CASE WHEN n_cand = 0 THEN NULL
+       |       ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS candidate_precision
+       |FROM __t CROSS JOIN __c""".stripMargin
+  }
+
+  /** Per-candidate-pair MinHash calibration: for every LSH candidate
+    * pair, the signature-based similarity ESTIMATE (fraction of the K
+    * MinHash components that agree — the only similarity a
+    * signature-store dedup ever sees) next to the EXACT n-gram Jaccard,
+    * with the absolute error. The operator a pipeline runs on a sample
+    * before trusting signature-threshold dedup at full scale.
+    *
+    * Scale shape: candidates from the band equi-join; the exact side
+    * restricts the inverted index to docs that appear in some candidate
+    * (left-semi on ids) BEFORE the pair groupBy, so verification work
+    * scales with candidates, not the corpus; signatures join in K
+    * fixed-width columns. Estimate, Jaccard, and error are arithmetic
+    * on exact ints per row — engine-exact, no cross-row float order
+    * anywhere. A band collision with zero shared shingles (possible
+    * only through hash coincidence) keeps common = 0. */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val k = MinhashParams.size
+    val cands = minhashLshCandidates(df, idCol, textCol, n).localCheckpoint(false)
+    val ids = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+    val dtAll = docTokens(df, idCol, textCol, Nil, n).localCheckpoint(false)
+    val dt = dtAll.join(ids, Seq(idCol), "left_semi")
+    val common = dt.as("a").join(dt.as("b"),
+        col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = dtAll.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sig = minhashSignatures(df, idCol, textCol, n).localCheckpoint(false)
+    val sigA = sig.select(col(idCol).as("id_a") +:
+      (0 until k).map(i => col(s"m$i").as(s"__a$i")): _*)
+    val sigB = sig.select(col(idCol).as("id_b") +:
+      (0 until k).map(i => col(s"m$i").as(s"__b$i")): _*)
+    val estMatches = (0 until k).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0)).reduce(_ + _)
+    cands
+      .join(common, Seq("id_a", "id_b"), "left")
+      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("n").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("n").as("n_b"))), "id_b")
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("est_matches", estMatches)
+      .withColumn("est", col("est_matches").cast("double") / lit(k.toDouble))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      .select("id_a", "id_b", "est_matches", "common", "n_a", "n_b",
+        "est", "jaccard", "abs_err")
+  }
+
+  /** Oracle twin for [[minhashEstimatePairs]]: candidate statement +
+    * signature CTE + the unblocked inverted-index common counts, same
+    * per-row arithmetic. */
+  def minhashEstimatePairsSql(table: String, idCol: String, textCol: String,
+      n: Int): String = {
+    val k = MinhashParams.size
+    val sh = shinglesSql(textCol, n)
+    val est = (0 until k).map(i =>
+      s"CASE WHEN sa2.m$i = sb2.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH __cand AS (SELECT * FROM (${minhashLshCandidatesSql(table, idCol, textCol, n)})),
+       |__sig AS (SELECT * FROM (${minhashSignaturesSql(table, idCol, textCol, n)})),
+       |__u AS (SELECT $idCol, unnest($sh) AS tok FROM $table),
+       |__uniq AS (SELECT DISTINCT $idCol, ${TextOps.tokenHashSql("tok")} AS tok FROM __u),
+       |__sizes AS (SELECT $idCol, count(*) AS n FROM __uniq GROUP BY $idCol),
+       |__common AS (SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS common
+       |  FROM __uniq a JOIN __uniq b ON a.tok = b.tok AND a.$idCol < b.$idCol GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  CAST($est AS INTEGER) AS est_matches,
+       |  CAST(coalesce(m.common, 0) AS BIGINT) AS common,
+       |  sa.n AS n_a, sb.n AS n_b,
+       |  CAST($est AS DOUBLE) / $k AS est,
+       |  CAST(coalesce(m.common, 0) AS DOUBLE)
+       |    / CAST(sa.n + sb.n - coalesce(m.common, 0) AS DOUBLE) AS jaccard,
+       |  abs(CAST($est AS DOUBLE) / $k - CAST(coalesce(m.common, 0) AS DOUBLE)
+       |    / CAST(sa.n + sb.n - coalesce(m.common, 0) AS DOUBLE)) AS abs_err
+       |FROM __cand c
+       |LEFT JOIN __common m ON c.id_a = m.id_a AND c.id_b = m.id_b
+       |JOIN __sizes sa ON sa.$idCol = c.id_a
+       |JOIN __sizes sb ON sb.$idCol = c.id_b
+       |JOIN __sig sa2 ON sa2.$idCol = c.id_a
+       |JOIN __sig sb2 ON sb2.$idCol = c.id_b""".stripMargin
   }
 
   // ---- near-dup clusters ------------------------------------------------

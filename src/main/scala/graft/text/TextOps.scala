@@ -257,6 +257,50 @@ object TextOps {
     s"$h < $pct"
   }
 
+  /** Quality-greedy token-budget selection: per source, take documents
+    * in descending [[qualityScore]] order until the cumulative token
+    * count would exceed `budget` — the standard "best N tokens per
+    * domain" curation step when the training recipe fixes a per-domain
+    * token allowance rather than a document count. Output: one row per
+    * KEPT doc — (id, source, n_tok, score, cum_tok), cum_tok ≤ budget.
+    *
+    * Determinism: the ordering key is (score DESC NULLS LAST, id) — the
+    * score is a per-row expression both engines evaluate identically
+    * (IEEE on the same exact-int ratios), and the id tie-break makes the
+    * cumulative sum unique, so kept sets are engine-exact. The frame is
+    * pinned ROWS (RANGE would merge score peers).
+    *
+    * Scale shape: one projection + one window per source partition —
+    * the same shuffle a per-source groupBy would pay, no global sort;
+    * sources are the natural write partition downstream. A doc larger
+    * than the remaining allowance stops its source's intake (greedy
+    * prefix, not knapsack) — the simple contract dataloaders expect. */
+  def tokenBudgetSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
+      srcCol: String, textCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(col("score").desc_nulls_last, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(idCol), col(srcCol),
+        wsTokenCount(col(textCol)).cast("long").as("n_tok"),
+        qualityScore(col(textCol)).as("score"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+  }
+
+  /** DuckDB twin of [[tokenBudgetSelect]]: identical ordering key,
+    * identical pinned ROWS frame. */
+  def tokenBudgetSelectSql(table: String, id: String, src: String,
+      text: String, budget: Long): String = {
+    s"SELECT $id, $src, n_tok, score, cum_tok FROM (" +
+      s"SELECT $id, $src, n_tok, score, " +
+      s"CAST(sum(n_tok) OVER (PARTITION BY $src ORDER BY score DESC NULLS LAST, $id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok " +
+      s"FROM (SELECT $id, $src, CAST(len(${tokensSql(text)}) AS BIGINT) AS n_tok, " +
+      s"${qualityScoreSql(text)} AS score FROM $table)) WHERE cum_tok <= $budget"
+  }
+
   /** Temperature-based corpus rebalancing (the XLM-R / mT5 multilingual
     * sampling scheme, Conneau et al. 2020 §3.1): group g is sampled in
     * proportion to n_g^alpha, flattening the head and lifting the tail.

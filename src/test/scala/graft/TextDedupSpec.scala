@@ -1035,4 +1035,83 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) === ((2L, 0L, 0.0)))
     assert(out(3L) === ((2L, 1L, 0.5)))
   }
+
+  test("canonicalDedup: case/punctuation/whitespace variants share one keeper") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "  HELLO   world!!  "),
+      (4L, "a different document")).toDF("doc_id", "text")
+    val out = Dedup.canonicalDedup(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2, "lowest id keeps the group")
+    assert(Set(1L, 2L, 3L).map(out(_)._1).size === 1, "variants share the canon hash")
+    assert(Set(1L, 2L, 3L).forall(out(_)._3 === 3L))
+    assert(out(4L)._2 && out(4L)._3 === 1L)
+    assert(out(4L)._1 !== out(1L)._1)
+  }
+
+  test("lshRecallEval: an exact duplicate pair is always surfaced (recall 1)") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // byte-equal → sig-equal
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val r = Dedup.lshRecallEval(df, "doc_id", "text", 3, 0.8).head()
+    assert(r.getLong(0) === 1L, "one true pair at 0.8")   // n_true
+    assert(r.getLong(2) === 1L, "the identical pair must collide in every band") // n_hit
+    assert(r.getDouble(3) === 1.0)                        // recall
+    assert(r.getLong(1) >= 1L)                            // n_cand
+  }
+
+  test("minhashEstimatePairs: identical docs estimate 1.0 with zero error; bounds hold on the fixture") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val rows = Dedup.minhashEstimatePairs(df, "doc_id", "text", 3).collect()
+    val ab = rows.find(r => r.getLong(0) === 1L && r.getLong(1) === 2L).get
+    assert(ab.getAs[Int]("est_matches") === Dedup.MinhashParams.size)
+    assert(ab.getAs[Double]("est") === 1.0)
+    assert(ab.getAs[Double]("jaccard") === 1.0)
+    assert(ab.getAs[Double]("abs_err") === 0.0)
+    // fixture-wide invariants: est and jaccard in [0,1], err consistent
+    val fx = Dedup.minhashEstimatePairs(docs, "doc_id", "text", 3).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val est = r.getAs[Double]("est"); val j = r.getAs[Double]("jaccard")
+      assert(est >= 0.0 && est <= 1.0 && j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("abs_err") === math.abs(est - j))
+    }
+  }
+
+  test("tokenBudgetSelect equals a driver-side greedy simulation on the fixture") {
+    val budget = 600L
+    val feats = docs.select(col("doc_id"), col("source"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = feats.groupBy(_._2).valuesIterator.flatMap { ds =>
+      var cum = 0L
+      ds.sortBy(t => (-t._4, t._1)).takeWhile { t => cum += t._3; cum <= budget }
+        .map(_._1)
+    }.toSet
+    val got = TextOps.tokenBudgetSelect(docs, "doc_id", "source", "text", budget)
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds === expected)
+    // every kept row respects the allowance, and adding any source's
+    // first excluded doc would break it (greedy-prefix contract)
+    got.collect().foreach(r => assert(r.getAs[Long]("cum_tok") <= budget))
+    // stable under re-partitioning (window keys are deterministic)
+    val again = TextOps.tokenBudgetSelect(docs.repartition(7), "doc_id",
+      "source", "text", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === gotIds)
+  }
 }
