@@ -956,6 +956,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Duplicate-cluster size distribution: how many near-dup groups of
+    // each size the corpus carries (the dedup health histogram a corpus
+    // report leads with — a fat tail here means boilerplate found its
+    // way in). Two bounded aggregations over the CC labels.
+    "d_cluster_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs.select("doc_id"),
+        Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+        .groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("csize") * col("n_clusters"))
+        .orderBy("csize")
+    }),
+
     // Deterministic corpus split: hash-of-id bucketing → auditable
     // train/val/test assignment (stable under resharding, unlike
     // randomSplit), plus per-(source, split) mixture stats.
@@ -1175,6 +1189,23 @@ object SparkEntry {
     // double op chain — so even the z values are cell-exact.
     "ts_zscore" -> ((s, d) =>
       graft.ops.TimeSeries.zscoreAnomalies(archiveDim(s, d))
+        .orderBy("attribute_id", "timestamp")),
+
+    // Truncated EWMA (alpha = 1/2) per series: the order-dependent
+    // smoothing recursion made engine-exact by folding the frame's
+    // quantized values as ONE BIGINT (newest-first, a*2+x) — weights
+    // 2^(n-1)..2^0 over the last 16 points, one double division at
+    // the end.
+    "ts_ewma" -> ((s, d) =>
+      graft.ops.TimeSeries.ewma(archiveDim(s, d))
+        .orderBy("attribute_id", "timestamp")),
+
+    // Hour-of-day seasonal baseline + residuals: the diurnal profile
+    // (catalog-sized, broadcast back) and each point's deviation from
+    // its slot mean — the seasonality-adjusted anomaly signal that a
+    // plain rolling z-score confounds with the daily cycle.
+    "ts_seasonal" -> ((s, d) =>
+      graft.ops.TimeSeries.seasonalResiduals(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
     // Staleness report: each attribute's newest point + its age relative
@@ -2134,6 +2165,19 @@ object SparkEntry {
         "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
         "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
 
+    "d_cluster_stats" ->
+      (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src), " +
+        "__lab AS (SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src), " +
+        "__cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM __lab GROUP BY cluster) " +
+        "SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(csize * count(*) AS BIGINT) AS n_docs " +
+        "FROM __cs GROUP BY csize ORDER BY csize"),
+
     // identical statement: star contraction computes the same components
     "d_cluster_star" ->
       (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
@@ -2272,6 +2316,16 @@ object SparkEntry {
     "ts_zscore" ->
       (s"WITH $archiveSqlCte SELECT * FROM (" +
         s"${graft.ops.TimeSeries.zscoreAnomaliesSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_ewma" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.ewmaSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_seasonal" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.seasonalResidualsSql("SELECT * FROM archive")}) " +
         "ORDER BY attribute_id, timestamp"),
 
     "ts_staleness" ->

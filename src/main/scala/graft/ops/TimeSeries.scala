@@ -323,4 +323,110 @@ object TimeSeries {
        |                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
        |       END) >= $zThresh, false) AS anomaly
        |FROM __wd""".stripMargin
+
+  /** Truncated exponential moving average (α = 1/2) per series: each
+    * point smoothed over the `window` most recent observations with
+    * weights 2^(n−1) (newest) down to 2^0 (oldest) — the classic EWMA
+    * recursion s ← (s + v)/2 cut off at `window` terms, which is
+    * where >99.99% of the mass lives for window ≥ 16.
+    *
+    * EWMA is order-DEPENDENT, so a float formulation would be
+    * engine-ambiguous; here the weighted numerator is an exact BIGINT
+    * fold over the frame's quantized values — collect the frame's
+    * q-values in ORDER (both engines fill window frames in ORDER BY
+    * order), reverse so the newest folds first, then a·2+x — and the
+    * denominator is 2^n − 1, so the one double division at the end is
+    * engine-exact. Frame order must be unambiguous: rows collapse to
+    * unique (attribute, timestamp) first (ts_moving's rationale).
+    *
+    * Scale shape: one hash shuffle on attribute_id + a linear window
+    * pass; the collected frame is `window` longs (bounded, never
+    * data-proportional). Integer headroom: |q|·2^window within BIGINT —
+    * |value|·2^10·2^16 leaves ~2^37 of slack for sensor ranges. */
+  def ewma(archive: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 40, "window must keep 2^window in BIGINT headroom")
+    val w = Window.partitionBy("attribute_id").orderBy("timestamp")
+      .rowsBetween(-(window - 1), 0)
+    archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+      .withColumn("__arr", collect_list(col("__q")).over(w))
+      .withColumn("__num", aggregate(reverse(col("__arr")), lit(0L), (a, x) => a * 2 + x))
+      .withColumn("__den", expr("shiftleft(CAST(1 AS BIGINT), size(__arr))") - 1)
+      .withColumn("ewma", col("__num").cast("double") /
+        (col("__den").cast("double") * ZScoreQ.toDouble))
+      .select("attribute_id", "timestamp", "value", "ewma")
+  }
+
+  /** Oracle twin of [[ewma]]: same dedup and quantization, same
+    * ordered frame collect (`list()` fills in ORDER BY order), same
+    * reversed BIGINT fold and final division. */
+  def ewmaSql(archiveSql: String, window: Int = 16): String =
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __wd AS (
+       |  SELECT attribute_id, timestamp, value,
+       |         list(CAST(round(value * $ZScoreQ) AS BIGINT)) OVER
+       |           (PARTITION BY attribute_id ORDER BY timestamp
+       |            ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS arr
+       |  FROM __pts
+       |)
+       |SELECT attribute_id, timestamp, value,
+       |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(arr)),
+       |              (a, x) -> a * 2 + x) AS DOUBLE)
+       |         / (CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE) * $ZScoreQ) AS ewma
+       |FROM __wd""".stripMargin
+
+  /** Hour-of-day seasonal baseline + per-point residual: each series'
+    * mean value per hour-of-day slot (the diurnal profile every
+    * operations dashboard draws), joined back so every observation
+    * carries its slot mean and deviation — the seasonality-adjusted
+    * signal that a plain rolling z-score (ts_zscore) confounds with
+    * the daily cycle.
+    *
+    * Slot means come from exact BIGINT sums of quantized values (a
+    * per-group AVG of doubles is summation-order-dependent), divided
+    * once; the residual is one further subtraction — engine-exact.
+    *
+    * Scale shape: the profile is catalog-sized (attributes × 24) from
+    * one map-side-combinable groupBy, broadcast back against the
+    * archive — the scan never shuffles. */
+  def seasonalResiduals(archive: DataFrame): DataFrame = {
+    val pts = archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("hod", hour(col("timestamp")))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+    val profile = pts.groupBy("attribute_id", "hod")
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__sq"))
+    pts.join(broadcast(profile), Seq("attribute_id", "hod"))
+      .withColumn("seasonal_mean", col("__sq").cast("double") /
+        (col("__n").cast("double") * ZScoreQ.toDouble))
+      .withColumn("residual", col("value") - col("seasonal_mean"))
+      .select("attribute_id", "timestamp", "hod", "value",
+        "seasonal_mean", "residual")
+  }
+
+  /** Oracle twin of [[seasonalResiduals]]: same quantized-integer slot
+    * sums, same single division and subtraction. */
+  def seasonalResidualsSql(archiveSql: String): String =
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __qd AS (
+       |  SELECT attribute_id, timestamp, value,
+       |         CAST(hour(timestamp) AS INTEGER) AS hod,
+       |         CAST(round(value * $ZScoreQ) AS BIGINT) AS q
+       |  FROM __pts
+       |), __prof AS (
+       |  SELECT attribute_id, hod, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(q) AS BIGINT) AS sq
+       |  FROM __qd GROUP BY attribute_id, hod
+       |)
+       |SELECT d.attribute_id, d.timestamp, d.hod, d.value,
+       |       CAST(p.sq AS DOUBLE) / (CAST(p.n AS DOUBLE) * $ZScoreQ) AS seasonal_mean,
+       |       d.value - CAST(p.sq AS DOUBLE) / (CAST(p.n AS DOUBLE) * $ZScoreQ) AS residual
+       |FROM __qd d JOIN __prof p ON d.attribute_id = p.attribute_id AND d.hod = p.hod""".stripMargin
 }

@@ -209,4 +209,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter(r => r.getInt(0) == 1 && r.getDouble(2) < 50.0)
       .forall(!_.getBoolean(4)))
   }
+
+  test("ewma matches the truncated-weight reference; constants are fixed points") {
+    val vals = Seq(10.0, 20.0, 40.0, 10.0, 30.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1, f"2024-01-01 $i%02d:00:00", Some(v))
+    } ++ (0 until 4).map(i => (2, f"2024-01-01 $i%02d:00:00", Some(7.5)))
+    val out = TimeSeries.ewma(archive(rows), window = 3)
+      .orderBy("attribute_id", "timestamp").collect()
+    // reference: newest weight 2^(n-1) .. oldest 2^0 over last 3 points
+    def ref(window: Seq[Double]): Double = {
+      // window is oldest→newest; reverse so the newest folds first and
+      // ends up with weight 2^(n-1)
+      val q = window.map(v => math.round(v * 1024.0))
+      val num = q.reverse.foldLeft(0L)((a, x) => a * 2 + x)
+      num.toDouble / (((1L << q.length) - 1).toDouble * 1024.0)
+    }
+    val s1 = out.filter(_.getInt(0) == 1).map(_.getDouble(3))
+    val expect = vals.indices.map(i => ref(vals.slice(math.max(0, i - 2), i + 1)))
+    assert(s1.toSeq === expect)
+    // a constant series smooths to itself (weights sum to the denominator)
+    assert(out.filter(_.getInt(0) == 2).forall(_.getDouble(3) === 7.5))
+    // newest point dominates: the 40 spike pulls the smoothed value to
+    // (40·4 + 20·2 + 10·1)/7 = 30 — far above the running mean ~23.3
+    assert(s1(2) === 30.0)
+  }
+
+  test("seasonalResiduals: slot means per hour-of-day; residuals sum to ~0 per slot") {
+    // two days, hours 0..2: hour h of day d has value 10*h + d
+    val rows = for (d <- 0 until 2; h <- 0 until 3) yield
+      (1, f"2024-01-0${d + 1} $h%02d:00:00", Some(10.0 * h + d))
+    val out = TimeSeries.seasonalResiduals(archive(rows)).collect()
+      .map(r => (r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // slot mean for hour h = 10h + 0.5; residual = ±0.5
+    out.foreach { case (hod, v, mean, res) =>
+      assert(mean === 10.0 * hod + 0.5)
+      assert(math.abs(res) === 0.5)
+      assert(v - mean === res)
+    }
+    assert(out.groupBy(_._1).forall { case (_, g) => g.map(_._4).sum === 0.0 })
+  }
 }
