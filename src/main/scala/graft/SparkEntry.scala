@@ -595,6 +595,27 @@ object SparkEntry {
       cleaned.orderBy("doc_id")
     }),
 
+    // Streaming canonical dedup, batch kernel: even originals play the
+    // claim registry, the batch is noisy twins of every doc (+100000,
+    // upper/padded/suffixed) plus a SECOND twin of the odd docs
+    // (+200000) — twins of evens die on the registry, first twins of
+    // odds survive, second twins die on the within-batch keeper rule.
+    "d_stream_canon" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val twin1 = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!")).as("text"))
+      val twin2 = base.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(upper(col("text")), lit(" ??")).as("text"))
+      val registry = base.filter(col("doc_id") % 2 === 0)
+        .select(graft.functions.NativeExprs.polyHash(
+          Dedup.canonicalKey(col("text")), TextOps.CharMul, TextOps.P).as("h"))
+        .distinct()
+      val (kept, _) = Dedup.canonicalSuppress(
+        twin1.unionByName(twin2), registry, "doc_id", "text")
+      kept.orderBy("doc_id")
+    }),
+
     // Streaming drift, batch kernel: even ids play the count registry
     // (the corpus so far), odd ids the arriving batch — the
     // per-micro-batch unit of StreamingDedup.driftBatchStep.
@@ -911,6 +932,27 @@ object SparkEntry {
       Similarity.ivfPqTopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
+
+    // recall of the DEPLOYED index shapes (not just the LSH baseline):
+    // how much the coarse-probe truncation (IVF-PQ) and the int8
+    // quantization (SQ8) each cost against the exact scan, per query
+    "s_recall_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.ivfPqTopK(e, q, k = 10, dim = 64),
+        Similarity.bruteForceTopK(e, q, k = 10, dim = 64))
+        .orderBy("query_id")
+    }),
+
+    "s_recall_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.sq8TopK(e, q, k = 10, dim = 64),
+        Similarity.bruteForceTopK(e, q, k = 10, dim = 64))
+        .orderBy("query_id")
+    }),
 
     // class geometry over the embedding corpus: per-label quantized-mean
     // centroids (bit-reproducible) and their pairwise cosine matrix
@@ -1985,6 +2027,15 @@ object SparkEntry {
         "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", 3)}) " +
         "ORDER BY doc_id"),
 
+    "d_stream_canon" -> {
+      val aug = "(SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, '  ' || upper(text) || ' !!' FROM documents " +
+        "UNION ALL SELECT doc_id + 200000, upper(text) || ' ??' FROM documents WHERE doc_id % 2 = 1)"
+      s"SELECT * FROM (${Dedup.canonicalSuppressSql(aug,
+        "doc_id < 100000 AND doc_id % 2 = 0", "doc_id >= 100000",
+        "doc_id", "text")}) ORDER BY doc_id"
+    },
+
     // the one-group form of vocabDriftSql: ref = even ids, cur = odd
     "d_stream_drift" ->
       (s"SELECT n_ref, n_cur, vocab, tvd FROM (${TextOps.vocabDriftSql(
@@ -2111,6 +2162,16 @@ object SparkEntry {
     "s_knn_sq8" ->
       (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",
         k = 10, dim = 64)}) ORDER BY query_id, rank"),
+
+    "s_recall_ivfpq" ->
+      (s"SELECT * FROM (${Similarity.annRecallSql(
+        Similarity.ivfPqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+        BruteKnnSql)}) ORDER BY query_id"),
+
+    "s_recall_sq8" ->
+      (s"SELECT * FROM (${Similarity.annRecallSql(
+        Similarity.sq8TopKSql("embeddings", "vec_id < 5", k = 10, dim = 64),
+        BruteKnnSql)}) ORDER BY query_id"),
 
     "s_knn_ivfsq8" ->
       (s"SELECT * FROM (${Similarity.ivfSq8TopKSql("embeddings", "q.vec_id < 5",

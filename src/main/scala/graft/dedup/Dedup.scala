@@ -76,6 +76,53 @@ object Dedup {
       s"FROM $table)"
   }
 
+  /** Batch kernel of STREAMING canonical dedup (wrapped by
+    * [[graft.streaming.StreamingDedup.canonBatchStep]]): suppress
+    * `batch` against `registry` — the distinct canonical-form hashes
+    * claimed by all PRIOR batches, one `h` column — plus the batch's
+    * own lowest-id-per-canon-group keeper rule. First batch to claim a
+    * canonical form wins (arrival order across batches, id order within
+    * one); when batches arrive in id order, concatenating the per-batch
+    * keepers is EXACTLY [[canonicalDedup]]'s keeper set on the union.
+    *
+    * Returns (kept, claims): kept = (id, canon_h) for the batch's
+    * surviving docs; claims = the canon hashes this batch claims (not
+    * yet in the registry) to append. Registry rows are one 8-byte hash
+    * per distinct canonical form — linear in distinct content. */
+  def canonicalSuppress(batch: DataFrame, registry: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val reg = registry.select(col("h").as("canon_h")).distinct()
+      .withColumn("__seen", lit(1))
+    val w = Window.partitionBy("canon_h")
+    val flagged = batch
+      .select(col(idCol), graft.functions.NativeExprs.polyHash(
+        canonicalKey(col(textCol)), TextOps.CharMul, TextOps.P).as("canon_h"))
+      .withColumn("__first", min(col(idCol)).over(w))
+      .join(reg, Seq("canon_h"), "left")
+    val kept = flagged
+      .filter(col("__seen").isNull && col(idCol) === col("__first"))
+      .select(col(idCol), col("canon_h"))
+    val claims = flagged.filter(col("__seen").isNull)
+      .select(col("canon_h").as("h")).distinct()
+    (kept, claims)
+  }
+
+  /** Oracle twin for [[canonicalSuppress]] as a one-shot statement:
+    * docs matching `registryPred` play the prior batches (only their
+    * distinct canon hashes matter), docs matching `batchPred` are the
+    * incoming batch. */
+  def canonicalSuppressSql(table: String, registryPred: String,
+      batchPred: String, idCol: String, textCol: String): String = {
+    val h = TextOps.tokenHashSql(canonicalKeySql(textCol))
+    s"""WITH __b AS (SELECT $idCol, $h AS canon_h FROM $table WHERE $batchPred),
+       |__reg AS (SELECT DISTINCT $h AS h FROM $table WHERE $registryPred),
+       |__f AS (SELECT $idCol, canon_h,
+       |        min($idCol) OVER (PARTITION BY canon_h) AS __first FROM __b)
+       |SELECT f.$idCol, f.canon_h
+       |FROM __f f LEFT JOIN __reg r ON f.canon_h = r.h
+       |WHERE r.h IS NULL AND f.$idCol = f.__first""".stripMargin
+  }
+
   /** Distinct (doc, token-HASH) pairs — the inverted-index input. With
     * n > 1 the "token" is an n-gram shingle (tokenized into a bound
     * column first — see [[shinglesFromTokens]]).

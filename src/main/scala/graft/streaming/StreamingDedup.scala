@@ -165,6 +165,49 @@ object StreamingDedup {
       .start()
   }
 
+  /** One idempotent micro-batch step of STREAMING canonical dedup
+    * ([[Dedup.canonicalSuppress]] semantics — exact dedup after
+    * case/punct/whitespace normalization, for a corpus that arrives as
+    * a feed): a doc survives iff its canonical-form hash was claimed by
+    * NO earlier batch and it is the lowest id of its canon group within
+    * this batch. Shares the substring registry's (h, batch_id) schema,
+    * so [[readSubstringRegistry]] and [[compactSubstringRegistry]]
+    * apply unchanged. Same exactly-once discipline: per-batch-partition
+    * overwrites + registry read excludes the current batch id → replay
+    * rewrites both partitions byte-identically. The claim registry is a
+    * MONOTONE claim set (the `=!=` replay argument of [[batchStep]]
+    * holds). */
+  def canonBatchStep(spark: SparkSession, registryDir: String,
+      keptDir: String, idCol: String, textCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val registry = readSubstringRegistry(spark, registryDir)
+      .filter(col("batch_id") =!= batchId)
+      .select("h")
+    val (kept, claims) =
+      Dedup.canonicalSuppress(batch, registry, idCol, textCol)
+    kept.write.mode("overwrite").parquet(s"$keptDir/batch_id=$batchId")
+    claims.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** Wire a streaming document source through the canonical dedup:
+    * kept (id, canon_h) rows under `keptDir/batch_id=*`, canon-hash
+    * claims under `registryDir/batch_id=*`. */
+  def startCanon(docs: DataFrame, registryDir: String, keptDir: String,
+      checkpointPath: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          canonBatchStep(spark, registryDir, keptDir, idCol, textCol)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** One micro-batch of streaming novelty scoring
     * ([[graft.dedup.Dedup.noveltySuppress]]): the batch scores against
     * every EARLIER batch's gram claims, its first-seen grams append to

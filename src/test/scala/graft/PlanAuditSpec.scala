@@ -307,4 +307,48 @@ class PlanAuditSpec extends SparkSpec {
     // and the pruned scan still returns exactly the boundary-day rows
     assert(ranged.collect().map(_.getDouble(2)).toSeq === Seq(2.0))
   }
+
+  test("ewma and seasonal residuals never pair-join; the seasonal profile broadcasts") {
+    val pe = plan("ts_ewma")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("Join"),
+      s"ts_ewma needs no join at all:\n$pe")
+    assert(pe.contains("Window"), s"ts_ewma lost its frame collect:\n$pe")
+    val ps = plan("ts_seasonal")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"the catalog-sized diurnal profile must broadcast:\n$ps")
+    assert(!ps.contains("SortMergeJoin"),
+      s"ts_seasonal shuffled the archive against a 120-row profile:\n$ps")
+  }
+
+  test("LSH calibration pairs stay equi-join shaped; sizes broadcast") {
+    // per-pair calibration: strictly equi-join, nothing nested-loop
+    val pe = plan("d_minhash_est")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"),
+      s"d_minhash_est degenerated to a pair scan:\n$pe")
+    // the recall summary ends in a single-row × single-row cross (the
+    // broadcast-scalar-aggregate pattern, a3_scalar_subquery precedent)
+    // — allowed exactly once, and never a shuffled cartesian
+    val pr = plan("d_lsh_recall")
+    assert(!pr.contains("CartesianProduct"),
+      s"d_lsh_recall has a shuffled cartesian:\n$pr")
+    // count detail headers "(N) BroadcastNestedLoopJoin" — the tree and
+    // detail sections of formatted explain each mention a node once
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pr).length <= 1,
+      s"d_lsh_recall may cross only the two one-row aggregates:\n$pr")
+  }
+
+  test("token-budget selection is one window per source partition, no global sort") {
+    val p = plan("pipe_token_budget")
+    // the only rangepartitioning allowed is the final presentation ORDER BY
+    val exchanges = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"pipe_token_budget must not sort globally mid-plan:\n$p")
+    assert(p.contains("Window"), s"pipe_token_budget lost its budget window:\n$p")
+    assert(!p.contains("Join"), s"pipe_token_budget needs no join:\n$p")
+  }
+
+  test("canonical dedup is one hash window over 8-byte keys, no join") {
+    val p = plan("d_canon")
+    assert(!p.contains("Join"), s"d_canon needs no join:\n$p")
+    assert(p.contains("Window"), s"d_canon lost its canon-group window:\n$p")
+  }
 }
