@@ -308,4 +308,52 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("streaming canonical dedup: installments equal the batch keeper set; replay idempotent") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_canondedup").toString
+    // fixture docs + canon-equal noisy twins so suppression actually
+    // fires: twins land in the SECOND installment and must all die on
+    // the first installment's claims; a twin pair (x+200000, x+300000)
+    // of each odd doc exercises the within-batch keeper rule too
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val twins = base.map { case (id, t) => (id + 200000L, s"  ${t.toUpperCase} !!") }
+    val twins2 = base.filter(_._1 % 2 == 1)
+      .map { case (id, t) => (id + 300000L, s"${t.toUpperCase} ??") }
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = StreamingDedup.startCanon(stream, s"$dir/registry",
+        s"$dir/kept", s"$dir/ckpt")
+      q.awaitTermination(120000)
+    }
+    mem.addData(base); run()
+    mem.addData(twins ++ twins2); run()
+
+    val streamed = spark.read.option("basePath", s"$dir/kept")
+      .parquet(s"$dir/kept").select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch reference: canonicalDedup keepers over the id-ordered union
+    // (installments arrived in id order, so arrival == id order)
+    val all = (base ++ twins ++ twins2).toDF("doc_id", "text")
+    val batchKeepers = Dedup.canonicalDedup(all, "doc_id", "text")
+      .filter(col("keeper")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === batchKeepers)
+    // every twin died (its canon was claimed in installment 1)
+    assert(streamed.forall(_ < 200000L))
+
+    // replay installment 0 (crash between the two writes): outputs
+    // must not change — its own claims are excluded from the probe
+    val before = spark.read.parquet(s"$dir/kept/batch_id=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamingDedup.canonBatchStep(spark, s"$dir/registry",
+      s"$dir/kept", "doc_id", "text")(base.toDF("doc_id", "text"), 0L)
+    val after = spark.read.parquet(s"$dir/kept/batch_id=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+  }
 }
