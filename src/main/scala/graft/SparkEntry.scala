@@ -361,6 +361,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mixed-language (code-switching) detection: language-ID per
+    // 16-token chunk, then per-doc agreement of the majority language —
+    // the curation signal doc-level langid can't see (a half-EN half-DE
+    // page scores confident 'en' OR 'de' whole-doc; its chunk agreement
+    // is ~0.5). One chunk explode + two doc-keyed aggregations.
+    "t_langid_mixed" -> ((s, d) => {
+      val chunks = TextOps.chunkTokens(Tables.documents(s, d),
+          "doc_id", "text", 16, 0)
+        .select(col("doc_id"), TextOps.langId(col("chunk")).as("lang"))
+      val counts = chunks.groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val wRank = wDoc.orderBy(col("cnt").desc, col("lang"))
+      counts
+        .withColumn("__rk", row_number().over(wRank))
+        .withColumn("n_chunks", sum(col("cnt")).over(wDoc))
+        .withColumn("n_langs", count(lit(1)).over(wDoc))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("lang").as("major_lang"),
+          (col("cnt").cast("double") / col("n_chunks").cast("double")).as("agreement"))
+        .orderBy("doc_id")
+    }),
+
     "t_langid" -> ((s, d) =>
       TextOps.withLangId(Tables.documents(s, d), "text")
         .select("doc_id", "lang", "lang_pred")
@@ -998,6 +1021,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Cross-source exact-duplication matrix (provenance audit): which
+    // source pairs share byte-identical content, counted by shared
+    // fingerprint — the mirror-site detector. The fixture has no
+    // cross-source dups, so every 7th doc gets a mirrored copy under
+    // "mirror_<source>" that must pair with its original. Equi-join on
+    // the 8-byte fingerprint; fanout per fingerprint bounded by the
+    // source catalog, never pairwise in docs.
+    "d_source_dups" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val aug = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("mirror_"), col("source")).as("source"), col("text")))
+      val fp = aug.select(col("source"), TextOps.fingerprint("text").as("fp")).distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Per-source top-5 trigram document frequencies: the corpus
+    // fingerprint table a curation report leads with (which boilerplate
+    // n-grams dominate each crawl source). One inverted-index count +
+    // a WindowGroupLimit rank — never a global sort.
+    "t_ngram_topk" -> ((s, d) => {
+      val dt = Dedup.docTokens(Tables.documents(s, d), "doc_id", "text",
+        Seq("source"), 3)
+      val counts = dt.groupBy("source", "tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("df").desc, col("tok"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("source", "rank")
+    }),
+
     // Duplicate-cluster size distribution: how many near-dup groups of
     // each size the corpus carries (the dedup health histogram a corpus
     // report leads with — a fat tail here means boilerplate found its
@@ -1010,6 +1068,26 @@ object SparkEntry {
         .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("csize") * col("n_clusters"))
         .orderBy("csize")
+    }),
+
+    // Decontaminated eval-set construction, end to end: hash-split the
+    // corpus, then drop every test doc whose train-shingle overlap
+    // exceeds 50% — the split-then-decontaminate pipeline an eval set
+    // actually ships through. Shingle-vocabulary probe join (d_contam
+    // shape); test docs with no shingles pass as trivially clean.
+    "pipe_eval_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("__split", TextOps.hashSplit(col("doc_id")))
+      val c = Dedup.contamination(
+        docs.filter(col("__split") === "train"),
+        docs.filter(col("__split") === "test"),
+        "doc_id", "text", 3)
+      docs.filter(col("__split") === "test")
+        .select("doc_id", "source")
+        .join(c, Seq("doc_id"), "left")
+        .filter(coalesce(col("contamination") <= 0.5, lit(true)))
+        .select("doc_id", "source", "n_shingles", "n_hit", "contamination")
+        .orderBy("doc_id")
     }),
 
     // Deterministic corpus split: hash-of-id bucketing → auditable
@@ -2054,6 +2132,52 @@ object SparkEntry {
     "d_contam_matrix" ->
       (s"SELECT * FROM (${Dedup.contaminationMatrixSql("documents", "source", "text", 3)}) " +
         "ORDER BY source_a, source_b"),
+
+    "t_langid_mixed" -> {
+      val chunkSql = TextOps.chunkTokensSql("documents", "doc_id", "text", 16, 0)
+      s"""WITH __ch AS (SELECT * FROM ($chunkSql)),
+         |__lid AS (SELECT doc_id, ${TextOps.langIdSql("chunk")} AS lang FROM __ch),
+         |__cnt AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM __lid GROUP BY doc_id, lang),
+         |__agg AS (SELECT doc_id, lang, cnt,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk,
+         |  CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+         |  FROM __cnt)
+         |SELECT doc_id, n_chunks, n_langs, lang AS major_lang,
+         |       CAST(cnt AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS agreement
+         |FROM __agg WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "d_source_dups" -> {
+      val aug = "(SELECT doc_id, source, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, 'mirror_' || source, text FROM documents WHERE doc_id % 7 = 0)"
+      s"WITH __fp AS (SELECT DISTINCT source, ${TextOps.fingerprintSql("text")} AS fp FROM $aug d) " +
+        "SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM __fp a JOIN __fp b ON a.fp = b.fp AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY source_a, source_b"
+    },
+
+    "t_ngram_topk" -> {
+      val sh = Dedup.shinglesSql("text", 3)
+      s"WITH __u AS (SELECT doc_id, source, unnest($sh) AS tok FROM documents), " +
+        s"uniq AS (SELECT DISTINCT doc_id, source, ${TextOps.tokenHashSql("tok")} AS tok FROM __u), " +
+        "cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS df FROM uniq GROUP BY 1, 2), " +
+        "rk AS (SELECT source, tok, df, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY df DESC, tok) AS INTEGER) AS rank FROM cnt) " +
+        "SELECT * FROM rk WHERE rank <= 5 ORDER BY source, rank"
+    },
+
+    "pipe_eval_clean" -> {
+      val split = TextOps.hashSplitSql("doc_id")
+      s"""WITH __c AS (SELECT * FROM (${Dedup.contaminationSql("documents",
+           s"($split) = 'train'", s"($split) = 'test'", "doc_id", "text", 3)})),
+         |__te AS (SELECT doc_id, source FROM documents WHERE ($split) = 'test')
+         |SELECT t.doc_id, t.source, c.n_shingles, c.n_hit, c.contamination
+         |FROM __te t LEFT JOIN __c c ON t.doc_id = c.doc_id
+         |WHERE coalesce(c.contamination <= 0.5, TRUE)
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "t_novelty" ->
       (s"SELECT * FROM (${Dedup.noveltyScoresSql("documents", "doc_id", "text", 3)}) " +

@@ -346,6 +346,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pipe_token_budget needs no join:\n$p")
   }
 
+  test("per-source top-ngram rank is map-side group-limited; no global sort") {
+    val p = plan("t_ngram_topk")
+    assert(p.contains("WindowGroupLimit"), s"top-5 rank not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair scan appeared:\n$p")
+  }
+
+  test("source-dup matrix and eval decontamination stay equi-join shaped") {
+    for (q <- Seq("d_source_dups", "pipe_eval_clean", "t_langid_mixed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a pair scan:\n$p")
+    }
+  }
+
   test("canonical dedup is one hash window over 8-byte keys, no join") {
     val p = plan("d_canon")
     assert(!p.contains("Join"), s"d_canon needs no join:\n$p")

@@ -1090,6 +1090,64 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("chunked langid flags a code-switched doc that doc-level langid scores confident") {
+    val sess = spark
+    import sess.implicits._
+    // exactly 16 tokens each, so every sentence is one whole chunk
+    val en = "the cat and the dog is in the house and the bird is on the roof"
+    val de = "der hund und die katze ist nicht das haus und der vogel ist nicht hier heute"
+    val df = Seq(
+      (1L, s"$en $en"),        // pure EN, 32 tokens = 2 chunks
+      (2L, s"$en $de"),        // half EN half DE
+      (3L, "xyzzy plugh"))     // no markers, one chunk of 'und'
+      .toDF("doc_id", "text")
+    // reproduce the query's chunk->majority pipeline
+    val chunks = TextOps.chunkTokens(df, "doc_id", "text", 16, 0)
+      .select(col("doc_id"), TextOps.langId(col("chunk")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byDoc(1L) === Seq("en", "en"))
+    assert(byDoc(2L).sorted === Seq("de", "en"))
+    assert(byDoc(3L) === Seq("und"))
+  }
+
+  test("d_source_dups pairs mirrored sources by shared fingerprint only") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "sa", "alpha beta gamma"),
+      (2L, "sb", "alpha beta gamma"),   // exact mirror of 1 in sb
+      (3L, "sb", "delta epsilon zeta"),
+      (4L, "sc", "eta theta iota")).toDF("doc_id", "source", "text")
+    val fp = df.select(col("source"), TextOps.fingerprint("text").as("fp")).distinct()
+    val pairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source"), col("b.source"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("sa", "sb")))
+  }
+
+  test("eval decontamination keeps exactly the low-overlap test docs") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("__split", TextOps.hashSplit(col("doc_id")))
+    val test = docs.filter(col("__split") === "test")
+    val c = Dedup.contamination(
+      docs.filter(col("__split") === "train"), test, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val kept = test.select("doc_id")
+      .join(Dedup.contamination(
+        docs.filter(col("__split") === "train"), test, "doc_id", "text", 3),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("contamination") <= 0.5, lit(true)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val testIds = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = testIds.filter(id => c.get(id).forall(_ <= 0.5))
+    assert(kept === expected)
+    assert(kept.subsetOf(testIds))
+  }
+
   test("tokenBudgetSelect equals a driver-side greedy simulation on the fixture") {
     val budget = 600L
     val feats = docs.select(col("doc_id"), col("source"),
