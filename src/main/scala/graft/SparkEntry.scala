@@ -71,6 +71,22 @@ object SparkEntry {
       |  SELECT 1, CAST(n_nationkey + 100 AS INTEGER), n_name, n_regionkey FROM nation
       |)""".stripMargin
 
+  /** Boilerplate-injection augmentation shared by t_boilerplate /
+    * d_stream_boiler: the fixture text is single-line, so both engines
+    * append the same newsletter line (every 3rd doc), copyright line
+    * (every 4th), and a per-doc unique closing line. */
+  private def boilerAug: Column = concat(col("text"),
+    when(col("doc_id") % 3 === 0,
+      lit("\nSubscribe to our newsletter today!")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0,
+      lit("\n(c) 2024 Example Corp. All rights reserved.")).otherwise(lit("")),
+    lit("\nClosing note for document "), col("doc_id").cast("string"))
+
+  private val boilerAugSql: String = "(text || " +
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter today!' ELSE '' END || " +
+    "CASE WHEN doc_id % 4 = 0 THEN chr(10) || '(c) 2024 Example Corp. All rights reserved.' ELSE '' END || " +
+    "chr(10) || 'Closing note for document ' || CAST(doc_id AS VARCHAR))"
+
   private val archiveSqlCte =
     """archive AS (
       |  SELECT date_trunc('hour', ts) AS timestamp,
@@ -470,6 +486,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RefinedWeb-style cross-document boilerplate removal: the fixture
+    // text is single-line, so the query injects the boilerplate shapes
+    // identically in both engines — a newsletter line on every 3rd doc
+    // (removed: df >= 5), a copyright line on every 4th (removed), and
+    // a per-doc unique closing line (kept). Exact-duplicate fixture
+    // texts big enough to cross the df threshold die too — the
+    // corpus-frequency semantics doc-local filters can't express.
+    "t_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateRemove(
+        Tables.documents(s, d).select(col("doc_id"), boilerAug.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Streaming boilerplate removal, batch kernel: the even docs'
+    // line counts play the earlier-batches registry, the odd docs are
+    // the incoming batch — a line is removed iff its CUMULATIVE
+    // distinct-doc count (registry + batch) reaches the threshold, the
+    // count-registry (strictly-earlier) replay discipline.
+    "d_stream_boiler" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), boilerAug.as("text"))
+      val reg = TextOps.lineDocCounts(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val (cleaned, _) = TextOps.boilerplateSuppress(
+        docs.filter(col("doc_id") % 2 === 1), reg, "doc_id", "text")
+      cleaned.orderBy("doc_id")
+    }),
+
     // Sliding-window token chunking: long docs → overlapping training
     // windows (32 tokens, overlap 8) — the doc-splitting partner of
     // pipe_pack's doc-packing.
@@ -799,6 +843,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // nearest as-of: each purchase picks the user's click with the
+    // smallest |Δt| in EITHER direction (tie → the earlier click); same
+    // single union-sort as the one-sided as-ofs, never a range join
+    "o_asof_near" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      Relational.asofJoinNearest(purchases, clicks, "user_id", "ts",
+        Seq("click_ts", "click_id", "click_value"), Seq("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Range (interval) join: clicks landing inside any [error, error+6h]
     // incident window of the same user — cell-bucketed equi-join, exact
     // BETWEEN semantics, no key×range pair explosion.
@@ -909,6 +968,32 @@ object SparkEntry {
         Similarity.lshTopK(e, q, k = 10, dim = 64),
         Similarity.bruteForceTopK(e, q, k = 10, dim = 64))
         .orderBy("query_id")
+    }),
+
+    // Hybrid retrieval (the RAG stack's ranker): reciprocal-rank fusion
+    // of the BM25 lexical top-20 and the embedding cosine top-20 for one
+    // query — rrf = Σ floor(10^6 / (60 + rank)) over the legs a doc
+    // appears in (integer RRF: the float 1/(60+r) sum is order-dependent,
+    // the floored quantized sum is engine-exact). Both legs are
+    // themselves oracle-exact statements; the fusion is one full outer
+    // join of two k-row lists — constant work after the legs.
+    "s_hybrid_rrf" -> ((s, d) => {
+      val lex = TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("dup", "spark", "query"), k = 20)
+        .select(col("doc_id").as("id"), col("score_q"))
+        .withColumn("lrank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_q").desc, col("id"))).cast("int"))
+        .select("id", "lrank")
+      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") === 7), k = 20, dim = 64)
+        .select(col("neighbor_id").as("id"), col("rank").as("srank"))
+      lex.join(sem, Seq("id"), "full_outer")
+        .withColumn("rrf_q",
+          coalesce(expr("1000000L div (60L + lrank)"), lit(0L)) +
+            coalesce(expr("1000000L div (60L + srank)"), lit(0L)))
+        .orderBy(col("rrf_q").desc, col("id")).limit(10)
+        .select("id", "lrank", "srank", "rrf_q")
     }),
 
     // ANN path: deterministic literal hyperplanes → the bucket folds are
@@ -1320,6 +1405,29 @@ object SparkEntry {
       graft.ops.TimeSeries.ewma(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
+    // Two-window mean-shift score (changepoint candidates): after-mean
+    // minus before-mean over 7-point frames, cross-multiplied BIGINTs,
+    // one double division — the level-shift detector window frames can
+    // express exactly (true CUSUM is a nonlinear recursion).
+    "ts_changepoint" -> ((s, d) =>
+      graft.ops.TimeSeries.meanShift(archiveDim(s, d))
+        .orderBy("attribute_id", "timestamp")),
+
+    // Per-series autocorrelation at lags 1..3: exact Pearson over
+    // quantized-integer sums (DECIMAL(38) / HUGEINT twins), one lag
+    // window + a catalog-sized aggregate — trend/mean-reversion/
+    // periodicity diagnostics per sensor.
+    "ts_acf" -> ((s, d) =>
+      graft.ops.TimeSeries.acf(archiveDim(s, d))
+        .orderBy("attribute_id", "lag")),
+
+    // Cross-attribute correlation matrix: which sensors move together,
+    // as exact-integer Pearson over timestamp-aligned pairs (join
+    // output hours × attrs², aggregate catalog-sized).
+    "ts_xcorr" -> ((s, d) =>
+      graft.ops.TimeSeries.crossCorrelation(archiveDim(s, d))
+        .orderBy("attr_a", "attr_b")),
+
     // Hour-of-day seasonal baseline + residuals: the diurnal profile
     // (catalog-sized, broadcast back) and each point's deviation from
     // its slot mean — the seasonality-adjusted anomaly signal that a
@@ -1381,6 +1489,45 @@ object SparkEntry {
     // user (forward as-of — union-sort carry, never a range explosion),
     // converted iff it lands within 6h; per-user rate + mean lag.
     // Lags stay integer MICROS until one final double division.
+    // Top event-type trigram paths: the most common 3-step behavioral
+    // sequences across user timelines (path mining the funnel queries'
+    // fixed shapes can't discover). One lead window per user partition
+    // + a bounded top-10 — the output is the limit size, so the final
+    // global sort is constant work.
+    "w7_path" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__e2", lead(col("event_type"), 1).over(w))
+        .withColumn("__e3", lead(col("event_type"), 2).over(w))
+        .filter(col("__e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+
+    // Event-type Markov transition matrix: consecutive-event bigram
+    // counts per user timeline + row-normalized transition
+    // probabilities (one double division of exact BIGINTs). The output
+    // is |event_types|² rows — catalog-sized — so the normalizing
+    // window runs over a handful of rows after the map-side-combinable
+    // count shuffle.
+    "w8_markov" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__to", lead(col("event_type"), 1).over(w))
+        .filter(col("__to").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("__to").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "w4_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -1989,6 +2136,15 @@ object SparkEntry {
         s"${f("clean_text")} AS clean_text FROM documents ORDER BY doc_id"
     },
 
+    "t_boilerplate" ->
+      (s"SELECT * FROM (${TextOps.boilerplateRemoveSql("documents", "doc_id", boilerAugSql)}) " +
+        "ORDER BY doc_id"),
+
+    "d_stream_boiler" ->
+      (s"SELECT * FROM (${TextOps.boilerplateSuppressSql("documents",
+        "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", boilerAugSql)}) " +
+        "ORDER BY doc_id"),
+
     "t_gopher" -> {
       val aug = "(text || chr(10) || '- bullet one' || chr(10) || '- bullet two' || " +
         "chr(10) || 'and so it ends...' || chr(10) || 'plain closing line.')"
@@ -2215,6 +2371,20 @@ object SparkEntry {
         "ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS cc ON true " +
         "ORDER BY p.event_id"),
 
+    "o_asof_near" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.user_id, p.ts, p.event_id, p.value, cc.click_ts, cc.click_id, " +
+        "cc.click_value, cc.matched_ts, cc.dir " +
+        "FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value, " +
+        "c.ts AS matched_ts, CASE WHEN c.ts <= p.ts THEN 'before' ELSE 'after' END AS dir " +
+        "FROM c WHERE c.user_id = p.user_id " +
+        "ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC, c.ts ASC, " +
+        "CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC " +
+        "LIMIT 1) AS cc ON true " +
+        "ORDER BY p.event_id"),
+
     "o_range_join" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
         "i AS (SELECT user_id, ts AS win_start, ts + INTERVAL 6 HOUR AS win_end, " +
@@ -2274,6 +2444,23 @@ object SparkEntry {
       Similarity.semDedupAutoSql("embeddings", 64, targetBucket = 40),
 
     "s_knn_brute" -> BruteKnnSql,
+
+    "s_hybrid_rrf" ->
+      (s"WITH __lex AS (${TextOps.bm25TopKSql("documents", "doc_id", "text",
+        Seq("dup", "spark", "query"), k = 20)}), " +
+        "__lr AS (SELECT doc_id AS id, CAST(row_number() OVER " +
+        "(ORDER BY score_q DESC, doc_id) AS INTEGER) AS lrank FROM __lex), " +
+        "__q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 7), " +
+        "__s AS (SELECT e.vec_id AS id, " +
+        s"${graft.sim.Similarity.cosineSql("q_vec", "e.embedding", 64)} AS cos " +
+        "FROM embeddings e CROSS JOIN __q WHERE e.vec_id <> 7), " +
+        "__sr AS (SELECT id, srank FROM (SELECT id, CAST(row_number() OVER " +
+        "(ORDER BY cos DESC, id) AS INTEGER) AS srank FROM __s) WHERE srank <= 20), " +
+        "__f AS (SELECT coalesce(l.id, s.id) AS id, l.lrank, s.srank " +
+        "FROM __lr l FULL JOIN __sr s ON l.id = s.id) " +
+        "SELECT id, lrank, srank, " +
+        "CAST(coalesce(1000000 // (60 + lrank), 0) + coalesce(1000000 // (60 + srank), 0) AS BIGINT) AS rrf_q " +
+        "FROM __f ORDER BY rrf_q DESC, id LIMIT 10"),
 
     // recall@10 of the LSH ANN path against the brute-force exact scan —
     // both sides are themselves oracle-exact statements, so the recall
@@ -2513,6 +2700,21 @@ object SparkEntry {
         s"${graft.ops.TimeSeries.seasonalResidualsSql("SELECT * FROM archive")}) " +
         "ORDER BY attribute_id, timestamp"),
 
+    "ts_changepoint" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.meanShiftSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_acf" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.acfSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, lag"),
+
+    "ts_xcorr" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.crossCorrelationSql("SELECT * FROM archive")}) " +
+        "ORDER BY attr_a, attr_b"),
+
     "ts_staleness" ->
       (s"WITH $archiveSqlCte, __pts AS (" +
         "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
@@ -2572,6 +2774,23 @@ object SparkEntry {
         "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
         "FROM e JOIN c USING (user_id) " +
         "GROUP BY c.cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+
+    "w7_path" ->
+      ("SELECT path, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT event_type || '>' || lead(event_type, 1) OVER w || '>' || " +
+        "lead(event_type, 2) OVER w AS path, lead(event_type, 2) OVER w AS e3 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "WHERE e3 IS NOT NULL GROUP BY path ORDER BY n DESC, path LIMIT 10"),
+
+    "w8_markov" ->
+      ("WITH __t AS (SELECT event_type AS from_type, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events), " +
+        "__c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM __t WHERE to_type IS NOT NULL GROUP BY from_type, to_type) " +
+        "SELECT from_type, to_type, n, CAST(n AS DOUBLE) / " +
+        "CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p " +
+        "FROM __c ORDER BY from_type, to_type"),
 
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +

@@ -202,6 +202,65 @@ object Relational {
         payload.map(c => col(s"__pl.$c").as(c)): _*)
   }
 
+  /** Nearest as-of join: each left row picks the right row with the
+    * SMALLEST |Δt| in either direction — the sensor-alignment lookup
+    * when readings may lag or lead the query instant ([[asofJoin]] and
+    * [[asofJoinForward]] are its one-sided halves). Equidistant
+    * before/after → the earlier (backward) row wins; among equal-ts
+    * candidates each side keeps its own direction's convention (the
+    * backward leg the largest tiebreak, the forward leg the smallest —
+    * inherited verbatim from the one-sided operators). Appends
+    * `matched_ts` (the chosen row's timestamp) and `dir`
+    * ('before' — including an exact-ts hit — or 'after').
+    *
+    * Scale shape: the SAME single union-sort as the one-sided joins —
+    * one window partition sort per key carries the previous payload
+    * (last over preceding) and the next (first over following)
+    * simultaneously; the Δt comparison is a per-row integer-micros
+    * expression. Never a range join, never a pair explosion; a same-ts
+    * right row lands in the backward carry with Δ=0, which always
+    * wins, so one sort order serves both directions. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, payload: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val plType = org.apache.spark.sql.types.StructType(
+      right.schema(tsCol).copy(name = "__mts") +:
+        payload.map(c => right.schema(c).copy(name = c)))
+    val l = left.select(
+      Seq(col(key), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(plType).as("__pl")) ++
+        leftCols.map(col) ++
+        tiebreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(tsCol), lit(0).as("__side"),
+        struct(col(tsCol).as("__mts") +: payload.map(col): _*).as("__pl")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val ord = col(tsCol) +: col("__side") +: tiebreak.map(c => col(s"__tb_$c"))
+    val wPrev = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val lts = unix_micros(col(tsCol).cast("timestamp"))
+    val pd = lts - unix_micros(col("__prev.__mts").cast("timestamp"))
+    val nd = unix_micros(col("__next.__mts").cast("timestamp")) - lts
+    val chosen = when(col("__prev").isNull, col("__next"))
+      .when(col("__next").isNull, col("__prev"))
+      .when(pd <= nd, col("__prev"))
+      .otherwise(col("__next"))
+    l.unionByName(r)
+      .withColumn("__prev", last(col("__pl"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(col("__pl"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .withColumn("__ch", chosen)
+      .select(Seq(col(key), col(tsCol)) ++ leftCols.map(col) ++
+        payload.map(c => col(s"__ch.$c").as(c)) ++ Seq(
+          col("__ch.__mts").as("matched_ts"),
+          when(col("__ch").isNull, lit(null).cast("string"))
+            .when(col("__ch.__mts") <= col(tsCol), lit("before"))
+            .otherwise(lit("after")).as("dir")): _*)
+  }
+
   /** Range (interval) join — match each left row to the right intervals
     * containing its timestamp under the same key: `start <= ts <= end`
     * (inclusive both ends, like SQL BETWEEN). The second time-series

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series resampling for the tall archive (SURVEY.md §2.9 T1).
   *
@@ -378,6 +379,233 @@ object TimeSeries {
        |              (a, x) -> a * 2 + x) AS DOUBLE)
        |         / (CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE) * $ZScoreQ) AS ewma
        |FROM __wd""".stripMargin
+
+  /** Two-window mean-shift (changepoint candidate) score per series:
+    * at each point, the mean of the `window` observations STARTLY
+    * before it versus the mean of the window starting AT it — the
+    * CUSUM-free level-shift detector that window frames can express
+    * exactly (true CUSUM is a nonlinear recursion no engine-portable
+    * window computes). shift = after-mean − before-mean via
+    * cross-multiplied exact integers: (s2·n1 − s1·n2) as BIGINT, ONE
+    * double division by (n1·n2·Q) at the end — engine-exact. Rows
+    * without a full window on both sides emit NULL shift (visible, not
+    * a fake zero). Scale: one hash shuffle + linear frame sums. */
+  def meanShift(archive: DataFrame, window: Int = 7): DataFrame = {
+    val before = Window.partitionBy("attribute_id").orderBy("timestamp")
+      .rowsBetween(-window, -1)
+    val after = Window.partitionBy("attribute_id").orderBy("timestamp")
+      .rowsBetween(0, window - 1)
+    archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+      .withColumn("__n1", count(lit(1)).over(before))
+      .withColumn("__s1", sum(col("__q")).over(before))
+      .withColumn("__n2", count(lit(1)).over(after))
+      .withColumn("__s2", sum(col("__q")).over(after))
+      .withColumn("shift",
+        when(col("__n1") === window && col("__n2") === window,
+          (col("__s2") * col("__n1") - col("__s1") * col("__n2")).cast("double") /
+            (col("__n1") * col("__n2") * ZScoreQ).cast("double")))
+      .select("attribute_id", "timestamp", "value", "shift")
+  }
+
+  /** Oracle twin of [[meanShift]]: identical frames, identical
+    * cross-multiplied BIGINT arithmetic and final division. */
+  def meanShiftSql(archiveSql: String, window: Int = 7): String =
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __qd AS (
+       |  SELECT attribute_id, timestamp, value,
+       |         CAST(round(value * $ZScoreQ) AS BIGINT) AS q
+       |  FROM __pts
+       |), __wd AS (
+       |  SELECT attribute_id, timestamp, value,
+       |         CAST(count(*) OVER wb AS BIGINT) AS n1,
+       |         CAST(sum(q) OVER wb AS BIGINT) AS s1,
+       |         CAST(count(*) OVER wa AS BIGINT) AS n2,
+       |         CAST(sum(q) OVER wa AS BIGINT) AS s2
+       |  FROM __qd
+       |  WINDOW wb AS (PARTITION BY attribute_id ORDER BY timestamp
+       |                ROWS BETWEEN $window PRECEDING AND 1 PRECEDING),
+       |         wa AS (PARTITION BY attribute_id ORDER BY timestamp
+       |                ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING)
+       |)
+       |SELECT attribute_id, timestamp, value,
+       |       CASE WHEN n1 = $window AND n2 = $window
+       |            THEN CAST(s2 * n1 - s1 * n2 AS DOUBLE)
+       |                 / CAST(n1 * n2 * $ZScoreQ AS DOUBLE) END AS shift
+       |FROM __wd""".stripMargin
+
+  /** Per-series autocorrelation (ACF), lags 1..`maxLag`: the Pearson
+    * correlation of the aligned pairs (x_t, x_{t+k}) of each
+    * attribute's series — the diagnostic that separates trending /
+    * mean-reverting / periodic sensors and picks AR model orders.
+    *
+    * Exactness: one lag window produces the pairs, then every sum
+    * (Σx, Σy, Σxy, Σx², Σy²) runs over quantized BIGINT products
+    * accumulated in DECIMAL(38,0) on the Spark side and HUGEINT on the
+    * DuckDB side — both exact integer arithmetic, order-INDEPENDENT
+    * where a float covariance is engine-order-dependent. The final
+    * r = (n·Σxy − ΣxΣy) / sqrt((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²)) converts
+    * each exact integer term to double once and applies one fixed IEEE
+    * op tree (×, sqrt, /) both engines evaluate identically. NULL r
+    * when either side of a lag is constant (zero variance). Integer
+    * precondition: n²·(value·2^10)² within 38 digits — n up to ~10^13
+    * points per series at sensor ranges, vastly beyond any archive.
+    *
+    * Scale shape: one hash shuffle on attribute_id, a linear lag
+    * window per series, then a map-side-combinable aggregate down to
+    * (attributes × maxLag) rows — output is catalog-sized. */
+  def acf(archive: DataFrame, maxLag: Int = 3): DataFrame = {
+    val w = Window.partitionBy("attribute_id").orderBy("timestamp")
+    val base = archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+    val lagged = (1 to maxLag).foldLeft(base) { (df, k) =>
+      df.withColumn(s"__x$k", lag(col("__q"), k).over(w))
+    }
+    // one row per (point, lag) with x = the point k rows earlier, y = this
+    // point; the first k rows of each series have no partner and drop out
+    val pairs = lagged.select(col("attribute_id"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"__x$k").as("x"), col("__q").as("y"))): _*)).as("p"))
+      .select(col("attribute_id"), col("p.lag").as("lag"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x").isNotNull)
+    val dec = DecimalType(38, 0)
+    val agg = pairs.groupBy("attribute_id", "lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val n = col("n").cast(dec)
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val dy = n * col("syy") - col("sy") * col("sy")
+    agg.withColumn("r",
+      when(dx > 0 && dy > 0,
+        (n * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double"))))
+      .select("attribute_id", "lag", "n", "r")
+  }
+
+  /** Oracle twin of [[acf]]: identical dedup, quantization, lag
+    * windows, HUGEINT (= the Spark DECIMAL(38,0)) exact sums, and the
+    * same final double op tree. */
+  def acfSql(archiveSql: String, maxLag: Int = 3): String = {
+    val lagCols = (1 to maxLag)
+      .map(k => s"lag(q, $k) OVER w AS x$k").mkString(", ")
+    val pairSelects = (1 to maxLag).map(k =>
+      s"SELECT attribute_id, $k AS lag, x$k AS x, q AS y FROM __lg WHERE x$k IS NOT NULL")
+      .mkString("\n  UNION ALL ")
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __qd AS (
+       |  SELECT attribute_id, timestamp,
+       |         CAST(round(value * $ZScoreQ) AS BIGINT) AS q
+       |  FROM __pts
+       |), __lg AS (
+       |  SELECT attribute_id, q, $lagCols
+       |  FROM __qd
+       |  WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp)
+       |), __pairs AS (
+       |  $pairSelects
+       |), __agg AS (
+       |  SELECT attribute_id, CAST(lag AS INTEGER) AS lag,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS sx,
+       |         sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM __pairs GROUP BY attribute_id, lag
+       |)
+       |SELECT attribute_id, lag, n,
+       |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+       |                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |                        * CAST(n * syy - sy * sy AS DOUBLE))
+       |       END AS r
+       |FROM __agg""".stripMargin
+  }
+
+  /** Cross-attribute correlation matrix: the Pearson correlation of
+    * every attribute PAIR over their time-aligned observations — which
+    * sensors move together (the process-topology signal operators read
+    * off a correlation heatmap). Same exact-integer discipline as
+    * [[acf]]: quantized BIGINT products in DECIMAL(38,0)/HUGEINT sums,
+    * one final double op tree; NULL r for a constant-on-the-overlap
+    * side. Pairs are oriented attr_a < attr_b (each unordered pair
+    * once).
+    *
+    * Scale shape: the alignment is an equi-join on timestamp where
+    * each side has at most |attributes| rows per timestamp — join
+    * output is hours × attrs², never quadratic in observations — and
+    * the aggregate collapses to the attrs² catalog-sized matrix
+    * map-side. */
+  def crossCorrelation(archive: DataFrame): DataFrame = {
+    val pts = archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .select(col("attribute_id"), col("timestamp"),
+        round(col("value") * ZScoreQ).cast("long").as("__q"))
+    val a = pts.select(col("attribute_id").as("attr_a"),
+      col("timestamp"), col("__q").as("x"))
+    val b = pts.select(col("attribute_id").as("attr_b"),
+      col("timestamp"), col("__q").as("y"))
+    val dec = DecimalType(38, 0)
+    val agg = a.join(b, Seq("timestamp"))
+      .filter(col("attr_a") < col("attr_b"))
+      .groupBy("attr_a", "attr_b").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val n = col("n").cast(dec)
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val dy = n * col("syy") - col("sy") * col("sy")
+    agg.withColumn("r",
+      when(dx > 0 && dy > 0,
+        (n * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double"))))
+      .select("attr_a", "attr_b", "n", "r")
+  }
+
+  /** Oracle twin of [[crossCorrelation]]. */
+  def crossCorrelationSql(archiveSql: String): String =
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __qd AS (
+       |  SELECT attribute_id, timestamp,
+       |         CAST(round(value * $ZScoreQ) AS BIGINT) AS q
+       |  FROM __pts
+       |), __agg AS (
+       |  SELECT a.attribute_id AS attr_a, b.attribute_id AS attr_b,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(a.q AS HUGEINT)) AS sx,
+       |         sum(CAST(b.q AS HUGEINT)) AS sy,
+       |         sum(CAST(a.q AS HUGEINT) * b.q) AS sxy,
+       |         sum(CAST(a.q AS HUGEINT) * a.q) AS sxx,
+       |         sum(CAST(b.q AS HUGEINT) * b.q) AS syy
+       |  FROM __qd a JOIN __qd b
+       |    ON a.timestamp = b.timestamp AND a.attribute_id < b.attribute_id
+       |  GROUP BY a.attribute_id, b.attribute_id
+       |)
+       |SELECT attr_a, attr_b, n,
+       |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+       |                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |                        * CAST(n * syy - sy * sy AS DOUBLE))
+       |       END AS r
+       |FROM __agg""".stripMargin
 
   /** Hour-of-day seasonal baseline + per-point residual: each series'
     * mean value per hour-of-day slot (the diurnal profile every

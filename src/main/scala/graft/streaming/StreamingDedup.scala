@@ -300,6 +300,49 @@ object StreamingDedup {
     graft.ops.Relational.materializeBucketed(summed, path, tableName, "h", buckets)
   }
 
+  /** One micro-batch of streaming boilerplate removal
+    * ([[graft.text.TextOps.boilerplateSuppress]]): lines whose
+    * cumulative distinct-doc count (strictly earlier batches + this
+    * batch) reaches the threshold are removed from this batch's
+    * documents; the batch's own line counts append to the registry.
+    * Shares the count registry's (h, cnt, batch_id) schema, so
+    * [[readCountRegistry]] and [[compactCountRegistry]] apply
+    * unchanged — and like drift (and UNLIKE the monotone claim
+    * registries) the read must be STRICTLY EARLIER for replay to be
+    * byte-identical: a count registry is not monotone under `=!=`. */
+  def boilerplateBatchStep(spark: SparkSession, registryDir: String,
+      cleanDir: String, idCol: String, textCol: String, minDocs: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val reg = readCountRegistry(spark, registryDir)
+      .filter(col("batch_id") < batchId)
+      .select("h", "cnt")
+    val (cleaned, claims) = graft.text.TextOps.boilerplateSuppress(
+      batch.localCheckpoint(false), // lines feed the clean AND claim writes
+      reg, idCol, textCol, minDocs)
+    cleaned.write.mode("overwrite").parquet(s"$cleanDir/batch_id=$batchId")
+    claims.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** Wire a streaming document source through the boilerplate remover:
+    * cleaned docs under `cleanDir/batch_id=*`, line counts under
+    * `registryDir/batch_id=*`. */
+  def startBoilerplate(docs: DataFrame, registryDir: String, cleanDir: String,
+      checkpointPath: String, idCol: String = "doc_id",
+      textCol: String = "text", minDocs: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          boilerplateBatchStep(spark, registryDir, cleanDir, idCol, textCol,
+            minDocs)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Wire a streaming document source through the drift monitor:
     * per-batch drift rows under `driftDir/batch_id=*`, token counts
     * under `registryDir/batch_id=*`. */

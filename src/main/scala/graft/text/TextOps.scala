@@ -1146,6 +1146,177 @@ object TextOps {
       "clean_text" -> s"array_to_string($kept, chr(10))")
   }
 
+  /** RefinedWeb-style cross-document boilerplate line removal: a line
+    * whose trimmed form appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (cookie banners, nav bars, copyright
+    * footers) and is removed from EVERY document; everything else
+    * keeps its original bytes and order. The corpus-level complement
+    * of [[lineQualityFilter]] (which judges each line in isolation)
+    * and of [[graft.dedup.Dedup.substringDedup]] (which keeps shared
+    * content at its FIRST occurrence — boilerplate must survive
+    * nowhere). Within-document repetition alone never trips the gate:
+    * the frequency is count(DISTINCT doc).
+    *
+    * Output: (id, n_lines, n_removed, clean_text) per document; a
+    * document of nothing but boilerplate yields clean_text = ''.
+    *
+    * Scale shape: one posexplode linear in lines, a
+    * map-side-combinable distinct-count on the 62-bit line hash, and
+    * an equi-join back on that 8-byte key (the common-line side is
+    * df-bounded: at most total_lines / minDocs rows — broadcastable in
+    * any real corpus); reassembly is one groupBy(id) with an in-memory
+    * sort of each document's own lines. Nothing pairwise, nothing
+    * driver-side. */
+  /** 62-bit trim-normalized line hash — the line identity every
+    * boilerplate operator keys on (two independent 31-bit char folds
+    * packed without wrap-around, the [[tokenHashWide]] construction). */
+  private def lineHash(line: Column): Column = {
+    val norm = trim(line)
+    graft.functions.NativeExprs.polyHash(norm, CharMul, P) +
+      shiftleft(graft.functions.NativeExprs.polyHash(norm, CharMul2, P), 31)
+  }
+
+  /** One row per physical line of each document, with position and the
+    * trim-normalized 62-bit hash. */
+  private def docLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h", lineHash(col("__line")))
+
+  /** Per-line distinct-document counts of a corpus (h, cnt) — the
+    * boilerplate frequency table, and the claim rows of the streaming
+    * face ([[boilerplateSuppress]]). Linear in lines; one
+    * map-side-combinable aggregate on the 8-byte hash. */
+  def lineDocCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docLines(docs, idCol, textCol).groupBy(col("__h").as("h"))
+      .agg(count_distinct(col(idCol)).as("cnt"))
+
+  /** Rebuild each document from its non-removed lines (original bytes,
+    * original order) + the audit counts. `marked` is docLines plus a
+    * nullable `__rm` flag. */
+  private def reassemble(marked: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    marked.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_lines"),
+      sum(when(col("__rm"), 1).otherwise(0)).cast("int").as("n_removed"),
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__rm").isNull, struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")),
+        "\n").as("clean_text"))
+
+  def boilerplateRemove(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDocs: Int = 5): org.apache.spark.sql.DataFrame = {
+    val lines = docLines(docs, idCol, textCol)
+    val common = lines.groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"), lit(true).as("__rm"))
+    reassemble(lines.join(common, Seq("__h"), "left"), idCol)
+  }
+
+  /** Streaming face of [[boilerplateRemove]]: suppress the boilerplate
+    * lines of one micro-batch against the CUMULATIVE distinct-doc
+    * counts — a line is removed from this batch's documents iff its
+    * count over (all earlier batches + this batch) reaches `minDocs`.
+    * Returns (cleaned docs, this batch's claim rows (h, cnt)).
+    *
+    * The streaming contract: occurrences emitted before the count
+    * crossed the threshold survive (arrival order wins — the same
+    * asymmetry as [[graft.dedup.Dedup.substringSuppress]]); from the
+    * crossing batch onward the line is boilerplate everywhere. A
+    * single batch over the whole corpus is EXACTLY
+    * [[boilerplateRemove]] (spec-pinned). `registry` is (h, cnt) rows
+    * from STRICTLY EARLIER batches — a count registry, so the
+    * strictly-earlier read (not exclude-own-batch) is what makes
+    * replay byte-identical (see
+    * [[graft.streaming.StreamingDedup.driftBatchStep]]'s rationale);
+    * pre-summed (compacted) and per-batch row forms both work, the
+    * kernel re-sums. */
+  def boilerplateSuppress(batch: org.apache.spark.sql.DataFrame,
+      registry: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDocs: Int = 5)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val lines = docLines(batch, idCol, textCol)
+    val claims = lines.groupBy(col("__h").as("h"))
+      .agg(count_distinct(col(idCol)).as("cnt"))
+    val earlier = registry.groupBy("h").agg(sum("cnt").as("__prev"))
+    val common = claims.join(earlier, Seq("h"), "left")
+      .filter(col("cnt") + coalesce(col("__prev"), lit(0L)) >= minDocs)
+      .select(col("h").as("__h"), lit(true).as("__rm"))
+    (reassemble(lines.join(common, Seq("__h"), "left"), idCol), claims)
+  }
+
+  /** Oracle twin of [[boilerplateRemove]]: same trim-normalized 62-bit
+    * line hash, distinct-doc threshold, and position-ordered
+    * reassembly. `textExpr` is a SQL expression over `table`'s
+    * columns. */
+  def boilerplateRemoveSql(table: String, idCol: String, textExpr: String,
+      minDocs: Int = 5): String =
+    s"""WITH __b AS (
+       |  SELECT $idCol, string_split($textExpr, chr(10)) AS ls FROM $table
+       |), __i AS (
+       |  SELECT $idCol, ls, unnest(range(1, len(ls) + 1)) AS pos FROM __b
+       |), __l AS (
+       |  SELECT $idCol, pos, ls[pos] AS line,
+       |         (${charFoldSql("trim(ls[pos])")}
+       |          + (${charFoldSql("trim(ls[pos])", CharMul2)} << 31)) AS h
+       |  FROM __i
+       |), __c AS (
+       |  SELECT h FROM __l GROUP BY h HAVING count(DISTINCT $idCol) >= $minDocs
+       |), __m AS (
+       |  SELECT $idCol, pos, line, h IN (SELECT h FROM __c) AS rm FROM __l
+       |)
+       |SELECT $idCol, CAST(count(*) AS INTEGER) AS n_lines,
+       |       CAST(count(*) FILTER (WHERE rm) AS INTEGER) AS n_removed,
+       |       coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |                FILTER (WHERE NOT rm), '') AS clean_text
+       |FROM __m GROUP BY $idCol""".stripMargin
+
+  /** Oracle twin of [[boilerplateSuppress]] as ONE static statement:
+    * registry counts from the `$registryPred` documents, the
+    * `$batchPred` documents suppressed against registry + their own
+    * batch counts. */
+  def boilerplateSuppressSql(table: String, registryPred: String,
+      batchPred: String, idCol: String, textExpr: String,
+      minDocs: Int = 5): String =
+    s"""WITH __rb AS (
+       |  SELECT $idCol, string_split($textExpr, chr(10)) AS ls
+       |  FROM $table WHERE $registryPred
+       |), __ri AS (
+       |  SELECT $idCol, ls, unnest(range(1, len(ls) + 1)) AS pos FROM __rb
+       |), __rc AS (
+       |  SELECT (${charFoldSql("trim(ls[pos])")}
+       |          + (${charFoldSql("trim(ls[pos])", CharMul2)} << 31)) AS h,
+       |         CAST(count(DISTINCT $idCol) AS BIGINT) AS cnt
+       |  FROM __ri GROUP BY 1
+       |), __bb AS (
+       |  SELECT $idCol, string_split($textExpr, chr(10)) AS ls
+       |  FROM $table WHERE $batchPred
+       |), __bi AS (
+       |  SELECT $idCol, ls, unnest(range(1, len(ls) + 1)) AS pos FROM __bb
+       |), __bl AS (
+       |  SELECT $idCol, pos, ls[pos] AS line,
+       |         (${charFoldSql("trim(ls[pos])")}
+       |          + (${charFoldSql("trim(ls[pos])", CharMul2)} << 31)) AS h
+       |  FROM __bi
+       |), __bc AS (
+       |  SELECT h, CAST(count(DISTINCT $idCol) AS BIGINT) AS cnt FROM __bl GROUP BY h
+       |), __c AS (
+       |  SELECT b.h FROM __bc b LEFT JOIN __rc r ON b.h = r.h
+       |  WHERE b.cnt + coalesce(r.cnt, 0) >= $minDocs
+       |), __m AS (
+       |  SELECT $idCol, pos, line, h IN (SELECT h FROM __c) AS rm FROM __bl
+       |)
+       |SELECT $idCol, CAST(count(*) AS INTEGER) AS n_lines,
+       |       CAST(count(*) FILTER (WHERE rm) AS INTEGER) AS n_removed,
+       |       coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |                FILTER (WHERE NOT rm), '') AS clean_text
+       |FROM __m GROUP BY $idCol""".stripMargin
+
   // ---- Gopher document-level quality rules ------------------------------
 
   /** The Gopher stopword-presence list (Rae et al. 2021, A1.1). */

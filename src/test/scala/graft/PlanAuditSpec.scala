@@ -365,4 +365,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"d_canon needs no join:\n$p")
     assert(p.contains("Window"), s"d_canon lost its canon-group window:\n$p")
   }
+
+  test("boilerplate removal joins on the 8-byte line hash, never pairwise in lines") {
+    for (q <- Seq("t_boilerplate", "d_stream_boiler")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a pair scan:\n$p")
+    }
+  }
+
+  test("acf and changepoint are pure keyed windows + aggregates, no join") {
+    for (q <- Seq("ts_acf", "ts_changepoint")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q needs no join:\n$p")
+      assert(p.contains("Window"), s"$q lost its lag/frame window:\n$p")
+    }
+  }
+
+  test("cross-correlation aligns by timestamp equi-join, never a nested loop") {
+    val p = plan("ts_xcorr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ts_xcorr degenerated to a pair scan:\n$p")
+  }
+
+  test("path mining and markov transitions: one user window, top-k never sorts globally") {
+    val pp = plan("w7_path")
+    assert(pp.contains("TakeOrderedAndProject"),
+      s"w7_path's top-10 must be TakeOrdered, not sort+limit:\n$pp")
+    assert(!pp.contains("Join"), s"w7_path needs no join:\n$pp")
+    val pm = plan("w8_markov")
+    assert(!pm.contains("Join"), s"w8_markov needs no join:\n$pm")
+  }
 }

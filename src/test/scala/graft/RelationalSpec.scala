@@ -170,6 +170,38 @@ class RelationalSpec extends SparkSpec {
     assert(out(2).isNullAt(3) && out(2).isNullAt(4))
   }
 
+  test("asofJoinNearest: min |dt| either side, equidistant prefers earlier, " +
+    "per-side equal-ts tiebreaks, exact hit is 'before'") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      ("u1", 10L, 1), // Δ to {4,7,12} = 6,3,2 → 12, after
+      ("u1", 6L, 2),  // Δ = 2,1,6 → 7, after
+      ("u1", 7L, 3),  // exact hit → 7, before
+      ("u2", 7L, 4),  // no rights → nulls
+      ("u3", 6L, 5),  // rights {4, 8}: equidistant → earlier (4), before
+      ("u4", 9L, 6),  // rights both at ts 5 → backward side: MAX rid
+      ("u4", 3L, 7))  // same rights, now forward side: MIN rid
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      ("u1", 4L, 100, Option(1.0)), ("u1", 7L, 101, Option(2.0)),
+      ("u1", 12L, 102, Option(3.0)),
+      ("u3", 4L, 200, Option(4.0)), ("u3", 8L, 201, Option(5.0)),
+      ("u4", 5L, 300, Option(6.0)), ("u4", 5L, 301, Option(7.0)))
+      .toDF("k", "ts", "rid", "rv")
+    val out = Relational.asofJoinNearest(left, right, "k", "ts",
+      Seq("rid", "rv"), Seq("rid"))
+      .orderBy("lid").collect()
+    def got(i: Int) = (out(i).getInt(3), out(i).getString(6))
+    assert(got(0) === ((102, "after")))
+    assert(got(1) === ((101, "after")))
+    assert(got(2) === ((101, "before")))
+    assert(out(3).isNullAt(3) && out(3).isNullAt(5) && out(3).isNullAt(6))
+    assert(got(4) === ((200, "before")))
+    assert(got(5) === ((301, "before"))) // equal-ts backward → max rid
+    assert(got(6) === ((300, "after")))  // equal-ts forward → min rid
+  }
+
   test("property: asofJoinForward equals the per-row brute-force reference") {
     val sess = spark
     import sess.implicits._

@@ -299,6 +299,66 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming boilerplate: cumulative threshold, single-batch equality, " +
+    "replay idempotent, compacted registry identical") {
+    val sess = spark
+    import sess.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, String)] =
+      df.select("doc_id", "n_lines", "n_removed", "clean_text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val b0 = Seq(
+      1L -> "B1\nB2\nown 1",
+      2L -> "B1\nB2\nown 2",
+      3L -> "B1\nown 3",
+      4L -> "own 4")
+    val b1 = Seq(
+      11L -> "B2\nown 11", // B2 cumulative df = 3 here → removed NOW, docs 1/2 keep theirs
+      12L -> "B1\nown 12", // B1 already over threshold → removed
+      13L -> "own 13")
+    val dir = Files.createTempDirectory("graft_boiler").toString
+    def step(rs: Seq[(Long, String)], id: Long): Unit =
+      StreamingDedup.boilerplateBatchStep(spark, s"$dir/registry",
+        s"$dir/clean", "doc_id", "text", 3)(rs.toDF("doc_id", "text"), id)
+    step(b0, 0L)
+    step(b1, 1L)
+    val out = rows(spark.read.option("basePath", s"$dir/clean").parquet(s"$dir/clean"))
+    assert(out === Set(
+      (1L, 3, 1, "B2\nown 1"), (2L, 3, 1, "B2\nown 2"), // B1 df=3 in batch 0
+      (3L, 2, 1, "own 3"), (4L, 1, 0, "own 4"),
+      (11L, 2, 1, "own 11"), (12L, 2, 1, "own 12"), (13L, 1, 0, "own 13")))
+
+    // replay batch 0 (strictly-earlier registry read): byte-identical —
+    // under exclude-own-batch it would see batch 1's counts and remove B2
+    val before = rows(spark.read.parquet(s"$dir/clean/batch_id=0"))
+    step(b0, 0L)
+    assert(rows(spark.read.parquet(s"$dir/clean/batch_id=0")) === before)
+
+    // one batch over everything IS the batch operator
+    val dir2 = Files.createTempDirectory("graft_boiler1").toString
+    StreamingDedup.boilerplateBatchStep(spark, s"$dir2/registry",
+      s"$dir2/clean", "doc_id", "text", 3)((b0 ++ b1).toDF("doc_id", "text"), 0L)
+    assert(rows(spark.read.parquet(s"$dir2/clean/batch_id=0")) ===
+      rows(graft.text.TextOps.boilerplateRemove(
+        (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", 3)))
+
+    // compacted (sum-folded, h-bucketed) registry suppresses identically
+    spark.sql("DROP TABLE IF EXISTS t_boiler_registry_compact")
+    try {
+      val compacted = StreamingDedup.compactCountRegistry(
+        spark, s"$dir/registry", s"$dir/compacted",
+        "t_boiler_registry_compact", buckets = 4)
+      val raw = StreamingDedup.readCountRegistry(spark, s"$dir/registry")
+        .select("h", "cnt")
+      val fresh = Seq(21L -> "B2\nnovel 21", 22L -> "novel 22").toDF("doc_id", "text")
+      val (cleanRaw, _) = graft.text.TextOps.boilerplateSuppress(
+        fresh, raw, "doc_id", "text", 3)
+      val (cleanCompact, _) = graft.text.TextOps.boilerplateSuppress(
+        fresh, compacted, "doc_id", "text", 3)
+      assert(rows(cleanRaw) === rows(cleanCompact))
+      assert(rows(cleanCompact).contains((21L, 2, 1, "novel 21")))
+    } finally spark.sql("DROP TABLE IF EXISTS t_boiler_registry_compact")
+  }
+
   test("no cartesian or broadcast-nested-loop in the plan") {
     val sess = spark
     import sess.implicits._

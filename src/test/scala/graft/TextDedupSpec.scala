@@ -332,6 +332,42 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3L) === ((1, 1, "One single proper line survives intact.")))
   }
 
+  test("boilerplateRemove: df>=minDocs lines die everywhere, trim-normalized; " +
+    "within-doc repetition alone survives") {
+    val sess = spark
+    import sess.implicits._
+    val boiler = "Subscribe to our newsletter!"
+    val df = (1L to 5L).map(i => (i, s"Real content of document $i.\n  $boiler \nTail $i."))
+      .toDF("doc_id", "text")
+      // doc 6: the boilerplate line repeated 3x IN ONE doc (df still 6 >= 5
+      // via docs 1-5 + 6); doc 7: a line repeated within-doc only (df=1, kept)
+      .unionAll(Seq(
+        (6L, s"$boiler\n$boiler\n$boiler\nOwn words."),
+        (7L, "echo echo\necho echo\nSolo line.")).toDF("doc_id", "text"))
+    val got = TextOps.boilerplateRemove(df, "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // docs 1-5: the padded "  boiler " line hashes equal to the bare one
+    (1L to 5L).foreach { i =>
+      assert(got(i) === ((3, 1, s"Real content of document $i.\nTail $i.")))
+    }
+    assert(got(6L) === ((4, 3, "Own words.")))
+    assert(got(7L) === ((3, 0, "echo echo\necho echo\nSolo line.")))
+  }
+
+  test("boilerplateRemove: all-boilerplate doc yields empty clean_text, not a dropped row") {
+    val sess = spark
+    import sess.implicits._
+    val df = ((1L to 5L).map(i => (i, s"common line\nkeep $i"))
+      :+ (6L, "common line")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateRemove(df, "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(6L) === ((1, 1, "")))
+    assert(got(3L) === ((2, 1, "keep 3")))
+    assert(got.size === 6)
+  }
+
   test("redactPii: counts and typed placeholders, untouched text passes through") {
     val sess = spark
     import sess.implicits._

@@ -235,6 +235,75 @@ class TimeSeriesSpec extends SparkSpec {
     assert(s1(2) === 30.0)
   }
 
+  test("meanShift peaks exactly at a level step; flat regions score zero") {
+    // 10,10,10,10,10,10 | 20,20,20,20,20,20 with window 3
+    val rows = (0 until 12).map(i =>
+      (1, f"2024-01-01 $i%02d:00:00", Some(if (i < 6) 10.0 else 20.0)))
+    val out = TimeSeries.meanShift(archive(rows), window = 3)
+      .orderBy("timestamp").collect()
+      .map(r => (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // rows 0-2 lack a full before-window; rows 10-11 lack a full after-window
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty)
+    assert(out(10).isEmpty && out(11).isEmpty)
+    // flat interior before the step (after-frame 3,4,5 all pre-step)
+    assert(out(3) === Some(0.0))
+    // at the step (index 6: before = 10s, after = 20s): shift = +10
+    assert(out(6) === Some(10.0))
+    // approaching the step the after-window mixes in step values:
+    // 4 -> (10+10+20)/3-10, 5 -> (10+20+20)/3-10 — monotone ramp up
+    assert(out(4).get > 3.0 && out(4).get < out(5).get && out(5).get < 10.0)
+    // past the step it decays back to 0
+    assert(out(9) === Some(0.0))
+  }
+
+  test("acf: linear series hits exactly 1.0; alternating flips sign by lag parity; " +
+    "constant series has NULL r") {
+    val lin = (0 until 20).map(i => (1, f"2024-01-01 $i%02d:00:00", Some(10.0 + i)))
+    val alt = (0 until 20).map(i =>
+      (2, f"2024-01-01 $i%02d:00:00", Some(if (i % 2 == 0) 5.0 else -5.0)))
+    val const = (0 until 20).map(i => (3, f"2024-01-01 $i%02d:00:00", Some(7.5)))
+    val out = TimeSeries.acf(archive(lin ++ alt ++ const), maxLag = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // y = x + c pairs → numerator == both variance terms as exact integers,
+    // and the final double chain reproduces ±1.0 exactly (see acf doc)
+    assert(out((1, 1)) === ((19L, Some(1.0))))
+    assert(out((1, 2)) === ((18L, Some(1.0))))
+    assert(out((2, 1)) === ((19L, Some(-1.0))))
+    assert(out((2, 2)) === ((18L, Some(1.0))))
+    assert(out((3, 1)) === ((19L, None)))
+    assert(out((3, 2)) === ((18L, None)))
+    // brute-force Pearson parity on the quantized values for a mixed series
+    val xs = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.5, 6.25)
+    val mixed = xs.zipWithIndex.map { case (v, i) =>
+      (4, f"2024-01-01 $i%02d:00:00", Some(v)) }
+    val got = TimeSeries.acf(archive(mixed), maxLag = 1).collect()
+      .map(r => r.getDouble(3)).head
+    val q = xs.map(v => math.round(v * 1024L).toDouble)
+    val (x, y) = (q.dropRight(1), q.drop(1))
+    val n = x.size.toDouble
+    val exp = (n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum) /
+      math.sqrt((n * x.map(a => a * a).sum - x.sum * x.sum) *
+        (n * y.map(a => a * a).sum - y.sum * y.sum))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("crossCorrelation: scaled copy r=1, negated r=-1, overlap-only alignment") {
+    val s1 = (0 until 10).map(i => (1, f"2024-01-01 $i%02d:00:00", Some(10.0 + i)))
+    val s2 = (0 until 10).map(i => (2, f"2024-01-01 $i%02d:00:00", Some(2.0 * (10 + i))))
+    val s3 = (0 until 10).map(i => (3, f"2024-01-01 $i%02d:00:00", Some(100.0 - (10 + i))))
+    // series 4 overlaps series 1 on hours 5..9 only
+    val s4 = (5 until 15).map(i => (4, f"2024-01-01 $i%02d:00:00", Some(50.0 + 3 * i)))
+    val out = TimeSeries.crossCorrelation(archive(s1 ++ s2 ++ s3 ++ s4))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out((1, 2)) === ((10L, Some(1.0))))
+    assert(out((1, 3)) === ((10L, Some(-1.0))))
+    assert(out((2, 3)) === ((10L, Some(-1.0))))
+    assert(out((1, 4)) === ((5L, Some(1.0)))) // linear in i on the overlap
+    assert(out.keySet === Set((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)))
+  }
+
   test("seasonalResiduals: slot means per hour-of-day; residuals sum to ~0 per slot") {
     // two days, hours 0..2: hour h of day d has value 10*h + d
     val rows = for (d <- 0 until 2; h <- 0 until 3) yield
