@@ -950,6 +950,33 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // 1-bit binary quantization (sign bits, Charikar-LSH cosine proxy):
+    // the corpus scan reads 8 BYTES per vector — a billion vectors is
+    // ~8 GB of codes; scoring is bit_count(xor), all-integer and exact.
+    "s_knn_bin" -> ((s, d) =>
+      Similarity.binaryTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
+    // retrieve-then-rerank: hamming shortlist (5× over-fetch) + exact
+    // cosine on queries × 50 rows only — the binary scan's deployment
+    // form; full-precision vectors never leave the shortlist join.
+    "s_knn_bin_rerank" -> ((s, d) =>
+      Similarity.binaryRerankTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy("query_id", "rank")),
+
+    // recall@10 of the 1-bit scan vs exact cosine — how much the 32×
+    // compression costs, measured per query by the shared evaluator
+    "s_recall_bin" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.binaryTopK(e, q, k = 10, dim = 64),
+        Similarity.bruteForceTopK(e, q, k = 10, dim = 64))
+        .orderBy("query_id")
+    }),
+
     // IVF-SQ8 composition (the sub-linear deployment of the SQ8 scan):
     // coarse probe by cluster equi-join, byte-dot ADC on probed codes
     // only, exact cosine re-rank on queries × nCandidates rows.
@@ -1078,6 +1105,16 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
         .orderBy("media_id", "frame_offset")),
 
+    // Perceptual near-dup pairs over media payloads: aHash (mean-
+    // threshold bits over the decode frame, pure Column exprs) +
+    // the shared pigeonhole band kernel — image-dedup's shape with the
+    // stub decode. Band equi-join candidates, never all-pairs.
+    "m_phash_pairs" -> ((s, d) =>
+      Dedup.hammingPairs(
+        Multimodal.aHash(Multimodal.fromDocuments(Tables.documents(s, d))),
+        "media_id", "ahash", maxHamming = 10, bits = 64)
+        .orderBy("id_a", "id_b")),
+
     // The mapPartitions decode stage end-to-end: byte-level features
     // (checksum/header bytes) are SQL-expressible on the ASCII fixture,
     // so the typed-Dataset batch path itself is oracle-checked.
@@ -1130,6 +1167,19 @@ object SparkEntry {
     // fingerprint table a curation report leads with (which boilerplate
     // n-grams dominate each crawl source). One inverted-index count +
     // a WindowGroupLimit rank — never a global sort.
+    // First-iteration BPE merge candidates: most frequent adjacent char
+    // pairs weighted by word frequency. ONE combinable corpus pass
+    // (word counts); the pair explode runs over the vocab table only.
+    "t_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCandidates(Tables.documents(s, d), "text", k = 20)),
+
+    // Token-distribution entropy per doc (keyword-stuffing/template
+    // detector): exact BIGINT numerator via scaled-integer log2, one
+    // double division — explode + two combinable aggregates.
+    "t_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t_ngram_topk" -> ((s, d) => {
       val dt = Dedup.docTokens(Tables.documents(s, d), "doc_id", "text",
         Seq("source"), 3)
@@ -1436,6 +1486,14 @@ object SparkEntry {
       graft.ops.TimeSeries.seasonalResiduals(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
+    // M4 downsampling (Jugel VLDB'14): per (series, day bucket) the four
+    // value extremes a pixel bucket renders error-free — first/min/max/
+    // last + count. ONE map-side-combinable groupBy, shuffle sized by
+    // buckets not points — the preview path for a 100 TB archive.
+    "ts_m4" -> ((s, d) =>
+      graft.ops.TimeSeries.m4Downsample(archiveDim(s, d))
+        .orderBy("attribute_id", "bucket_start")),
+
     // Staleness report: each attribute's newest point + its age relative
     // to the reporting instant — the "is this sensor still alive" probe.
     // Points dedupe to unique (attribute, timestamp) first so the
@@ -1526,6 +1584,33 @@ object SparkEntry {
         .withColumn("p",
           col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // PageRank over the part co-purchase graph (parts sharing an
+    // order are linked): 3 unrolled integer supersteps — each one
+    // edge⋈state join + a combinable sum on dst — ranking the catalog
+    // by network centrality, not raw counts. Scores are exact BIGINT
+    // micro-units, so the ranking is engine-reproducible.
+    "g_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.graph.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("score").desc, col("id")).limit(50)
+    }),
+
+    // Exact triangle census of the same graph: degree-oriented wedge
+    // join (out-degree capped at O(√m) — hub-proof) + a closure
+    // semi-join; (edges, wedges, triangles) as exact BIGINTs.
+    "g_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.graph.GraphOps.triangleCount(edges, "src", "dst")
     }),
 
     "w4_funnel" -> ((s, d) => {
@@ -2314,6 +2399,13 @@ object SparkEntry {
         "GROUP BY 1, 2 ORDER BY source_a, source_b"
     },
 
+    "t_bpe_pairs" ->
+      TextOps.bpePairCandidatesSql("documents", "text", k = 20),
+
+    "t_entropy" ->
+      (s"SELECT * FROM (${TextOps.tokenEntropySql("documents", "doc_id", "text")}) " +
+        "ORDER BY doc_id"),
+
     "t_ngram_topk" -> {
       val sh = Dedup.shinglesSql("text", 3)
       s"WITH __u AS (SELECT doc_id, source, unnest($sh) AS tok FROM documents), " +
@@ -2474,6 +2566,19 @@ object SparkEntry {
       (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",
         k = 10, dim = 64)}) ORDER BY query_id, rank"),
 
+    "s_knn_bin" ->
+      (s"SELECT * FROM (${Similarity.binaryTopKSql("embeddings", "vec_id < 5",
+        k = 10, dim = 64)}) ORDER BY query_id, rank"),
+
+    "s_recall_bin" ->
+      (s"SELECT * FROM (${Similarity.annRecallSql(
+        Similarity.binaryTopKSql("embeddings", "vec_id < 5", k = 10, dim = 64),
+        BruteKnnSql)}) ORDER BY query_id"),
+
+    "s_knn_bin_rerank" ->
+      (s"SELECT * FROM (${Similarity.binaryRerankTopKSql("embeddings",
+        "vec_id < 5", k = 10, dim = 64)}) ORDER BY query_id, rank"),
+
     "s_recall_ivfpq" ->
       (s"SELECT * FROM (${Similarity.annRecallSql(
         Similarity.ivfPqTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
@@ -2517,6 +2622,15 @@ object SparkEntry {
     "m_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
         "FROM documents ORDER BY media_id, frame_offset"),
+
+    // oracle verifies brute-force (banding is Spark's candidate
+    // strategy, not a semantics change — same contract as d_simhash_pairs)
+    "m_phash_pairs" ->
+      (s"WITH __ah AS (${Multimodal.aHashSql()}) " +
+        "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM __ah a JOIN __ah b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 10 ORDER BY id_a, id_b"),
 
     "m_decode_features" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, " +
@@ -2715,6 +2829,12 @@ object SparkEntry {
         s"${graft.ops.TimeSeries.crossCorrelationSql("SELECT * FROM archive")}) " +
         "ORDER BY attr_a, attr_b"),
 
+    // day time_buckets align with Spark's window origin (both midnight)
+    "ts_m4" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.m4DownsampleSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, bucket_start"),
+
     "ts_staleness" ->
       (s"WITH $archiveSqlCte, __pts AS (" +
         "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
@@ -2791,6 +2911,17 @@ object SparkEntry {
         "SELECT from_type, to_type, n, CAST(n AS DOUBLE) / " +
         "CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p " +
         "FROM __c ORDER BY from_type, to_type"),
+
+    "g_pagerank" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.pageRankSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        iters = 3)}) ORDER BY score DESC, id LIMIT 50"),
+
+    "g_triangles" ->
+      graft.graph.GraphOps.triangleCountSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"),
 
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +

@@ -1276,22 +1276,38 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int = SimhashBits): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
+      maxHamming, bits)
+
+  /** Exact hamming-≤τ pairs over ANY precomputed `bits`-wide BIGINT
+    * signature column — the pigeonhole band kernel behind
+    * [[simhashPairs]], factored out so every 64-bit fingerprint family
+    * (simhash, media aHash, sign-quantized embeddings) shares one
+    * audited candidate generator. Semantics and scale shape are
+    * [[simhashPairs]]'s: band equi-join (never a theta all-pairs),
+    * hamming verified post-join, each qualifying pair emitted ONLY from
+    * its lowest matching band (a codegen'd filter instead of a distinct,
+    * so multi-band matches never shuffle duplicates). */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits)")
     val bands = maxHamming + 1
     val (widths, offsets) = bandLayout(bits, bands)
+    val blocks = (0 until bands).map { b =>
+      struct(lit(b).as("band"), chunkAt(col(sigCol), widths, offsets, b).as("chunk"))
+    }
     // reused by both join sides; auto-released
-    val exploded = simhashBands(df, idCol, textCol, maxHamming, bits)
+    val exploded = sigs
+      .select(col(idCol), col(sigCol), explode(array(blocks: _*)).as("bc"))
+      .select(col(idCol), col(sigCol),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
       .localCheckpoint(false)
     val ea = exploded.select(col("band"), col("chunk"),
-      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+      col(idCol).as("id_a"), col(sigCol).as("sim_a"))
     val eb = exploded.select(col("band"), col("chunk"),
-      col(idCol).as("id_b"), col("simhash").as("sim_b"))
-    // each qualifying pair is emitted ONLY from its lowest matching band
-    // (for the join band b, every earlier band's chunks must differ) — a
-    // codegen'd filter instead of a distinct, so duplicate candidates
-    // from multi-band matches never shuffle. On dense near-dup inputs
-    // (many pairs matching in all bands) this is the difference between
-    // one output-sized stage and shuffling bands× the output.
+      col(idCol).as("id_b"), col(sigCol).as("sim_b"))
     val firstMatchOnly = (0 until bands - 1).map { bp =>
       (col("band") <= bp) ||
         (chunkAt(col("sim_a"), widths, offsets, bp) =!=

@@ -1,0 +1,168 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge tables — the scatter-gather
+  * family (PageRank et al.) expressed as unrolled relational plans so a
+  * fixed-iteration run is ONE declarative query an oracle can verify.
+  *
+  * Scale shape: an iteration is an equi-join of the edge table with the
+  * (node, score) state on src plus a map-side-combinable groupBy on dst
+  * — the standard Pregel superstep as two shuffles, both keyed by node
+  * id, so a bucketed edge table co-locates every iteration. Nothing is
+  * ever collected; state stays a DataFrame.
+  */
+object GraphOps {
+
+  /** PageRank score scale: scores are BIGINT micro-units (1e6 = 1.0).
+    * A float PageRank is summation-order-dependent across engines; with
+    * integer flooring every intermediate is exact, so ranks — the thing
+    * PageRank is FOR — are engine-reproducible bit-for-bit. */
+  val PrScale = 1000000L
+
+  /** Fixed-iteration integer PageRank (damping 0.85 = 17/20) over a
+    * directed edge list. Per iteration, each node sends
+    * `score div outdeg` along its out-edges and lands at
+    * `0.15·scale + (17·Σ incoming) div 20` — the classic update with
+    * floor division replacing float math (Page et al., 1999; the
+    * flooring loses < 1 unit per op, irrelevant to ranking). Dangling
+    * nodes (outdeg 0) send nothing — their mass is dropped, the
+    * standard simplification. Edges dedupe first (unweighted graph);
+    * `iters` is unrolled into one declarative plan.
+    *
+    * 100 TB shape: the edge table is localCheckpointed once and reused
+    * by every superstep; each superstep is edge⋈state on src (both
+    * sides hash-partitioned by node id — bucket the edge table to make
+    * the join exchange-free) + one combinable sum groupBy on dst. Cost
+    * is iters × O(|E|) with no driver involvement and no all-pairs
+    * anywhere. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // reused by every superstep
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint(false) // reused as every superstep's node frame
+    var state = base.withColumn("score", lit(PrScale))
+    for (_ <- 1 to iters) {
+      val insum = e.join(
+        state.filter(col("outdeg") > 0)
+          .select(col("id").as("src"), expr("score div outdeg").as("__c")),
+        Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__insum"))
+      state = base.join(insum, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit(PrScale * 3 / 20) +
+            expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("score"))
+    }
+    state.select("id", "outdeg", "score")
+  }
+
+  /** Exact triangle count over an undirected graph — the clustering
+    * diagnostic (community density, spam-graph detection) — via the
+    * degree-oriented wedge join (Suri & Vassilvitskii, WWW 2011; Schank
+    * & Wagner 2005): orient every edge from its lower-(degree, id)
+    * endpoint to the higher, so each triangle becomes exactly ONE
+    * directed path a→b→c plus the closing edge a→c. Orientation by
+    * DEGREE is the skew lever: wedge volume is Σ out-deg² and the
+    * orientation caps out-degree at O(√m) regardless of hubs — an
+    * id-oriented join would explode on a celebrity node.
+    *
+    * Scale shape: two equi-joins (wedge build, closure probe) over the
+    * oriented edge table, O(m^1.5) wedge rows worst case, no all-pairs
+    * and no iteration. Output is one row: (n_edges, n_wedges,
+    * n_triangles) — exact BIGINTs. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val u = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // reused: degrees + orientation + closure
+    val deg = u.select(col("a").as("id")).union(u.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val o = u
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .localCheckpoint(false) // both wedge sides + the closure probe
+    val wedges = o.select(col("src").as("wa"), col("dst").as("wb"))
+      .join(o.select(col("src").as("wb"), col("dst").as("wc")), Seq("wb"))
+    val triangles = wedges
+      .join(o, wedges("wa") === o("src") && wedges("wc") === o("dst"), "left_semi")
+    u.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Oracle twin of [[triangleCount]]: same canonical undirected set,
+    * same (degree, id) orientation, same wedge + closure equi-joins. */
+  def triangleCountSql(edgesSql: String): String =
+    s"""WITH __raw AS (
+       |  SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __u AS (
+       |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM __raw
+       |), __deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+       |    SELECT a AS id FROM __u UNION ALL SELECT b FROM __u
+       |  ) GROUP BY id
+       |), __o AS (
+       |  SELECT CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.a ELSE u.b END AS src,
+       |         CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.b ELSE u.a END AS dst
+       |  FROM __u u JOIN __deg da ON u.a = da.id JOIN __deg db ON u.b = db.id
+       |), __w AS (
+       |  SELECT x.src AS wa, x.dst AS wb, y.dst AS wc
+       |  FROM __o x JOIN __o y ON x.dst = y.src
+       |), __t AS (
+       |  SELECT wa FROM __w w WHERE EXISTS (
+       |    SELECT 1 FROM __o e WHERE e.src = w.wa AND e.dst = w.wc)
+       |)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM __u) AS n_edges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM __w) AS n_wedges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM __t) AS n_triangles""".stripMargin
+
+  /** Oracle twin of [[pageRank]]: the identical supersteps unrolled as
+    * chained CTEs — same distinct edges, same floor divisions
+    * (`//` = `div` on positives), same dangling handling. */
+  def pageRankSql(edgesSql: String, iters: Int = 3): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__s$i AS (
+         |  SELECT d.id, d.outdeg,
+         |         CAST(${PrScale * 3 / 20} AS BIGINT) + (17 * coalesce(t.insum, CAST(0 AS BIGINT))) // 20 AS score
+         |  FROM __d d LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(s.score // s.outdeg) AS BIGINT) AS insum
+         |    FROM __e e JOIN __s${i - 1} s ON e.src = s.id AND s.outdeg > 0
+         |    GROUP BY e.dst) t ON d.id = t.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __e AS (
+       |  SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL
+       |), __n AS (
+       |  SELECT src AS id FROM __e UNION SELECT dst FROM __e
+       |), __d AS (
+       |  SELECT n.id, coalesce(o.c, CAST(0 AS BIGINT)) AS outdeg
+       |  FROM __n n LEFT JOIN (
+       |    SELECT src, CAST(count(*) AS BIGINT) AS c FROM __e GROUP BY src) o
+       |  ON n.id = o.src
+       |), __s0 AS (
+       |  SELECT id, outdeg, CAST($PrScale AS BIGINT) AS score FROM __d
+       |), $steps
+       |SELECT id, outdeg, score FROM __s$iters""".stripMargin
+  }
+}

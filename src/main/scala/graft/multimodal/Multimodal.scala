@@ -98,6 +98,62 @@ object Multimodal {
         explode(sequence(lit(0), col("meta.n_bytes") - 1, lit(stride)))
           .as("frame_offset"))
 
+  /** Average-hash (aHash) perceptual fingerprint over the payload: the
+    * classic image near-dup hash — threshold each "pixel" against the
+    * frame mean, pack the bits. A real implementation feeds the decoded
+    * 8×8 grayscale downsample; the stub's frame is the first 64 payload
+    * bytes (the same decode boundary as [[decodeStub]] — swapping in a
+    * codec changes the byte source, not the hash). Mean is the floor of
+    * the integer byte sum (exact in any engine); bit b set iff byte b+1
+    * is STRICTLY above the mean; missing bytes (payload shorter than the
+    * frame) read as 0. Disjoint powers of two recombine by addition —
+    * bit 63's term is Long.MinValue, sums never overflow
+    * ([[graft.dedup.Dedup.simhash]]'s rationale).
+    *
+    * Pure Column expressions end to end — unlike the codec stubs this
+    * IS Catalyst-expressible, so it stays inside whole-stage codegen and
+    * under pushdown. Near-dup pairs over the hashes are the pigeonhole
+    * band kernel: [[graft.dedup.Dedup.hammingPairs]]. */
+  def aHash(media: DataFrame, frame: Int = 64): DataFrame = {
+    require(frame >= 1 && frame <= 64, s"frame packs into one long, got $frame")
+    val bl = expr(s"transform(sequence(1, $frame), __i -> " +
+      "CASE WHEN length(__t) >= __i THEN CAST(ascii(substring(__t, __i, 1)) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END)")
+    val mean = expr(s"aggregate(__bl, CAST(0 AS BIGINT), (__a, __x) -> __a + __x) div $frame")
+    val packed = (0 until frame).map { b =>
+      when(element_at(col("__bl"), b + 1) > col("__mean"), lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    media
+      .select(col("media_id"), decode(col("bytes"), "UTF-8").as("__t"))
+      .select(col("media_id"), bl.as("__bl"))
+      .select(col("media_id"), col("__bl"), mean.as("__mean"))
+      .select(col("media_id"), packed.as("ahash"))
+  }
+
+  /** Oracle twin of [[aHash]] over the documents-backed media table:
+    * same frame bytes (ascii of the raw text — the payload IS the UTF-8
+    * text), same floor-mean, same strict threshold and packing. */
+  def aHashSql(table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", frame: Int = 64): String = {
+    val recombine = (0 until frame).map { b =>
+      s"CASE WHEN bl[${b + 1}] > mean THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH __abl AS (
+       |  SELECT $idCol AS media_id,
+       |         list_transform(range(1, ${frame + 1}), __i ->
+       |           CASE WHEN length($textCol) >= __i
+       |                THEN CAST(ascii(substr($textCol, __i, 1)) AS BIGINT)
+       |                ELSE CAST(0 AS BIGINT) END) AS bl
+       |  FROM $table
+       |), __am AS (
+       |  SELECT media_id, bl,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), bl), (__a, __x) -> __a + __x) // $frame AS mean
+       |  FROM __abl
+       |)
+       |SELECT media_id, $recombine AS ahash FROM __am""".stripMargin
+  }
+
   /** Metadata projection used by the oracle-checked query: everything
     * here is expressible over the raw text in DuckDB (octet_length,
     * ascii) so the binary plumbing gets a cell-exact check too. */

@@ -636,6 +636,57 @@ object TimeSeries {
         "seasonal_mean", "residual")
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    * bucket) keep exactly the four value-bearing extremes a pixel-width
+    * bucket needs to render error-free — first, min, max, last — plus
+    * the bucket's point count. The canonical dashboard/preview
+    * downsampler: a 100 TB archive collapses to (#series × #pixels)
+    * rows while min/max spikes survive exactly.
+    *
+    * Engine-exactness: rows first collapse to unique (attribute,
+    * timestamp) (min value on ties — ts_moving's rationale), so
+    * `min_by`/`max_by` over the bucket pick the value at a UNIQUE
+    * first/last timestamp — no ordering ambiguity — and min/max/count
+    * are order-free. No sums of doubles anywhere.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on (attribute,
+    * bucket) — each partial aggregate carries eight scalars, the
+    * shuffle is output-sized (buckets, not points). No window, no
+    * join. */
+  def m4Downsample(archive: DataFrame, bucket: String = "1 day"): DataFrame = {
+    val pts = archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("bucket_start", window(col("timestamp"), bucket).getField("start"))
+    pts.groupBy("attribute_id", "bucket_start")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("timestamp")).as("t_first"),
+        max(col("timestamp")).as("t_last"),
+        min_by(col("value"), col("timestamp")).as("v_first"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        max_by(col("value"), col("timestamp")).as("v_last"))
+      .select("attribute_id", "bucket_start", "n", "t_first", "t_last",
+        "v_first", "v_min", "v_max", "v_last")
+  }
+
+  /** Oracle twin of [[m4Downsample]]: same unique-point pre-pass, same
+    * bucket (time_bucket = Spark's epoch-aligned `window` for day
+    * buckets), arg_min/arg_max over the now-unique timestamps. */
+  def m4DownsampleSql(archiveSql: String, bucketSql: String = "INTERVAL 1 DAY"): String =
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |)
+       |SELECT attribute_id, time_bucket($bucketSql, timestamp) AS bucket_start,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       min(timestamp) AS t_first, max(timestamp) AS t_last,
+       |       arg_min(value, timestamp) AS v_first,
+       |       min(value) AS v_min, max(value) AS v_max,
+       |       arg_max(value, timestamp) AS v_last
+       |FROM __pts GROUP BY attribute_id, bucket_start""".stripMargin
+
   /** Oracle twin of [[seasonalResiduals]]: same quantized-integer slot
     * sums, same single division and subtraction. */
   def seasonalResidualsSql(archiveSql: String): String =

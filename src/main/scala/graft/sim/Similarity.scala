@@ -167,6 +167,115 @@ object Similarity {
        |SELECT query_id, neighbor_id, qdot, rank FROM __r WHERE rank <= $k""".stripMargin
   }
 
+  /** 1-bit sign quantization of a `dim`-vector packed into ONE BIGINT:
+    * bit b set iff component b+1 is strictly positive. The coarsest
+    * point of the compression ladder (float32 → SQ8 → PQ → 1 bit):
+    * 64-dim float32 collapses 256 B → 8 B (32×), and similarity becomes
+    * a Hamming distance — `bit_count(xor)`, two instructions, no
+    * multiply. Disjoint powers of two recombine by addition; bit 63's
+    * term is Long.MinValue so the sum starts negative and only moves
+    * toward zero — never overflows (ANSI-safe; [[graft.dedup.Dedup.simhash]]'s
+    * rationale). */
+  def signCode(vecCol: String, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"signCode packs into one long, got dim=$dim")
+    (0 until dim).map { b =>
+      when(element_at(col(vecCol), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SQL twin of [[signCode]]. */
+  def signCodeSql(vecCol: String, dim: Int): String =
+    (0 until dim).map { b =>
+      s"CASE WHEN $vecCol[${b + 1}] > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
+  /** Binary-quantized kNN scan: rank corpus codes by Hamming distance
+    * to each query code (sign bits agree ⇔ components point the same
+    * way, the classic LSH cosine estimator — Charikar STOC'02 with the
+    * identity basis). All-integer scoring, so the result is engine-exact
+    * by construction — ties broken by neighbor id.
+    *
+    * 100 TB shape: the scan reads 8 BYTES per vector — the whole
+    * billion-vector corpus is ~8 GB of codes, memory-resident per
+    * executor after one scan; queries broadcast; the per-query top-k is
+    * the WindowGroupLimit rank window over thin rows. Corpus-linear
+    * like every flat scan (the bandwidth collapse is the point); the
+    * sub-linear composition is the same pigeonhole band equi-join
+    * simhash uses ([[graft.dedup.Dedup.hammingPairs]] machinery). */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), signCode(vecCol, dim).as("__code"))
+    val q = queries.select(col(idCol).as("query_id"), signCode(vecCol, dim).as("__qcode"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        bit_count(col("__qcode").bitwiseXOR(col("__code"))).as("hamming"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("hamming"), col("rank"))
+  }
+
+  /** Oracle twin of [[binaryTopK]]: same sign packing, same
+    * bit_count(xor) metric, same (hamming ASC, id) ranking. */
+  def binaryTopKSql(table: String, queryPred: String, k: Int, dim: Int): String =
+    s"""WITH __c AS (
+       |  SELECT vec_id, ${signCodeSql("embedding", dim)} AS code FROM $table
+       |), __q AS (
+       |  SELECT vec_id AS query_id, ${signCodeSql("embedding", dim)} AS qcode
+       |  FROM $table WHERE $queryPred
+       |), __s AS (
+       |  SELECT q.query_id, c.vec_id,
+       |         CAST(bit_count(xor(q.qcode, c.code)) AS INTEGER) AS hamming
+       |  FROM __q q JOIN __c c ON c.vec_id <> q.query_id
+       |), __r AS (
+       |  SELECT query_id, vec_id AS neighbor_id, hamming,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS INTEGER) AS rank
+       |  FROM __s
+       |)
+       |SELECT query_id, neighbor_id, hamming, rank FROM __r WHERE rank <= $k""".stripMargin
+
+  /** The deployment composition for the 1-bit scan: Hamming candidates
+    * from [[binaryTopK]] (`nCandidates` per query, 8 bytes/vector read)
+    * re-ranked by EXACT cosine on the shortlist only — full-precision
+    * vectors are fetched for queries × nCandidates rows, never the
+    * corpus. The two-stage retrieve-then-rerank every production binary
+    * ANN runs; recall recovers most of the quantization loss because
+    * the true top-k almost always survives into a 5× shortlist. */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = binaryTopK(corpus, queries, nCandidates, dim, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine("__qv", "__cv", dim).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Oracle twin of [[binaryRerankTopK]]: the binary shortlist CTE +
+    * the same exact-cosine re-rank join. */
+  def binaryRerankTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      nCandidates: Int = 50): String =
+    s"""WITH __cand AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${binaryTopKSql(table, queryPred, nCandidates, dim)})
+       |), __x AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${cosineSql("qv.embedding", "ev.embedding", dim)} AS cos
+       |  FROM __cand cd JOIN $table qv ON qv.vec_id = cd.query_id
+       |                 JOIN $table ev ON ev.vec_id = cd.neighbor_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __x
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k""".stripMargin
+
   /** A trained IVF-SQ8 index: coarse centroids + the one quantization
     * scalar (both catalog-sized, collected once like the PQ codebooks),
     * plus the distributed index table (id, cluster, dim-byte BINARY

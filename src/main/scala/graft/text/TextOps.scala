@@ -1673,4 +1673,92 @@ object TextOps {
     val cases = counts.map { case (l, c) => s"WHEN $best > 0 AND $c = $best THEN '$l'" }
     s"CASE ${cases.mkString(" ")} ELSE 'und' END"
   }
+
+  /** Per-document token-distribution Shannon entropy — the
+    * repetitive-garbage detector (spam keyword stuffing and template
+    * boilerplate sit near 0 bits; natural prose sits near log2 of its
+    * vocabulary): H = Σ (c/n)·log2(n/c) over the doc's token counts.
+    *
+    * A libm-log formulation would be engine-divergent; instead the
+    * scaled-integer log2 ([[ilog2ScaledExpr]], the perplexity
+    * machinery) makes the entropy numerator an exact BIGINT via the
+    * identity Σ c·(L(n) − L(c)) = n·L(n) − Σ c·L(c), and bits/token is
+    * ONE double division at the end — cell-exact through any engine.
+    *
+    * Scale shape: one token explode (linear), one (doc, token) count,
+    * one per-doc combinable aggregate. Output one row per non-empty
+    * doc: (id, n_tokens, n_distinct, h_q, h_bits). */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("__cl", expr(s"c * ${ilog2ScaledExpr("c")}"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__cl")).as("__scl"))
+      .withColumn("h_q",
+        expr(s"n_tokens * ${ilog2ScaledExpr("n_tokens")}") - col("__scl"))
+      .withColumn("h_bits",
+        col("h_q").cast("double") / (col("n_tokens").cast("double") * 1024.0))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("h_q"), col("h_bits"))
+  }
+
+  /** Oracle twin of [[tokenEntropy]]: same counts, same scaled-integer
+    * log2, same single division. */
+  def tokenEntropySql(table: String, idCol: String, textCol: String): String =
+    s"""WITH __tc AS (
+       |  SELECT $idCol, tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT $idCol, unnest(${tokensSql(textCol)}) AS tok FROM $table
+       |  ) GROUP BY $idCol, tok
+       |), __d AS (
+       |  SELECT $idCol, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_distinct,
+       |         CAST(sum(c * ${ilog2ScaledSql("c")}) AS BIGINT) AS scl
+       |  FROM __tc GROUP BY $idCol
+       |)
+       |SELECT $idCol, n_tokens, n_distinct,
+       |       n_tokens * ${ilog2ScaledSql("n_tokens")} - scl AS h_q,
+       |       CAST(n_tokens * ${ilog2ScaledSql("n_tokens")} - scl AS DOUBLE)
+       |         / (CAST(n_tokens AS DOUBLE) * 1024.0) AS h_bits
+       |FROM __d""".stripMargin
+
+  /** First-iteration BPE merge candidates (Sennrich et al., ACL 2016):
+    * the top-k most frequent ADJACENT character pairs, weighted by word
+    * frequency — the statistic a tokenizer-vocab induction run computes
+    * over the corpus before each merge. Within-word repeats count per
+    * occurrence ("aaa" contributes "aa" twice), the standard BPE count.
+    *
+    * Scale shape: the corpus is touched by exactly ONE map-side-
+    * combinable word-count groupBy (corpus → vocab-sized); the pair
+    * explode and everything after runs over the VOCAB table, so a 100 TB
+    * corpus costs one combinable pass + vocab-scale work. Counts are
+    * exact BIGINTs; ties break on the pair string. */
+  def bpePairCandidates(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__wc"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("__wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), __i -> substring(w, __i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("__wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[bpePairCandidates]]: same word counts, same
+    * adjacent-pair explode over the vocab, same (n DESC, pair) top-k. */
+  def bpePairCandidatesSql(table: String, textCol: String, k: Int = 20): String =
+    s"""WITH __w AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(${tokensSql(textCol)}) AS w FROM $table
+       |  ) GROUP BY w
+       |), __p AS (
+       |  SELECT wc, unnest(list_transform(range(1, length(w)), __i -> substr(w, __i, 2))) AS pair
+       |  FROM __w WHERE length(w) >= 2
+       |)
+       |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM __p
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT $k""".stripMargin
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  private def edges(rows: Seq[(Long, Long)]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("pageRank: a uniform cycle is a fixed point of the integer update") {
+    // 1→2→3→1, all outdeg 1: insum = score, 150000 + (17·1e6) div 20 = 1e6
+    val out = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 3L), (3L, 1L))), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, GraphOps.PrScale), (2L, 1L, GraphOps.PrScale),
+      (3L, 1L, GraphOps.PrScale)))
+  }
+
+  test("pageRank: star center accumulates; leaves decay to the base; dangling mass drops") {
+    // 2→1, 3→1: node 1 is dangling (sends nothing). After iter 1 the
+    // leaves hold the base 150000; from iter 2 on the center holds
+    // 150000 + (17 · 2·150000) div 20 = 405000 — stable by iter 3.
+    val out = GraphOps.pageRank(edges(Seq((2L, 1L), (3L, 1L))), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((0L, 405000L)))
+    assert(out(2L) === ((1L, 150000L)))
+    assert(out(3L) === ((1L, 150000L)))
+  }
+
+  test("triangleCount: K3 has one triangle, C4 none, K4 has four; duplicates/direction ignored") {
+    def counts(rows: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = GraphOps.triangleCount(edges(rows), "src", "dst").head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // triangle, given redundantly in both directions + a dup
+    assert(counts(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 1L))) === ((3L, 1L, 1L)))
+    // 4-cycle: 4 edges, wedges exist, no triangle closes
+    val (e4, _, t4) = counts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert((e4, t4) === ((4L, 0L)))
+    // K4: 6 edges, C(4,3) = 4 triangles
+    assert(counts(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      === ((6L, 4L, 4L)))
+  }
+
+  test("triangleCount: a hub star stays wedge-free (degree orientation points INTO the hub)") {
+    // star center 1 with 5 leaves: id-orientation from node 1 would
+    // build C(5,2)=10 wedges; degree orientation points every edge
+    // leaf→hub, so out-degrees are all 1 and ZERO wedges form
+    val star = edges((2L to 6L).map(l => (1L, l)))
+    val r = GraphOps.triangleCount(star, "src", "dst").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 0L, 0L)))
+  }
+
+  test("pageRank: duplicate and null edges are ignored; determinism under repartition") {
+    val base = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 1L), (1L, 3L))), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dup = edges(Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L)))
+    assert(GraphOps.pageRank(dup, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === base)
+    val sess = spark
+    import sess.implicits._
+    val withNull = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(1L), Some(3L)),
+      (None, Some(9L)), (Some(9L), None)).toDF("src", "dst")
+    assert(GraphOps.pageRank(withNull.repartition(5), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === base)
+  }
+}

@@ -81,6 +81,46 @@ class SimilaritySpec extends SparkSpec {
     assert(again === sq8.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet)
   }
 
+  test("binaryTopK: sign packing is exact; hamming ranking; recall floor vs brute force") {
+    val sess = spark
+    import sess.implicits._
+    // packing: a hand-built 4-dim vector sets exactly the strictly-positive bits
+    val tiny = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.0f, 3.0f)),  // bits 0,3 → 1 + 8 = 9
+      (2L, Seq(1.0f, 2.0f, -1.0f, 3.0f)),  // bits 0,1,3 → 11 (hamming 1 to id 1)
+      (3L, Seq(-1.0f, 2.0f, 1.0f, -3.0f))) // bits 1,2 → 6 (hamming 4 to id 1)
+      .toDF("vec_id", "embedding")
+    val codes = tiny.select(col("vec_id"),
+      Similarity.signCode("embedding", 4).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes === Map(1L -> 9L, 2L -> 11L, 3L -> 6L))
+    val top = Similarity.binaryTopK(tiny, tiny.filter(col("vec_id") === 1), 2, 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(top.toSeq === Seq((2L, 1, 1), (3L, 4, 2)))
+    // bit 63 packs without overflow: a 64-dim all-positive vector
+    val full = Seq((9L, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    assert(full.select(Similarity.signCode("embedding", 64)).head.getLong(0) === -1L)
+    // fixture recall floor: 1-bit is coarse but far above random
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.binaryTopK(emb, q, 10, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+    // the exact-cosine re-rank over a 5× shortlist must dominate the
+    // raw hamming ranking (it can only promote true neighbors)
+    val rr = Similarity.binaryRerankTopK(emb, q, 10, 64, nCandidates = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = (exact & rr).size.toDouble / exact.size
+    assert(rrRecall >= recall, s"rerank $rrRecall < raw $recall")
+    assert(rrRecall >= 0.4, s"rerank recall $rrRecall")
+  }
+
   test("ivfSq8TopK: recall floor vs brute force; candidates only from probed clusters; 1-byte codes") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10, 64)
@@ -368,6 +408,26 @@ class SimilaritySpec extends SparkSpec {
     val keptIds = out.filter(col("kept")).select(col("vec_id").as("rep"))
     assert(reps.exceptAll(keptIds).isEmpty)
     out.unpersist()
+  }
+
+  test("aHash: mean-threshold bit packing; identical payloads pair at hamming 0") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "ab", "s"), (2L, "ab", "s"), (3L, "zzzzzzzz", "s"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.fromDocuments(docs)
+    val h = Multimodal.aHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "ab": bytes 97,98 then zeros; sum 195, mean 195 div 64 = 3;
+    // bits 0 and 1 set → 3
+    assert(h(1L) === 3L)
+    assert(h(1L) === h(2L))
+    // "zzzzzzzz": 8×122, sum 976, mean 15; first 8 bits set → 255
+    assert(h(3L) === 255L)
+    val pairs = graft.dedup.Dedup.hammingPairs(
+      Multimodal.aHash(media), "media_id", "ahash", maxHamming = 1, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
   test("decodeStub computes per-row features distributedly") {

@@ -1208,4 +1208,32 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === gotIds)
   }
+
+  test("tokenEntropy: powers-of-two distributions hit exact bit counts; constants hit zero") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0)))   // all same token: 0 bits
+    assert(out(2L) === ((4L, 4L, 2.0)))   // uniform over 4: exactly 2 bits
+    assert(out(3L) === ((4L, 2L, 1.0)))   // uniform over 2: exactly 1 bit
+    assert(!out.contains(4L))             // empty doc emits no row
+  }
+
+  test("bpePairCandidates: frequency-weighted adjacent pairs, within-word repeats count") {
+    val sess = spark
+    import sess.implicits._
+    // "ab" ×3 (two docs), "aaa" ×1 → pairs: ab=3, aa=2 (two per "aaa");
+    // single-char words contribute nothing
+    val df = Seq((1L, "ab ab aaa x"), (2L, "ab x x")).toDF("doc_id", "text")
+    val out = TextOps.bpePairCandidates(df, "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("ab", 3L), ("aa", 2L)))
+    // ties order lexicographically; k truncates
+    val t = TextOps.bpePairCandidates(Seq((1L, "xy zw")).toDF("doc_id", "text"), "text", k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t.toSeq === Seq(("xy", 1L)))
+  }
 }

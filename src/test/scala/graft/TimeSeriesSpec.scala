@@ -318,4 +318,35 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(out.groupBy(_._1).forall { case (_, g) => g.map(_._4).sum === 0.0 })
   }
+
+  test("m4Downsample: per-bucket first/min/max/last with exact timestamps") {
+    val out = TimeSeries.m4Downsample(archive(Seq(
+      // day 1: first=5, max=90 (mid), min=1 (mid), last=7
+      (1, "2024-01-01 01:00:00", Some(5.0)),
+      (1, "2024-01-01 08:00:00", Some(90.0)),
+      (1, "2024-01-01 13:00:00", Some(1.0)),
+      (1, "2024-01-01 22:00:00", Some(7.0)),
+      // day 2: a single point is all four extremes; nulls are gaps
+      (1, "2024-01-02 03:00:00", None),
+      (1, "2024-01-02 12:00:00", Some(42.0)),
+      // second series, same day as series 1 day 1: independent bucket
+      (2, "2024-01-01 00:00:00", Some(-3.0)))))
+      .orderBy("attribute_id", "bucket_start").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[java.sql.Timestamp](1).toLocalDateTime.getDayOfMonth,
+        r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    assert(out.toSeq === Seq(
+      (1, 1, 4L, 5.0, 1.0, 90.0, 7.0),
+      (1, 2, 1L, 42.0, 42.0, 42.0, 42.0),
+      (2, 1, 1L, -3.0, -3.0, -3.0, -3.0)))
+  }
+
+  test("m4Downsample: duplicate timestamps collapse (min value) before arg_min/arg_max") {
+    val out = TimeSeries.m4Downsample(archive(Seq(
+      (1, "2024-01-01 00:00:00", Some(9.0)),
+      (1, "2024-01-01 00:00:00", Some(2.0)), // tie at t_first → min wins
+      (1, "2024-01-01 10:00:00", Some(5.0)))))
+      .collect().map(r => (r.getLong(2), r.getDouble(5), r.getDouble(8)))
+    assert(out.toSeq === Seq((2L, 2.0, 5.0))) // n counts UNIQUE timestamps
+  }
 }
