@@ -1601,6 +1601,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id")).limit(50)
     }),
 
+    // Market-basket association rules over order baskets: directed part
+    // pairs co-bought in >= 2 orders with support/confidence/lift from
+    // exact counts; strongest 50 associations. Pair volume is bounded
+    // by the basket-size distribution, never cross-basket.
+    "a_assoc" -> ((s, d) =>
+      Relational.associationRules(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minPairCount = 2L)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(50)),
+
     // Exact triangle census of the same graph: degree-oriented wedge
     // join (out-degree capped at O(√m) — hub-proof) + a closure
     // semi-join; (edges, wedges, triangles) as exact BIGINTs.
@@ -2917,6 +2927,11 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         iters = 3)}) ORDER BY score DESC, id LIMIT 50"),
+
+    "a_assoc" ->
+      (s"SELECT * FROM (${Relational.associationRulesSql(
+        "SELECT l_orderkey, l_partkey FROM lineitem", "l_orderkey", "l_partkey",
+        minPairCount = 2L)}) ORDER BY lift DESC, item_a, item_b LIMIT 50"),
 
     "g_triangles" ->
       graft.graph.GraphOps.triangleCountSql(

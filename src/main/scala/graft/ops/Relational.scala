@@ -376,4 +376,66 @@ object Relational {
       explode(array((0 until saltFactor).map(lit): _*)))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Market-basket association rules (Agrawal & Srikant, VLDB 1994 —
+    * the 2-itemset pass): for every DIRECTED item pair co-occurring in
+    * at least `minPairCount` baskets, support / confidence / lift. Item
+    * multiplicity within a basket is ignored (set semantics —
+    * `baskets` dedupes first). Counts are exact BIGINTs and each
+    * metric is ONE double division (lift's numerator/denominator
+    * cross-multiplied first), so rows are engine-exact; the
+    * minPairCount gate is on the exact pair COUNT, never on a derived
+    * float.
+    *
+    * Scale shape: basket dedup + item counts are combinable groupBys;
+    * the pair build is the within-basket self-equi-join whose volume
+    * the basket-size distribution bounds (Σ k_i² — the d_jaccard
+    * inverted-index arithmetic); item totals join back by single-key
+    * equi-joins against the item-count table (vocab-sized). No
+    * all-pairs across baskets, nothing collected. */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    val b = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+      .localCheckpoint(false) // reused: total, item counts, both pair sides
+    val nBaskets = b.agg(countDistinct(col("__bk")).as("__n"))
+    val itemCounts = b.groupBy(col("__it").as("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.select(col("__bk"), col("__it").as("item_a"))
+      .join(b.select(col("__bk"), col("__it").as("item_b")), Seq("__bk"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+      .join(itemCounts.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("__n").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("__n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  /** Oracle twin of [[associationRules]]: same basket dedup, same exact
+    * counts, same three single divisions. */
+  def associationRulesSql(basketsSql: String, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L): String =
+    s"""WITH __b AS (
+       |  SELECT DISTINCT $basketCol AS bk, $itemCol AS it FROM ($basketsSql)
+       |), __n AS (
+       |  SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM __b
+       |), __ic AS (
+       |  SELECT it AS item, CAST(count(*) AS BIGINT) AS n_item FROM __b GROUP BY it
+       |), __p AS (
+       |  SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM __b a JOIN __b b ON a.bk = b.bk AND a.it <> b.it
+       |  GROUP BY a.it, b.it HAVING count(*) >= $minPairCount
+       |)
+       |SELECT p.item_a, p.item_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       |       CAST(p.n_ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+       |       CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       |       CAST(p.n_ab * n.n AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+       |FROM __p p JOIN __ic ia ON p.item_a = ia.item
+       |           JOIN __ic ib ON p.item_b = ib.item
+       |           CROSS JOIN __n n""".stripMargin
 }

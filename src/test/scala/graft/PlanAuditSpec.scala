@@ -396,4 +396,43 @@ class PlanAuditSpec extends SparkSpec {
     val pm = plan("w8_markov")
     assert(!pm.contains("Join"), s"w8_markov needs no join:\n$pm")
   }
+
+  test("graph kernels and association rules stay equi-join shaped, never all-pairs") {
+    // pageRank/triangles run localCheckpoint eagerly at plan build; audit
+    // the executed plans via the query entries end-to-end
+    for (q <- Seq("g_pagerank", "g_triangles", "a_assoc", "m_phash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian:\n$p")
+      // scalar-aggregate broadcasts (n_baskets / count compose) are the
+      // only tolerated nested loops: they join ONE row
+      if (q != "g_triangles" && q != "a_assoc")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q degenerated to a nested loop:\n$p")
+    }
+    // the hamming pair generator joins on (band, chunk) — an exchange on
+    // the band key must exist (equi-join), with the hamming verify a filter
+    val ph = plan("m_phash_pairs")
+    assert(ph.contains("SortMergeJoin") || ph.contains("ShuffledHashJoin") ||
+      ph.contains("BroadcastHashJoin"), s"m_phash_pairs lost its equi-join:\n$ph")
+  }
+
+  test("t_entropy and t_bpe_pairs are explode + combinable hash aggregates, no join on the corpus") {
+    val pe = plan("t_entropy")
+    assert(!pe.contains("Join"), s"t_entropy needs no join:\n$pe")
+    assert(pe.contains("HashAggregate"), s"t_entropy lost hash aggregation:\n$pe")
+    val pb = plan("t_bpe_pairs")
+    assert(!pb.contains("Join"), s"t_bpe_pairs needs no join:\n$pb")
+    assert(pb.contains("TakeOrderedAndProject"),
+      s"t_bpe_pairs top-k must be TakeOrdered, not global sort:\n$pb")
+  }
+
+  test("binary ANN broadcasts the query side; rerank joins only the shortlist") {
+    for (q <- Seq("s_knn_bin", "s_knn_bin_rerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q's per-query top-k must group-limit the rank window:\n$p")
+    }
+  }
 }

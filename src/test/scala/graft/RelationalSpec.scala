@@ -288,4 +288,19 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("associationRules: exact support/confidence/lift; in-basket multiplicity ignored") {
+    val sess = spark
+    import sess.implicits._
+    // b1{x,y} b2{x,y} b3{x,z}; the duplicate (b1,x) row must not count
+    val baskets = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z")).toDF("bk", "it")
+    val out = Relational.associationRules(baskets, "bk", "it", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out.keySet === Set(("x", "y"), ("y", "x"))) // (x,z) is below min count
+    assert(out(("x", "y")) === ((2L, 3L, 2L, 2.0 / 3.0, 2.0 / 3.0, 1.0)))
+    assert(out(("y", "x")) === ((2L, 2L, 3L, 2.0 / 3.0, 1.0, 1.0)))
+  }
 }
