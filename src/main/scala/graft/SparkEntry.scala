@@ -1611,6 +1611,20 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minPairCount = 2L)
         .orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(50)),
 
+    // Synchronous label propagation (2 rounds) on the co-purchase
+    // graph: deterministic communities via the (max count, min label)
+    // tie-break — each round is one thin equi-join + two combinable
+    // aggregates, no window sort, the PageRank superstep shape.
+    "g_lpa" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.graph.GraphOps.labelPropagation(edges, "src", "dst", iters = 2)
+        .orderBy("id")
+    }),
+
     // Exact triangle census of the same graph: degree-oriented wedge
     // join (out-degree capped at O(√m) — hub-proof) + a closure
     // semi-join; (edges, wedges, triangles) as exact BIGINTs.
@@ -2932,6 +2946,12 @@ object SparkEntry {
       (s"SELECT * FROM (${Relational.associationRulesSql(
         "SELECT l_orderkey, l_partkey FROM lineitem", "l_orderkey", "l_partkey",
         minPairCount = 2L)}) ORDER BY lift DESC, item_a, item_b LIMIT 50"),
+
+    "g_lpa" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.labelPropagationSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        iters = 2)}) ORDER BY id"),
 
     "g_triangles" ->
       graft.graph.GraphOps.triangleCountSql(

@@ -66,6 +66,73 @@ object GraphOps {
     state.select("id", "outdeg", "score")
   }
 
+  /** Synchronous label propagation (Raghavan et al., 2007) for
+    * community detection, `iters` rounds unrolled: every node starts as
+    * its own label; each round it adopts the most frequent label among
+    * its neighbors (ties → smallest label; isolated nodes keep their
+    * label). Deterministic BY CONSTRUCTION — the classic async LPA is
+    * run-order-dependent, the synchronous + total-order-tie-break form
+    * is engine-reproducible, which is what makes it oracle-checkable.
+    *
+    * Scale shape per round: one edge⋈labels equi-join (labels are thin
+    * (id, label) rows), one combinable (node, label) count, one
+    * per-node argmax via min(struct(-n, label)) — a second combinable
+    * aggregate, NO window sort. iters × O(|E|), the [[pageRank]]
+    * superstep shape. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    val sym = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = sym.select(col("u"), col("v"))
+      .union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(false) // reused every round
+    val nodes = e.select(col("u").as("id")).distinct()
+      .localCheckpoint(false)
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      val best = e.join(labels.select(col("id").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("id"), col("label")).agg(count(lit(1)).as("__n"))
+        .groupBy("id")
+        .agg(min(struct((-col("__n")).as("negn"), col("label").as("l"))).as("__b"))
+        .select(col("id"), col("__b.l").as("label"))
+      labels = nodes.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
+    labels
+  }
+
+  /** Oracle twin of [[labelPropagation]]: identical rounds as chained
+    * CTEs; the argmax is arg_min over the same (−n, label) pair. */
+  def labelPropagationSql(edgesSql: String, iters: Int = 2): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__l$i AS (
+         |  SELECT n.id, coalesce(b.label, n.id) AS label
+         |  FROM __nodes n LEFT JOIN (
+         |    SELECT id, (min(struct_pack(negn := -n, l := label))).l AS label FROM (
+         |      SELECT e.u AS id, s.label, CAST(count(*) AS BIGINT) AS n
+         |      FROM __e e JOIN __l${i - 1} s ON e.v = s.id
+         |      GROUP BY e.u, s.label
+         |    ) GROUP BY id) b ON n.id = b.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __sym AS (
+       |  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __e AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM __sym UNION ALL SELECT v, u FROM __sym)
+       |), __nodes AS (
+       |  SELECT DISTINCT u AS id FROM __e
+       |), __l0 AS (
+       |  SELECT id, id AS label FROM __nodes
+       |), $steps
+       |SELECT id, label FROM __l$iters""".stripMargin
+  }
+
   /** Exact triangle count over an undirected graph — the clustering
     * diagnostic (community density, spam-graph detection) — via the
     * degree-oriented wedge join (Suri & Vassilvitskii, WWW 2011; Schank

@@ -55,6 +55,30 @@ class GraphOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 0L, 0L)))
   }
 
+  test("labelPropagation: two cliques bridged by one edge collapse to per-clique min labels") {
+    // clique A {1,2,3}, clique B {10,11,12}, bridge 3-10
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val cliqueB = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val out = GraphOps.labelPropagation(edges(cliqueA ++ cliqueB :+ (3L -> 10L)),
+      "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced synchronous rounds (init label = id):
+    // r1: 1→2, 2→1, 3→1 (min of {1,2,10}), 10→3, 11→10, 12→10
+    // r2: clique A settles on 1; 10 keeps B's majority 10; B's interior
+    // adopts the bridge-imported 3 — the classic sync-LPA ripple the
+    // deterministic tie-break makes reproducible
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: tie-break picks the smallest label; isolated pair is symmetric") {
+    // path 1-2-3: node 2 sees labels {1, 3} with equal counts → takes 1
+    val out = GraphOps.labelPropagation(edges(Seq((1L, 2L), (2L, 3L))),
+      "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("pageRank: duplicate and null edges are ignored; determinism under repartition") {
     val base = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 1L), (1L, 3L))), "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
