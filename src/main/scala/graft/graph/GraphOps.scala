@@ -38,8 +38,14 @@ object GraphOps {
     * is iters × O(|E|) with no driver involvement and no all-pairs
     * anywhere. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, broadcastState: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    // the (node, score) state is |V|-sized — catalog-scale next to the
+    // edge table, so by default every superstep BROADCASTS it and the
+    // edge stream never shuffles for the join (one combinable groupBy
+    // on dst per round is the only exchange). At billion-node scale set
+    // broadcastState = false and bucket the edge table by src instead.
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -48,20 +54,24 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(outdeg, Seq("id"), "left")
+    val base = nodes.join(hint(outdeg), Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .localCheckpoint(false) // reused as every superstep's node frame
     var state = base.withColumn("score", lit(PrScale))
     for (_ <- 1 to iters) {
       val insum = e.join(
-        state.filter(col("outdeg") > 0)
-          .select(col("id").as("src"), expr("score div outdeg").as("__c")),
+        hint(state.filter(col("outdeg") > 0)
+          .select(col("id").as("src"), expr("score div outdeg").as("__c"))),
         Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__insum"))
-      state = base.join(insum, Seq("id"), "left")
+      // checkpoint each superstep: without it round i's broadcast
+      // re-derives rounds 1..i-1 from scratch (O(iters²) work — the
+      // Dedup.clusters per-hop lesson)
+      state = base.join(hint(insum), Seq("id"), "left")
         .select(col("id"), col("outdeg"),
           (lit(PrScale * 3 / 20) +
             expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("score"))
+        .localCheckpoint(false)
     }
     state.select("id", "outdeg", "score")
   }
@@ -80,8 +90,11 @@ object GraphOps {
     * aggregate, NO window sort. iters × O(|E|), the [[pageRank]]
     * superstep shape. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, broadcastState: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    // labels are |V|-sized — broadcast by default, same contract as
+    // [[pageRank]]'s broadcastState
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
     val sym = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -93,13 +106,16 @@ object GraphOps {
       .localCheckpoint(false)
     var labels = nodes.withColumn("label", col("id"))
     for (_ <- 1 to iters) {
-      val best = e.join(labels.select(col("id").as("v"), col("label")), Seq("v"))
+      val best = e.join(hint(labels.select(col("id").as("v"), col("label"))), Seq("v"))
         .groupBy(col("u").as("id"), col("label")).agg(count(lit(1)).as("__n"))
         .groupBy("id")
         .agg(min(struct((-col("__n")).as("negn"), col("label").as("l"))).as("__b"))
         .select(col("id"), col("__b.l").as("label"))
-      labels = nodes.join(best, Seq("id"), "left")
+      // per-round checkpoint — same O(iters²) re-derivation guard as
+      // [[pageRank]]
+      labels = nodes.join(hint(best), Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(false)
     }
     labels
   }
@@ -147,7 +163,14 @@ object GraphOps {
     * oriented edge table, O(m^1.5) wedge rows worst case, no all-pairs
     * and no iteration. Output is one row: (n_edges, n_wedges,
     * n_triangles) — exact BIGINTs. */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastEdges: Boolean = true): DataFrame = {
+    // with broadcastEdges (default) the oriented edge table — |E| thin
+    // long pairs — broadcasts to both the wedge build and the closure
+    // probe, so the wedge stream (the O(m^1.5) bulk) NEVER shuffles:
+    // the whole census is one scan → flatmap → broadcast-semi → count.
+    // Past broadcast scale, set false and bucket by src instead.
+    def hint(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
     val u = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
@@ -158,8 +181,8 @@ object GraphOps {
     val deg = u.select(col("a").as("id")).union(u.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val o = u
-      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .join(hint(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+      .join(hint(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
           .otherwise(col("b")).as("src"),
@@ -167,12 +190,19 @@ object GraphOps {
           .otherwise(col("a")).as("dst"))
       .localCheckpoint(false) // both wedge sides + the closure probe
     val wedges = o.select(col("src").as("wa"), col("dst").as("wb"))
-      .join(o.select(col("src").as("wb"), col("dst").as("wc")), Seq("wb"))
-    val triangles = wedges
-      .join(o, wedges("wa") === o("src") && wedges("wc") === o("dst"), "left_semi")
-    u.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .join(hint(o.select(col("src").as("wb"), col("dst").as("wc"))), Seq("wb"))
+    // ONE pass over the wedge stream: the oriented edge set is distinct,
+    // so the closure left-join matches at most once per wedge — wedge
+    // and triangle counts come out of the same aggregate instead of
+    // running the O(m^1.5) join twice
+    val counted = wedges
+      .join(hint(o.withColumn("__hit", lit(1L))),
+        wedges("wa") === o("src") && wedges("wc") === o("dst"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        // outer coalesce: a wedge-free graph aggregates ZERO rows and a
+        // bare sum would yield NULL
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_triangles"))
+    u.agg(count(lit(1)).as("n_edges")).crossJoin(counted)
   }
 
   /** Oracle twin of [[triangleCount]]: same canonical undirected set,
