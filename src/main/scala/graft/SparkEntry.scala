@@ -1268,6 +1268,15 @@ object SparkEntry {
     // deterministic hash order (not a rate — a COUNT guarantee per
     // stratum; resharding-stable, auditable, no RNG). WindowGroupLimit
     // keeps only the per-stratum top rows on the map side at scale.
+    // Weighted-fair interleave schedule (stride scheduling): source
+    // weight w emits its r-th doc at vtime (r·2^20) div w — the smooth
+    // training-order timeline; one rank window per source, no global
+    // sort, the consumer orders by (vtime, source, id).
+    "pipe_schedule" -> ((s, d) =>
+      TextOps.interleaveSchedule(Tables.documents(s, d), "doc_id", "source",
+        Seq("src0" -> 4, "src1" -> 2))
+        .orderBy("vtime", "source", "doc_id")),
+
     "pipe_stratified" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("__h"), col("doc_id"))
@@ -2723,6 +2732,11 @@ object SparkEntry {
     "pipe_shard_epoch" ->
       (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16, epoch = 2)}) " +
         "ORDER BY doc_id"),
+
+    "pipe_schedule" ->
+      (s"SELECT * FROM (${TextOps.interleaveScheduleSql("documents", "doc_id",
+        "source", Seq("src0" -> 4, "src1" -> 2))}) " +
+        "ORDER BY vtime, source, doc_id"),
 
     "pipe_stratified" ->
       (s"SELECT doc_id, source, rk FROM (" +

@@ -1674,6 +1674,60 @@ object TextOps {
     s"CASE ${cases.mkString(" ")} ELSE 'und' END"
   }
 
+  /** Deterministic weighted interleave schedule — the training
+    * dataloader's ORDER, complementing [[temperatureSample]] (which
+    * decides how much of each source) by deciding WHEN each document
+    * surfaces: source s with integer weight w emits its r-th document
+    * at virtual time (r · 2^20) div w, the classic weighted-fair-
+    * queueing / stride-scheduling timeline — heavier sources emit
+    * proportionally more often, and the mix stays smooth from step one
+    * (no source-sized runs, which destabilize training).
+    *
+    * Intra-source order is the reproducible salted-hash shuffle
+    * ([[shardAssignment]]'s discipline); vtime is exact BIGINT floor
+    * division. The consumer sorts by (vtime, source, id) — the operator
+    * itself is ONE row_number window per source partition, no global
+    * sort.
+    *
+    * Scale shape: one hash shuffle on source + a linear rank pass;
+    * everything after is a pure projection. */
+  def interleaveSchedule(df: org.apache.spark.sql.DataFrame, idCol: String,
+      sourceCol: String, weights: Seq[(String, Int)],
+      defaultWeight: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(weights.forall(_._2 >= 1) && defaultWeight >= 1,
+      "weights must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("__h"), col(idCol))
+    val wt = weights.foldRight(lit(defaultWeight)) { case ((s, k), acc) =>
+      when(col(sourceCol) === s, lit(k)).otherwise(acc)
+    }
+    df.select(col(idCol), col(sourceCol),
+        col(idCol).cast("string").as("__id_s"))
+      .withColumn("__h", tokenHash("__id_s"))
+      .withColumn("intra_rank", row_number().over(w).cast("long"))
+      .withColumn("weight", wt.cast("long"))
+      .withColumn("vtime", expr("(intra_rank * 1048576) div weight"))
+      .select(col(idCol), col(sourceCol), col("intra_rank"), col("weight"), col("vtime"))
+  }
+
+  /** Oracle twin of [[interleaveSchedule]]: same salted-hash intra-source
+    * order, same stride arithmetic. */
+  def interleaveScheduleSql(table: String, id: String, source: String,
+      weights: Seq[(String, Int)], defaultWeight: Int = 1): String = {
+    val cases = weights.map { case (s, k) => s"WHEN $source = '$s' THEN $k" }
+      .mkString(" ")
+    s"""WITH __r AS (
+       |  SELECT $id, $source,
+       |         CAST(row_number() OVER (PARTITION BY $source
+       |           ORDER BY ${tokenHashSql(s"CAST($id AS VARCHAR)")}, $id) AS BIGINT) AS intra_rank,
+       |         CAST(CASE $cases ELSE $defaultWeight END AS BIGINT) AS weight
+       |  FROM $table
+       |)
+       |SELECT $id, $source, intra_rank, weight,
+       |       (intra_rank * 1048576) // weight AS vtime
+       |FROM __r""".stripMargin
+  }
+
   /** Per-document token-distribution Shannon entropy — the
     * repetitive-garbage detector (spam keyword stuffing and template
     * boilerplate sit near 0 bits; natural prose sits near log2 of its

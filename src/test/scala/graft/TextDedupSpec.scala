@@ -1209,6 +1209,30 @@ class TextDedupSpec extends SparkSpec {
     assert(again === gotIds)
   }
 
+  test("interleaveSchedule: stride timeline is weight-proportional and repartition-stable") {
+    val sess = spark
+    import sess.implicits._
+    val df = (1L to 60L).map(i => (i, if (i <= 40) "a" else "b")).toDF("doc_id", "source")
+    val out = TextOps.interleaveSchedule(df, "doc_id", "source", Seq("a" -> 2, "b" -> 1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // vtime = (rank * 2^20) div w exactly
+    out.foreach { case (_, s, r, v) =>
+      val w = if (s == "a") 2L else 1L
+      assert(v === (r * 1048576L) / w)
+    }
+    // in timeline order, source a (weight 2) appears ~2x as often as b
+    // over any aligned prefix: count a-events with vtime <= b's k-th slot
+    val sorted = out.sortBy(t => (t._4, t._2, t._1))
+    val firstB = sorted.filter(_._2 == "b").take(10)
+    val aBefore = sorted.count(t => t._2 == "a" && t._4 <= firstB.last._4)
+    assert(aBefore >= 18 && aBefore <= 22, s"a-events in b's first 10 slots: $aBefore")
+    // deterministic under repartitioning
+    val again = TextOps.interleaveSchedule(df.repartition(7), "doc_id", "source",
+      Seq("a" -> 2, "b" -> 1)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    assert(again === out.toSet)
+  }
+
   test("tokenEntropy: powers-of-two distributions hit exact bit counts; constants hit zero") {
     val sess = spark
     import sess.implicits._
