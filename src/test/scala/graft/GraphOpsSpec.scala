@@ -79,6 +79,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("a src-bucketed edge table joins the superstep state with zero exchange on the edge side") {
+    // the deployment contract in pageRank's doc: past broadcast scale,
+    // bucket the edge table by src — then each superstep's edge⋈state
+    // join shuffles ONLY the |V|-sized state, never the edges
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    val sess = spark
+    import sess.implicits._
+    val e = (1L to 200L).flatMap(i => Seq((i, i % 50 + 1), (i % 50 + 1, i)))
+      .toDF("src", "dst")
+    val bucketed = graft.ops.Relational.materializeBucketed(
+      e, s"$dir/edges", "t_graph_edges_bucketed", "src", 8)
+    try {
+      val state = (1L to 200L).map(i => (i, 1000000L)).toDF("src", "score")
+      val stepped = bucketed.join(state, Seq("src"))
+        .groupBy("dst").agg(sum(col("score")).as("insum"))
+      stepped.collect()
+      val plan = stepped.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"), s"superstep join missing:\n$plan")
+      // the precise claim: the edge table is scanned bucketed and NEVER
+      // hash-reshuffled on src — the only hash exchange is the dst
+      // aggregate (the state side may broadcast or shuffle; it's |V|-sized)
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(src"),
+        s"edge side reshuffled on src:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_graph_edges_bucketed")
+    }
+  }
+
   test("pageRank: duplicate and null edges are ignored; determinism under repartition") {
     val base = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 1L), (1L, 3L))), "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
