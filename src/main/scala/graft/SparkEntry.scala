@@ -942,6 +942,25 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // Filtered vector search: each query's top-k among ONLY vectors
+    // sharing its label — the tenant/category gate. The metadata
+    // predicate is the JOIN KEY (never a post-filter that under-fills
+    // k); a label-partitioned corpus layout makes the probe read one
+    // stratum instead of the corpus.
+    "s_knn_filtered" -> ((s, d) =>
+      Similarity.filteredTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64,
+        filterCol = "label")
+        .orderBy("query_id", "rank")),
+
+    // External clustering quality: Adjusted Rand Index of the
+    // deterministic k-means-lite assignment against the reference
+    // labels — exact pair-count BIGINTs (contingency + margins), one
+    // fixed-order double at the end, so the metric itself is
+    // oracle-checkable, not just sanity-bounded.
+    "s_cluster_eval" -> ((s, d) =>
+      Similarity.clusterEval(Tables.embeddings(s, d), dim = 64, nCentroids = 8)),
+
     // SQ8 compressed flat scan: int8-quantized vectors, BIGINT-exact
     // integer dot scores (no float anywhere after quantization) — the
     // 4×-smaller memory/bandwidth form of the brute scan.
@@ -1646,6 +1665,21 @@ object SparkEntry {
       graft.graph.GraphOps.triangleCount(edges, "src", "dst")
     }),
 
+    // k-core of the co-purchase graph: synchronous peeling (4 unrolled
+    // rounds — a fixed point on this graph, spec-asserted) removes every
+    // part whose surviving-neighborhood degree stays below k, leaving
+    // the dense trading core; (id, core_deg) with degrees recomputed on
+    // the final core so min(core_deg) >= k certifies convergence.
+    "g_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.graph.GraphOps.kCore(edges, "src", "dst", k = 8, rounds = 4)
+        .orderBy("id")
+    }),
+
     "w4_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -1839,6 +1873,72 @@ object SparkEntry {
         .select(col("cluster"), col("doc_id").as("kept_doc"), col("score"),
           col("n_members"))
         .orderBy("cluster")
+    }),
+
+    // Per-source document capping (the RefinedWeb/C4 "domain cap"): no
+    // single source may contribute more than N documents, and the ones
+    // kept are its HIGHEST-quality ones — rank per source by (score
+    // desc, doc_id) and keep rank <= cap. One window whose rank filter
+    // becomes a per-partition top-k (WindowGroupLimit — plan-audited):
+    // each source's partition keeps a cap-sized heap, nothing sorts a
+    // whole source, and the shuffle key (source) is the natural
+    // partitioning a crawl layout already has.
+    "pipe_source_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+      TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"), col("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 40)
+        .orderBy("source", "rk")
+    }),
+
+    // Z-order layout audit: the Morton key that materializeZOrdered
+    // clusters files by, summarized per key range — each bucket (a
+    // contiguous z-range = one file's worth under repartitionByRange)
+    // covers a small HYPER-RECTANGLE of (user, minute) space, which is
+    // what makes min-max stats prune range scans on EITHER column at
+    // 100 TB. The span columns make that property itself the oracle:
+    // x/y spans stay bucket-sized, never global. Pure integer bit
+    // interleave — cross-engine exact by construction.
+    "pipe_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(col("event_id"),
+          pmod(col("user_id"), lit(4096L)).as("__x"),
+          pmod(expr("unix_micros(cast(ts as timestamp)) div 60000000"),
+            lit(4096L)).as("__y"))
+        .withColumn("z", Relational.zOrderKey(Seq(col("__x"), col("__y")), 12))
+        .withColumn("bucket", expr("z div 262144"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"),
+          min("__x").as("x_min"), max("__x").as("x_max"),
+          min("__y").as("y_min"), max("__y").as("y_max"))
+        .orderBy("bucket")
+    }),
+
+    // Corpus snapshot diff — the data-versioning audit between two crawl
+    // snapshots (what a 100 TB refresh actually changed): previous =
+    // docs outside the 11-residue, current = docs outside the 13-residue
+    // with every 7-residue doc revised; one co-partitioned full-outer
+    // equi-join on doc_id classifies added / removed / changed (string
+    // equality on content — unchanged rows drop out). At scale both
+    // snapshots are bucketed by doc_id, so the diff is exchange-free.
+    "d_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), col("text").as("__old"))
+      val cur = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("__new"))
+      prev.join(cur, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("__old").isNull, lit("added"))
+            .when(col("__new").isNull, lit("removed"))
+            .when(col("__old") =!= col("__new"), lit("changed")))
+        .filter(col("change").isNotNull)
+        .select("doc_id", "change")
+        .orderBy("doc_id")
     }),
 
     // ---- sketches (constant-size mergeable summaries) ---------------------
@@ -2570,6 +2670,13 @@ object SparkEntry {
 
     "s_knn_brute" -> BruteKnnSql,
 
+    "s_knn_filtered" ->
+      Similarity.filteredTopKSql("embeddings", "vec_id < 5", k = 10, dim = 64,
+        filterCol = "label"),
+
+    "s_cluster_eval" ->
+      Similarity.clusterEvalSql("embeddings", dim = 64, nCentroids = 8),
+
     "s_hybrid_rrf" ->
       (s"WITH __lex AS (${TextOps.bm25TopKSql("documents", "doc_id", "text",
         Seq("dup", "spark", "query"), k = 20)}), " +
@@ -2972,6 +3079,12 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"),
 
+    "g_kcore" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.kCoreSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        k = 8, rounds = 4)}) ORDER BY id"),
+
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
@@ -3133,6 +3246,34 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY c.cluster) AS n_members " +
         "FROM __clusters c JOIN __scored s ON s.doc_id = c.id) " +
         "SELECT cluster, doc_id AS kept_doc, score, n_members FROM __m WHERE rn = 1 ORDER BY cluster"),
+
+    "pipe_source_cap" ->
+      (s"SELECT doc_id, source, score, rk FROM (" +
+        s"SELECT doc_id, source, ${TextOps.qualityScoreSql("text")} AS score, " +
+        "CAST(row_number() OVER (PARTITION BY source " +
+        s"ORDER BY ${TextOps.qualityScoreSql("text")} DESC, doc_id) AS INTEGER) AS rk " +
+        "FROM documents) WHERE rk <= 40 ORDER BY source, rk"),
+
+    "pipe_zorder" -> {
+      val z = Relational.zOrderKeySql(Seq("xx", "yy"), 12)
+      "WITH __s AS (SELECT event_id, user_id % 4096 AS xx, " +
+        "(epoch_us(ts) // 60000000) % 4096 AS yy FROM events), " +
+        s"__z AS (SELECT event_id, xx, yy, $z AS z FROM __s) " +
+        "SELECT z // 262144 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "min(z) AS z_min, max(z) AS z_max, min(xx) AS x_min, max(xx) AS x_max, " +
+        "min(yy) AS y_min, max(yy) AS y_max " +
+        "FROM __z GROUP BY 1 ORDER BY bucket"
+    },
+
+    "d_diff" ->
+      ("WITH __prev AS (SELECT doc_id, text AS o FROM documents WHERE doc_id % 11 <> 3), " +
+        "__cur AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS n " +
+        "FROM documents WHERE doc_id % 13 <> 5), " +
+        "__j AS (SELECT coalesce(p.doc_id, c.doc_id) AS doc_id, " +
+        "CASE WHEN p.o IS NULL THEN 'added' WHEN c.n IS NULL THEN 'removed' " +
+        "WHEN p.o <> c.n THEN 'changed' END AS change " +
+        "FROM __prev p FULL JOIN __cur c ON p.doc_id = c.doc_id) " +
+        "SELECT doc_id, change FROM __j WHERE change IS NOT NULL ORDER BY doc_id"),
 
     "pipe_corpus_clean" -> {
       val nTok = TextOps.qualityFeaturesSql("text")("n_tokens")

@@ -232,6 +232,84 @@ object GraphOps {
        |       (SELECT CAST(count(*) AS BIGINT) FROM __w) AS n_wedges,
        |       (SELECT CAST(count(*) AS BIGINT) FROM __t) AS n_triangles""".stripMargin
 
+  /** k-core decomposition by synchronous peeling (Seidman, 1983;
+    * Matula & Beck, 1983), `rounds` unrolled: every round simultaneously
+    * removes all nodes whose degree in the surviving induced subgraph is
+    * below k. With enough rounds the surviving set is exactly the k-core
+    * — the maximal induced subgraph of minimum degree ≥ k, the standard
+    * density screen (spam/bot subgraph mining, community cores,
+    * visualization shells). Synchronous batch peeling is deterministic
+    * and engine-reproducible, unlike the sequential min-degree peel, and
+    * converges in ≤ the graph's degeneracy rounds; the caller pins
+    * `rounds` and [[kCoreSql]] unrolls the identical CTE chain, so a
+    * converged run is oracle-checkable (the spec asserts one more round
+    * is a fixed point on the fixture).
+    *
+    * Output: (id, core_deg) for surviving nodes — core_deg recomputed on
+    * the FINAL surviving set, so `min(core_deg) >= k` iff converged.
+    *
+    * 100 TB shape per round: the |V|-sized survivor set joins the edge
+    * table twice (src gate, dst gate) — broadcast by default, same
+    * contract as [[pageRank]]'s broadcastState; past broadcast scale
+    * bucket the edge table by src — plus one combinable count groupBy.
+    * rounds × O(|E|), nothing pairwise, no driver loops. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3, broadcastState: Boolean = true): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"unrolled rounds must be in [1,10], got $rounds")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val sym = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = sym.select(col("u"), col("v"))
+      .union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(false) // reused by every peel round
+    var alive = e.select(col("u").as("id")).distinct().localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      // degree within the induced subgraph: BOTH endpoints must survive
+      alive = e
+        .join(hint(alive.select(col("id").as("u"))), Seq("u"))
+        .join(hint(alive.select(col("id").as("v"))), Seq("v"))
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select("id")
+        .localCheckpoint(false) // same O(rounds²) re-derivation guard
+    }
+    e.join(hint(alive.select(col("id").as("u"))), Seq("u"))
+      .join(hint(alive.select(col("id").as("v"))), Seq("v"))
+      .groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Oracle twin of [[kCore]]: identical synchronous peels as chained
+    * CTEs — same canonical symmetric edge set, same both-endpoint gates,
+    * same final-degree recompute. */
+  def kCoreSql(edgesSql: String, k: Int, rounds: Int = 3): String = {
+    require(rounds >= 1 && rounds <= 10)
+    val steps = (1 to rounds).map { i =>
+      s"""__v$i AS (
+         |  SELECT e.u AS id FROM __e e
+         |  JOIN __v${i - 1} a ON e.u = a.id
+         |  JOIN __v${i - 1} b ON e.v = b.id
+         |  GROUP BY e.u HAVING count(*) >= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __sym AS (
+       |  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __e AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM __sym UNION ALL SELECT v, u FROM __sym)
+       |), __v0 AS (
+       |  SELECT DISTINCT u AS id FROM __e
+       |), $steps
+       |SELECT e.u AS id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM __e e
+       |JOIN __v$rounds a ON e.u = a.id
+       |JOIN __v$rounds b ON e.v = b.id
+       |GROUP BY e.u""".stripMargin
+  }
+
   /** Oracle twin of [[pageRank]]: the identical supersteps unrolled as
     * chained CTEs — same distinct edges, same floor divisions
     * (`//` = `div` on positives), same dangling handling. */

@@ -339,6 +339,18 @@ object Relational {
     }
   }
 
+  /** Oracle twin of [[zOrderKey]]: the identical interleave in portable
+    * div/mod arithmetic (`((x // 2^i) % 2) * 2^(i*n+j)` summed) — equal
+    * to the Scala bit ops for the non-negative pre-scaled inputs the
+    * contract requires, and runnable by any ANSI engine. */
+  def zOrderKeySql(cols: Seq[String], bits: Int = 16): String = {
+    require(cols.nonEmpty && bits * cols.length <= 62)
+    val n = cols.length
+    val terms = for (i <- 0 until bits; (c, j) <- cols.zipWithIndex)
+      yield s"((($c) // ${1L << i}) % 2) * ${1L << (i * n + j)}"
+    terms.mkString("(CAST(", " + ", " AS BIGINT))")
+  }
+
   /** Write `df` as parquet clustered on the Z-order key of `cols`:
     * range-partition on the key (one write-time shuffle), sort within
     * each file, drop the key. Every output file then covers a small

@@ -546,6 +546,138 @@ object Similarity {
        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** Attribute-filtered exact kNN — "filtered vector search": each
+    * query's top-k among ONLY the corpus vectors sharing its
+    * `filterCol` value (the tenant / language / category gate every
+    * production vector store needs). The metadata predicate becomes the
+    * JOIN KEY rather than a post-filter: post-filtering a global top-k
+    * under-fills k whenever the filter is selective, while the
+    * filter-equi-join scores exactly the matching stratum and k is
+    * always honest.
+    *
+    * 100 TB shape: the corpus is partitioned (or bucketed) by the
+    * filter column — the natural layout for tenanted embeddings — so
+    * the broadcast-query join touches one stratum's files per query
+    * batch and the rank shuffle carries thin (query, neighbor, cos)
+    * rows. Selective filters make this CHEAPER than unfiltered ANN, not
+    * more expensive. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      filterCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(filterCol).as("__f"))
+      .withColumn("c_norm", sqrt(dot("c_vec", "c_vec", dim)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(filterCol).as("__qf"))
+      .withColumn("q_norm", sqrt(dot("q_vec", "q_vec", dim)))
+    val scored = c.join(broadcast(q),
+        col("__f") === col("__qf") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("q_vec", "c_vec", dim) / (col("q_norm") * col("c_norm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Oracle twin of [[filteredTopK]]: the same filter-equi-join and
+    * rank, with the metadata equality in the join predicate. */
+  def filteredTopKSql(table: String, queryPred: String, k: Int, dim: Int,
+      filterCol: String): String =
+    s"""WITH __q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_vec, $filterCol AS qf
+       |  FROM $table WHERE $queryPred
+       |), __s AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("q_vec", "e.embedding", 64)} AS cos
+       |  FROM $table e JOIN __q q
+       |    ON e.$filterCol = q.qf AND q.query_id <> e.vec_id
+       |), __r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM __s
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM __r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Pair-counting agreement between the deterministic k-means-lite
+    * assignment and a reference label column — the Adjusted Rand Index
+    * (Hubert & Arabie, 1985), the standard external clustering-quality
+    * metric. Every component is an EXACT BIGINT pair count (Σ C(n,2)
+    * over the contingency table and its margins) and the index itself
+    * is assembled from those integers with one fixed-order double
+    * expression, so the whole evaluation — not just the counts — is
+    * engine-reproducible. ARI = 1 → clusters reproduce the labels;
+    * ≈ 0 → chance-level agreement.
+    *
+    * 100 TB shape: assignment is the broadcast-centroid projection
+    * ([[assignClustersLocal]]); the contingency table is ONE combinable
+    * (cluster, label) count — k × |labels| rows, catalog-sized — and
+    * everything after is arithmetic on that tiny table. Nothing
+    * pairwise: C(n,2) is computed from counts, never by joining rows. */
+  def clusterEval(corpus: DataFrame, dim: Int, nCentroids: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cents = collectCentroids(
+      ivfCentroids(corpus, dim, nCentroids, 1, idCol, vecCol))
+    val asg = assignClustersLocal(
+      corpus.select(col(idCol), col(vecCol), col(labelCol).as("__lab")),
+      cents, vecCol, idCol)
+    // n*(n-1) is even, so the shift is exact integer halving (the SQL
+    // twin's `// 2`); Column `/` would go through double
+    def comb2(c: Column): Column = shiftright(c * (c - lit(1)), 1)
+    val cont = asg.groupBy(col("cluster"), col("__lab"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(false) // tiny; reused by all three margin sums
+    val byCluster = cont.groupBy("cluster").agg(sum(col("nij")).as("ai"))
+    val byLabel = cont.groupBy("__lab").agg(sum(col("nij")).as("bj"))
+    val parts = cont.agg(sum(comb2(col("nij"))).as("sum_comb_ij"),
+        sum(col("nij")).as("n"))
+      .crossJoin(byCluster.agg(sum(comb2(col("ai"))).as("sum_comb_a")))
+      .crossJoin(byLabel.agg(sum(comb2(col("bj"))).as("sum_comb_b")))
+    parts.select(col("n"), col("sum_comb_ij"), col("sum_comb_a"), col("sum_comb_b"),
+        comb2(col("n")).as("comb_n"))
+      .withColumn("__e",
+        col("sum_comb_a").cast("double") * col("sum_comb_b").cast("double") /
+          col("comb_n").cast("double"))
+      .withColumn("__m",
+        (col("sum_comb_a").cast("double") + col("sum_comb_b").cast("double")) / lit(2.0))
+      .withColumn("ari",
+        when(col("__m") === col("__e"), lit(null).cast("double"))
+          .otherwise((col("sum_comb_ij").cast("double") - col("__e")) /
+            (col("__m") - col("__e"))))
+      .select("n", "sum_comb_ij", "sum_comb_a", "sum_comb_b", "comb_n", "ari")
+  }
+
+  /** Oracle twin of [[clusterEval]]: the shared k-means CTE chain, the
+    * same exact C(n,2) integers, the same fixed-order ARI expression. */
+  def clusterEvalSql(table: String, dim: Int, nCentroids: Int = 8): String =
+    s"""WITH ${kmeansAssignCtes(table, dim, nCentroids)}, __ct AS (
+       |  SELECT a.cluster, l.label, CAST(count(*) AS BIGINT) AS nij
+       |  FROM __asg a JOIN $table l ON a.vec_id = l.vec_id
+       |  GROUP BY a.cluster, l.label
+       |), __p AS (
+       |  SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sum_comb_ij,
+       |         CAST(sum(nij) AS BIGINT) AS n
+       |  FROM __ct
+       |), __pa AS (
+       |  SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS sum_comb_a FROM (
+       |    SELECT CAST(sum(nij) AS BIGINT) AS ai FROM __ct GROUP BY cluster)
+       |), __pb AS (
+       |  SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS sum_comb_b FROM (
+       |    SELECT CAST(sum(nij) AS BIGINT) AS bj FROM __ct GROUP BY label)
+       |)
+       |SELECT n, sum_comb_ij, sum_comb_a, sum_comb_b,
+       |       CAST((n * (n - 1)) // 2 AS BIGINT) AS comb_n,
+       |       CASE WHEN (CAST(sum_comb_a AS DOUBLE) + CAST(sum_comb_b AS DOUBLE)) / 2.0
+       |                 = CAST(sum_comb_a AS DOUBLE) * CAST(sum_comb_b AS DOUBLE) / CAST((n * (n - 1)) // 2 AS DOUBLE)
+       |            THEN NULL
+       |            ELSE (CAST(sum_comb_ij AS DOUBLE)
+       |                  - CAST(sum_comb_a AS DOUBLE) * CAST(sum_comb_b AS DOUBLE) / CAST((n * (n - 1)) // 2 AS DOUBLE))
+       |                 / ((CAST(sum_comb_a AS DOUBLE) + CAST(sum_comb_b AS DOUBLE)) / 2.0
+       |                    - CAST(sum_comb_a AS DOUBLE) * CAST(sum_comb_b AS DOUBLE) / CAST((n * (n - 1)) // 2 AS DOUBLE)) END AS ari
+       |FROM __p CROSS JOIN __pa CROSS JOIN __pb""".stripMargin
+
   /** Oracle twin of [[embedContamination]]: same cosine folds, the
     * argmax expressed as the rank-1 row under (cos DESC, bench_id). */
   def embedContaminationSql(table: String, benchPred: String,

@@ -79,6 +79,55 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("kCore: K4 with a tail — the 3-core is exactly K4; tail peels; extra rounds are a fixed point") {
+    // K4 on {1,2,3,4} plus tail 4–5–6: deg(6)=1, deg(5)=2 < 3 → both
+    // peel in round 1 (synchronous); K4 survives with core_deg 3
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val out = GraphOps.kCore(edges(e), "src", "dst", k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // converged: more rounds change nothing
+    val more = GraphOps.kCore(edges(e), "src", "dst", k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === out)
+  }
+
+  test("kCore: peeling cascades one hop per round on a path; the 2-core of a path is empty") {
+    // path 1–2–3–4–5–6, k=2: each synchronous round removes the two
+    // current endpoints — round-count semantics are observable
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    def ids(rounds: Int): Set[Long] =
+      GraphOps.kCore(edges(path), "src", "dst", k = 2, rounds = rounds)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(1) === Set(2L, 3L, 4L, 5L))
+    assert(ids(2) === Set(3L, 4L))
+    assert(ids(3) === Set.empty[Long])
+    // a cycle IS its own 2-core — survives any number of rounds
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val c = GraphOps.kCore(edges(cyc), "src", "dst", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: the pinned g_kcore configuration (k=8, 4 rounds) is a fixed point on the fixture graph") {
+    // the oracle unrolls exactly 4 rounds; this pins that a 5th round
+    // peels nobody on the sf0.001 co-purchase graph, i.e. the query
+    // result IS the k-core, not a partial peel
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val e = li.select(col("ok"), col("l_partkey").as("src"))
+      .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+    val r4 = GraphOps.kCore(e, "src", "dst", k = 8, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r5 = GraphOps.kCore(e, "src", "dst", k = 8, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r4.nonEmpty, "the pinned k should leave a non-empty core")
+    assert(r4 === r5, "4 rounds must be a fixed point on the fixture")
+    assert(r4.forall(_._2 >= 8L), "every surviving node keeps core degree >= k")
+  }
+
   test("a src-bucketed edge table joins the superstep state with zero exchange on the edge side") {
     // the deployment contract in pageRank's doc: past broadcast scale,
     // bucket the edge table by src — then each superstep's edge⋈state

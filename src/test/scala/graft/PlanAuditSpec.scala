@@ -435,4 +435,28 @@ class PlanAuditSpec extends SparkSpec {
         s"$q's per-query top-k must group-limit the rank window:\n$p")
     }
   }
+
+  test("k-core peeling is gate equi-joins + combinable degree counts, no nested loop") {
+    val p = plan("g_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"g_kcore degenerated to a pair scan:\n$p")
+    assert(p.contains("HashAggregate"), s"degree count lost hash aggregation:\n$p")
+  }
+
+  test("source capping group-limits the per-source rank window (cap-sized heaps, no full sort)") {
+    val p = plan("pipe_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"pipe_source_cap shuffles whole sources instead of cap-sized heaps:\n$p")
+  }
+
+  test("snapshot diff is ONE full-outer equi-join on the key — no nested loop, no extra shuffles") {
+    val p = plan("d_diff")
+    assert(p.contains("FullOuter"), s"d_diff lost its full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d_diff degenerated:\n$p")
+    // both sides come from the same scan with only a filter between —
+    // exactly two exchanges (one per side) feed the join, nothing more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"d_diff has unexpected extra shuffles ($exchanges):\n$p")
+  }
 }
