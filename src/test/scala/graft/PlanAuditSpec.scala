@@ -436,6 +436,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("z-order key audit is one projection + one hash aggregate: no join, no window") {
+    val p = plan("pipe_zorder")
+    assert(!p.contains("Join"), s"pipe_zorder needs no join:\n$p")
+    assert(p.contains("HashAggregate"), s"bucket summary lost hash aggregation:\n$p")
+  }
+
+  test("filtered kNN joins on the metadata key and group-limits the rank window") {
+    val p = plan("s_knn_filtered")
+    assert(!p.contains("CartesianProduct"), s"s_knn_filtered went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side must broadcast on the filter key:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must group-limit the rank window:\n$p")
+  }
+
+  test("cluster evaluation is a broadcast-assignment projection + catalog-sized aggregates") {
+    val p = plan("s_cluster_eval")
+    assert(!p.contains("CartesianProduct"), s"s_cluster_eval went cartesian:\n$p")
+    // the contingency count is the ONLY corpus-wide aggregate; margins
+    // and the ARI assembly run on its k x labels output
+    assert(p.contains("HashAggregate"), s"contingency count lost hash aggregation:\n$p")
+  }
+
   test("k-core peeling is gate equi-joins + combinable degree counts, no nested loop") {
     val p = plan("g_kcore")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -481,4 +481,55 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(frames.toSeq === Seq((2L, 0))) // empty doc: no frames at all
   }
+
+  test("filteredTopK: neighbors share the query's label and k stays honest where a post-filter underfills") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val filtered = Similarity.filteredTopK(emb, queries, k = 10, dim = 64,
+      filterCol = "label").collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every neighbor shares its query's label
+    filtered.foreach { r =>
+      assert(labels(r.getLong(1)) === labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} crosses labels for query ${r.getLong(0)}")
+    }
+    // k is honest: 10 per query (the fixture strata are > 10 wide)
+    filtered.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q underfilled: ${rows.length}")
+    }
+    // the naive alternative — post-filtering an UNfiltered top-10 —
+    // underfills k for at least one query on this fixture, which is
+    // exactly why the filter must be in the join
+    val post = Similarity.bruteForceTopK(emb, queries, k = 10, dim = 64)
+      .collect()
+      .filter(r => labels(r.getLong(1)) === labels(r.getLong(0)))
+    val postCounts = post.groupBy(_.getLong(0)).map(_._2.length)
+    assert(postCounts.exists(_ < 10),
+      "fixture should demonstrate post-filter underfill; widen the labels if this fails")
+  }
+
+  test("clusterEval: ARI is exactly 1.0 against the assignment itself and invariant to label renaming") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, 64, 8, 1))
+    val asg = Similarity.assignClustersLocal(emb, cents, "embedding", "vec_id")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("cluster").as("label"))
+    // labels == the clustering itself → perfect agreement, exactly
+    val perfect = Similarity.clusterEval(asg, dim = 64, nCentroids = 8).head
+    assert(perfect.getDouble(5) === 1.0)
+    // a bijective relabeling must not change ARI (it is label-invariant)
+    val renamed = asg.withColumn("label",
+      org.apache.spark.sql.functions.col("label") * 10 + 3)
+    val r = Similarity.clusterEval(renamed, dim = 64, nCentroids = 8).head
+    assert(r.getDouble(5) === 1.0)
+    // against the true fixture labels: a real score, strictly below 1,
+    // with consistent integer components
+    val real = Similarity.clusterEval(emb, dim = 64, nCentroids = 8).head
+    assert(real.getLong(0) > 0 && real.getDouble(5) < 1.0)
+    assert(real.getLong(1) <= math.min(real.getLong(2), real.getLong(3)),
+      "sum C(nij,2) cannot exceed either margin sum")
+  }
 }
