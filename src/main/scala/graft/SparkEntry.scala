@@ -774,6 +774,14 @@ object SparkEntry {
           col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
         .orderBy("lang")),
 
+    // Flesch-style readability per doc in integer milli-units (float
+    // Flesch is last-ulp engine-dependent): vowel-group syllables,
+    // [.!?]+ sentences, FOG poly-word count, truncated-integer score +
+    // grade bucket. Pure projection — scan-shaped at any scale.
+    "t_readability" -> ((s, d) =>
+      TextOps.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "d_embed_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.4, 64)
         .orderBy("id_a", "id_b")),
@@ -2575,6 +2583,10 @@ object SparkEntry {
         s"CAST(sum(len(regexp_extract_all(text, '${TextOps.BpeRe}'))) AS DOUBLE) / " +
         s"CAST(sum(len(${TextOps.tokensSql("text")})) AS DOUBLE) AS fertility " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "t_readability" ->
+      (s"SELECT * FROM (${TextOps.readabilitySql("documents", "doc_id", "text")}) " +
+        "ORDER BY doc_id"),
 
     "o_asof" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +

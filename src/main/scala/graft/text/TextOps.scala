@@ -181,6 +181,83 @@ object TextOps {
     s"${f("stop_ratio")} * 2.0 + ${f("mean_tok_len")} / 10.0 - ${f("punct_ratio")} * 5.0"
   }
 
+  // ---- readability scoring ------------------------------------------------
+
+  /** Flesch-style readability, made cell-exact across engines by doing
+    * every division in INTEGER milli-units (a float Flesch differs in the
+    * last ulp between engines once words/sentences/syllables interact).
+    * Syllables use the standard vowel-group heuristic (runs of [aeiouy]
+    * in the lowercased token, min 1 per word); sentences are [.!?]+ runs
+    * (min 1 — a fragment still reads as one sentence). Output per doc:
+    * words, sentences, syllables, poly_words (≥3 syllables — the FOG
+    * ingredient), spw_milli (syllables-per-word ×1000),
+    * flesch_milli (Flesch reading-ease ×1000, integer-truncated terms),
+    * grade bucket. All per-row projection — scan-shaped at 100 TB, no
+    * shuffle at all until the caller aggregates.
+    *
+    * Reference behavior modeled: the reference's per-document quality
+    * columns (`curation/quality.py` analog in SURVEY §2.10); the Flesch
+    * constants are the published 206.835 / 1.015 / 84.6 in milli-units.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val syl: Column => Column = t =>
+      greatest(lit(1L),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long"))
+    df.select(col(idCol),
+        tokens(col(textCol)).as("__toks"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+          .as("sentences"))
+      .withColumn("words", size(col("__toks")).cast("long"))
+      .withColumn("syllables",
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + syl(t)))
+      .withColumn("poly_words",
+        aggregate(col("__toks"), lit(0L),
+          (acc, t) => acc + when(syl(t) >= 3L, 1L).otherwise(0L)))
+      .withColumn("spw_milli",
+        when(col("words") > 0, expr("(1000 * syllables) div words")))
+      .withColumn("flesch_milli",
+        when(col("words") > 0,
+          lit(206835L) - expr("(1015 * words) div sentences") -
+            expr("(84600 * syllables) div words")))
+      .withColumn("grade",
+        when(col("flesch_milli").isNull, lit(null).cast("string"))
+          .when(col("flesch_milli") >= 60000L, lit("easy"))
+          .when(col("flesch_milli") >= 30000L, lit("medium"))
+          .otherwise(lit("hard")))
+      .select(col(idCol), col("words"), col("sentences"), col("syllables"),
+        col("poly_words"), col("spw_milli"), col("flesch_milli"), col("grade"))
+  }
+
+  /** DuckDB twin of [[readability]] — same constants, same integer
+    * truncation (`div` vs `//` agree on the non-negative operands used
+    * here), same vowel-group regex through both engines' RE dialects
+    * (a plain character class, no divergence surface). */
+  def readabilitySql(table: String, id: String, text: String): String = {
+    val toks = tokensSql(text)
+    val syl = (t: String) =>
+      s"greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(lower($t), '[aeiouy]+')) AS BIGINT))"
+    s"""WITH __r AS (
+       |  SELECT $id, CAST(len($toks) AS BIGINT) AS words,
+       |         greatest(CAST(1 AS BIGINT),
+       |                  CAST(len(regexp_extract_all($text, '[.!?]+')) AS BIGINT)) AS sentences,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform($toks, __t -> ${syl("__t")})), (a, b) -> a + b) AS syllables,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform($toks, __t -> CASE WHEN ${syl("__t")} >= 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |           (a, b) -> a + b) AS poly_words
+       |  FROM $table)
+       |SELECT $id, words, sentences, syllables, poly_words,
+       |       CASE WHEN words > 0 THEN (1000 * syllables) // words END AS spw_milli,
+       |       CASE WHEN words > 0 THEN 206835 - (1015 * words) // sentences - (84600 * syllables) // words END AS flesch_milli,
+       |       CASE WHEN words = 0 THEN NULL
+       |            WHEN 206835 - (1015 * words) // sentences - (84600 * syllables) // words >= 60000 THEN 'easy'
+       |            WHEN 206835 - (1015 * words) // sentences - (84600 * syllables) // words >= 30000 THEN 'medium'
+       |            ELSE 'hard' END AS grade
+       |FROM __r""".stripMargin
+  }
+
   // ---- deterministic corpus splitting -----------------------------------
 
   /** Reproducible train/val/test assignment from the polynomial hash of

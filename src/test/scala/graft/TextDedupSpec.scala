@@ -1260,4 +1260,31 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(t.toSeq === Seq(("xy", 1L)))
   }
+
+  test("readability: syllable/sentence counts and the integer Flesch terms") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "the cat sat. it ran!"),        // 5 words, 2 sentences, 5 monosyllables
+      (2L, "university onomatopoeia"),     // poly-word pair, no sentence marks
+      (3L, ""),                            // degenerate: 0 words
+      (4L, "rhythm myth")                  // y-as-vowel keeps syllables >= 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.readability(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: words=5 sentences=2 syllables=5 poly=0;
+    // flesch = 206835 - (1015*5) div 2 - (84600*5) div 5 = 206835-2537-84600
+    assert(out(1L).getLong(1) === 5L && out(1L).getLong(2) === 2L)
+    assert(out(1L).getLong(3) === 5L && out(1L).getLong(4) === 0L)
+    assert(out(1L).getLong(6) === 206835L - 2537L - 84600L)
+    assert(out(1L).getString(7) === "easy")
+    // doc 2: university=5 vowel groups (u-i-e-i-y), onomatopoeia=5 → both poly
+    assert(out(2L).getLong(2) === 1L) // no [.!?] → min 1 sentence
+    assert(out(2L).getLong(4) === 2L)
+    assert(out(2L).getString(7) === "hard")
+    // doc 3: 0 words → NULL milli scores and NULL grade, no divide-by-zero
+    assert(out(3L).isNullAt(5) && out(3L).isNullAt(6) && out(3L).isNullAt(7))
+    // doc 4: vowel-less-but-for-y words still count 1 syllable each
+    assert(out(4L).getLong(3) === 2L)
+  }
 }
