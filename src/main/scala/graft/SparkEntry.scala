@@ -1746,6 +1746,38 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Last-touch attribution: each purchase credits the channel of the
+    // user's most recent click within 24h before it (marketing as-of).
+    // Channel = click's props.k mod 4, labeled; purchases with no
+    // in-window click roll up under 'none'. Revenue sums as DECIMAL
+    // (a float sum is shuffle-order-dependent). The backward as-of is
+    // the union-sort carry — nothing ever pair-joins, so the only
+    // corpus shuffle is the user-keyed sort both event streams share.
+    "w9_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("c_k"))
+      val j = Relational.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("c_ts", "c_id", "c_k"), Seq("c_id"))
+      val inWin = col("c_ts").isNotNull &&
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("c_ts").cast("timestamp"))) <= 86400000000L
+      j.withColumn("channel",
+          when(!inWin, lit("none"))
+            .when(col("c_k") % 4 === 0, lit("search"))
+            .when(col("c_k") % 4 === 1, lit("social"))
+            .when(col("c_k") % 4 === 2, lit("email"))
+            .otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 2))).as("revenue"))
+        .orderBy("channel")
+    }),
+
     // Cohort retention matrix: users bucketed by first-activity week,
     // distinct actives per (cohort, weeks-since) cell — the classic
     // retention triangle. Per-user min is map-side combinable; the
@@ -1761,6 +1793,46 @@ object SparkEntry {
           (col("__week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // RFM segmentation (recency / frequency / monetary): per-customer
+    // metrics from ONE map-side-combinable groupBy over the fact table,
+    // then quintile scores via row_number + integer div (ntile's exact
+    // twin, unique tie-breaks) and a rule-based segment label. The
+    // score windows sort only the CUSTOMER DIM — at 100 TB the fact
+    // scan collapses to |customers| rows before anything global sorts;
+    // the reference date is a broadcast scalar, never a driver collect.
+    "a_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val per = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+      val ref = o.agg(max(col("o_orderdate")).as("__ref"),
+        countDistinct(col("o_custkey")).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+      val base = per.crossJoin(broadcast(ref))
+        .withColumn("recency_days",
+          expr("(unix_micros(cast(__ref as timestamp)) - " +
+            "unix_micros(cast(__last as timestamp))) div 86400000000"))
+        .withColumn("__rr", row_number().over(
+          w.orderBy(col("recency_days").desc, col("custkey").desc)))
+        .withColumn("__fr", row_number().over(
+          w.orderBy(col("frequency").asc, col("custkey").asc)))
+        .withColumn("__mr", row_number().over(
+          w.orderBy(col("monetary").asc, col("custkey").asc)))
+        .withColumn("r_score", expr("1 + (5 * (cast(__rr as bigint) - 1)) div __n"))
+        .withColumn("f_score", expr("1 + (5 * (cast(__fr as bigint) - 1)) div __n"))
+        .withColumn("m_score", expr("1 + (5 * (cast(__mr as bigint) - 1)) div __n"))
+      base.withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4, lit("champion"))
+            .when(col("r_score") >= 4, lit("recent"))
+            .when(col("f_score") >= 4, lit("loyal"))
+            .when(col("r_score") <= 2 && col("f_score") <= 2, lit("at_risk"))
+            .otherwise(lit("regular")))
+        .select("custkey", "recency_days", "frequency", "monetary",
+          "r_score", "f_score", "m_score", "segment")
+        .orderBy("custkey")
     }),
 
     // Sequence packing (pretraining batch assembly): documents are
@@ -3112,6 +3184,39 @@ object SparkEntry {
         "CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate, " +
         "CASE WHEN sum(conv) > 0 THEN CAST(sum(lag_us) AS DOUBLE) / (CAST(sum(conv) AS DOUBLE) * 1000000.0) END AS avg_lag_sec " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+
+    "a_rfm" ->
+      ("WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o, " +
+        "count(*) AS frequency, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
+        "FROM orders GROUP BY 1), " +
+        "ref AS (SELECT max(o_orderdate) AS ref_d, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders), " +
+        "b AS (SELECT custkey, (epoch_us(ref_d) - epoch_us(last_o)) // 86400000000 AS recency_days, " +
+        "frequency, monetary, n FROM per CROSS JOIN ref), " +
+        "r AS (SELECT *, " +
+        "1 + (5 * (row_number() OVER (ORDER BY recency_days DESC, custkey DESC) - 1)) // n AS r_score, " +
+        "1 + (5 * (row_number() OVER (ORDER BY frequency ASC, custkey ASC) - 1)) // n AS f_score, " +
+        "1 + (5 * (row_number() OVER (ORDER BY monetary ASC, custkey ASC) - 1)) // n AS m_score FROM b) " +
+        "SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score, " +
+        "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion' " +
+        "WHEN r_score >= 4 THEN 'recent' WHEN f_score >= 4 THEN 'loyal' " +
+        "WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk' ELSE 'regular' END AS segment " +
+        "FROM r ORDER BY custkey"),
+
+    "w9_attribution" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT p.user_id, p.ts, p.value, cc.c_ts, cc.c_k FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS c_ts, c.k AS c_k FROM c " +
+        "WHERE c.user_id = p.user_id AND c.ts <= p.ts " +
+        "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS cc ON true), " +
+        "g AS (SELECT CASE WHEN c_ts IS NULL OR epoch_us(ts) - epoch_us(c_ts) > 86400000000 THEN 'none' " +
+        "WHEN c_k % 4 = 0 THEN 'search' WHEN c_k % 4 = 1 THEN 'social' " +
+        "WHEN c_k % 4 = 2 THEN 'email' ELSE 'direct' END AS channel, value FROM j) " +
+        "SELECT channel, count(*) AS n_purchases, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS revenue " +
+        "FROM g GROUP BY channel ORDER BY channel"),
 
     "k_skew" -> {
       def keyStatsSql(c: String) =
