@@ -2098,6 +2098,25 @@ object SparkEntry {
         .crossJoin(broadcast(ev.agg(count_distinct(col("user_id")).as("exact"))))
     }),
 
+    // KMV distinct sketch per source (k smallest 3-gram hashes):
+    // deterministic integer minima → the sketch AND its (k-1)·P/h_k
+    // estimate are cell-exact; exact_distinct rides along as the
+    // evaluation column. #sources × k rows out regardless of corpus.
+    "k_kmv" -> ((s, d) =>
+      graft.sketch.Sketches.kmvDistinctEval(
+        Tables.documents(s, d), "source", "text", 3, 64)
+        .orderBy("source")),
+
+    // Cross-source overlap straight from the KMV sketches: union-sketch
+    // jaccard + integer-rescaled intersection estimate per source pair,
+    // with the TRUE jaccard (hash equi-join on the full distinct sets)
+    // beside it — "how much do crawl A and B overlap" without ever
+    // joining the corpora; the estimate side touches #sources² × k rows.
+    "k_kmv_jaccard" -> ((s, d) =>
+      graft.sketch.Sketches.kmvOverlapEval(
+        Tables.documents(s, d), "source", "text", 3, 64)
+        .orderBy("ga", "gb")),
+
     // mergeable equi-width-histogram quantile sketch: bounded-error
     // quantiles with a bins-integer shuffle instead of a full sort
     "k_quantile_hist" -> ((s, d) =>
@@ -3236,6 +3255,14 @@ object SparkEntry {
     "k_cms" ->
       (s"SELECT * FROM (${graft.sketch.Sketches.countMinTokensSql("documents", "text", 64)}) " +
         "ORDER BY row, slot"),
+
+    "k_kmv" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.kmvEstimateSql("documents", "source", "text", 3, 64)}) " +
+        "ORDER BY source"),
+
+    "k_kmv_jaccard" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.kmvJaccardPairsSql("documents", "source", "text", 3, 64)}) " +
+        "ORDER BY ga, gb"),
 
     "k_cms_est" -> {
       val h = TextOps.tokenHashSql("tok")

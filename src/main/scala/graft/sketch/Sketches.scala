@@ -374,4 +374,193 @@ object Sketches {
        |WHERE CAST(cum AS DOUBLE) >= greatest(q * CAST(n AS DOUBLE), CAST(1 AS DOUBLE))
        |  AND CAST(cum - c AS DOUBLE) < greatest(q * CAST(n AS DOUBLE), CAST(1 AS DOUBLE))""".stripMargin
   }
+
+  // ---- KMV (k minimum values) distinct sketch ----------------------------
+
+  /** KMV sketch per group (Bar-Yossef et al., RANDOM 2002): the k
+    * smallest DISTINCT n-gram shingle hashes of the group's documents.
+    * Like the CMS/HLL above, the sketch is a deterministic function of
+    * the input SET — exact integer minima under the shared PolyHash — so
+    * the sketch, its distinct estimate, AND the pairwise set-overlap
+    * estimates are all cell-exact oracle-checkable.
+    *
+    * Scale shape: one shingle explode + one (group, hash) distinct
+    * (map-side combinable), then a k-bounded rank per group
+    * (WindowGroupLimit prunes to k rows per group before any sort
+    * materializes). Output is #groups × k rows regardless of corpus
+    * size, and two KMV sketches merge as "union, keep k smallest" — the
+    * mergeability that lets 1000 executors sketch shards of 100 TB and
+    * combine the results at catalog size. */
+  def kmvSketch(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h")
+    kmvHashes(df, groupCol, textCol, n)
+      .withColumnRenamed("__g", groupCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: the classic
+    * (k−1)·|H| / h_k when the sketch is full (h_k = largest retained
+    * hash, |H| = PolyHash space = P), the EXACT sketch size when the
+    * group has fewer than k distinct values (the sketch IS the set).
+    * Integer division keeps both engines bit-identical. */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame =
+    sketch.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"${(k - 1).toLong * TextOps.P} div kth_hash")))
+
+  /** Pairwise set-overlap estimates between every two groups, straight
+    * from the sketches — the "how much do crawl A and crawl B overlap"
+    * question answered WITHOUT ever joining the corpora: per pair, the
+    * union sketch is the k smallest of the merged hash sets, the match
+    * count is how many of those appear in both sketches, jaccard_est =
+    * matches / |union sketch|, and the intersection estimate rescales
+    * the union estimate by the same ratio in pure integer arithmetic.
+    * Everything here operates on #groups² × k rows — catalog-sized by
+    * construction, independent of corpus size. */
+  def kmvJaccardPairs(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val s = sketch.select(col(groupCol).as("__g"), col("h"))
+    val groups = s.select("__g").distinct()
+    val pairs = groups.select(col("__g").as("ga"))
+      .join(groups.select(col("__g").as("gb")), col("ga") < col("gb"))
+    val sa = pairs.join(s.withColumnRenamed("__g", "ga"), Seq("ga"))
+      .select("ga", "gb", "h")
+    val sb = pairs.join(s.withColumnRenamed("__g", "gb"), Seq("gb"))
+      .select("ga", "gb", "h")
+    val merged = sa.unionByName(sb)
+      .groupBy("ga", "gb", "h").agg(count(lit(1)).as("__sides"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("h")
+    merged.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_union_sketch"),
+        sum(when(col("__sides") === 2, 1L).otherwise(0L)).as("n_common"),
+        max(col("h")).as("__kth"))
+      .withColumn("est_union",
+        when(col("n_union_sketch") < k, col("n_union_sketch"))
+          .otherwise(expr(s"${(k - 1).toLong * TextOps.P} div __kth")))
+      .withColumn("est_intersection",
+        expr("(n_common * est_union) div n_union_sketch"))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / col("n_union_sketch").cast("double"))
+      .select("ga", "gb", "n_union_sketch", "n_common", "est_union",
+        "est_intersection", "jaccard_est")
+  }
+
+  /** Distinct (group, shingle-hash) pairs — the set both the sketch and
+    * the exact evaluation columns derive from. The raw PolyHash of a
+    * SHORT string is small (a c-char fold is < 31^c·128, nowhere near
+    * P), which would wreck the (k−1)·P/h_k estimator's uniformity
+    * assumption — so the fold is square-mixed, (h²+h) mod P, the same
+    * fix the temperature-sampling rate buckets needed. h < 2^31 keeps
+    * h²+h < 2^63: overflow-free in both engines. */
+  private def kmvHashes(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(groupCol).as("__g"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__g"), explode(TextOps.shinglesFromTokens(col("__toks"), n)).as("sh"))
+      .select(col("__g"), TextOps.tokenHash("sh").as("__h0"))
+      .select(col("__g"),
+        ((col("__h0") * col("__h0") + col("__h0")) % TextOps.P).as("h"))
+      .distinct()
+
+  /** [[kmvEstimate]] joined with the exact per-group distinct count —
+    * the oracle-facing evaluation form (est vs truth side by side). */
+  def kmvDistinctEval(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val est = kmvEstimate(kmvSketch(df, groupCol, textCol, n, k), groupCol, k)
+    val exact = kmvHashes(df, groupCol, textCol, n)
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq(groupCol))
+      .select(groupCol, "n_sketch", "kth_hash", "est_distinct", "exact_distinct")
+  }
+
+  /** [[kmvJaccardPairs]] joined with the TRUE per-pair jaccard from the
+    * full distinct-hash sets (hash equi-join — never pairwise in docs). */
+  def kmvOverlapEval(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val est = kmvJaccardPairs(kmvSketch(df, groupCol, textCol, n, k), groupCol, k)
+    val kh = kmvHashes(df, groupCol, textCol, n)
+    val da = kh.groupBy(col("__g").as("ga")).agg(count(lit(1)).as("__da"))
+    val db = kh.groupBy(col("__g").as("gb")).agg(count(lit(1)).as("__db"))
+    val ix = kh.as("a").join(kh.as("b"),
+        col("a.h") === col("b.h") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("ga"), col("b.__g").as("gb"))
+      .agg(count(lit(1)).as("__ix"))
+    est.join(da, Seq("ga")).join(db, Seq("gb"))
+      .join(ix, Seq("ga", "gb"), "left")
+      .withColumn("true_jaccard",
+        coalesce(col("__ix"), lit(0L)).cast("double") /
+          (col("__da") + col("__db") - coalesce(col("__ix"), lit(0L))).cast("double"))
+      .select("ga", "gb", "n_union_sketch", "n_common", "est_union",
+        "est_intersection", "jaccard_est", "true_jaccard")
+  }
+
+  /** Shared CTE for the KMV oracle twins: distinct (group, shingle-hash)
+    * pairs, then the per-group k-minimum ranks. */
+  def kmvSketchCtes(table: String, group: String, text: String,
+      n: Int, k: Int): String = {
+    val sh = TextOps.shinglesSql(text, n)
+    val h = TextOps.tokenHashSql("sh")
+    s"""__kh AS (SELECT DISTINCT g, (h0 * h0 + h0) % ${TextOps.P} AS h FROM
+       |  (SELECT g, $h AS h0 FROM
+       |    (SELECT $group AS g, unnest($sh) AS sh FROM $table))),
+       |__sk AS (SELECT g, h FROM
+       |  (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM __kh)
+       |  WHERE r <= $k)""".stripMargin
+  }
+
+  /** Oracle twin of [[kmvSketch]] + [[kmvEstimate]] joined with the
+    * exact per-group distinct count (the evaluation column). */
+  def kmvEstimateSql(table: String, group: String, text: String,
+      n: Int, k: Int): String =
+    s"""WITH ${kmvSketchCtes(table, group, text, n, k)},
+       |__e AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+       |        FROM __sk GROUP BY g),
+       |__x AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_distinct FROM __kh GROUP BY g)
+       |SELECT e.g AS $group, e.n_sketch, e.kth_hash,
+       |       CASE WHEN e.n_sketch < $k THEN e.n_sketch
+       |            ELSE ${(k - 1).toLong * TextOps.P} // e.kth_hash END AS est_distinct,
+       |       x.exact_distinct
+       |FROM __e e JOIN __x x ON x.g = e.g""".stripMargin
+
+  /** Oracle twin of [[kmvJaccardPairs]], plus the TRUE jaccard per pair
+    * from the full distinct-hash sets (equi-join on hash — the
+    * d_contam_matrix shape, never pairwise in documents). */
+  def kmvJaccardPairsSql(table: String, group: String, text: String,
+      n: Int, k: Int): String =
+    s"""WITH ${kmvSketchCtes(table, group, text, n, k)},
+       |__gs AS (SELECT DISTINCT g FROM __sk),
+       |__pr AS (SELECT x.g AS ga, y.g AS gb FROM __gs x JOIN __gs y ON x.g < y.g),
+       |__m AS (SELECT ga, gb, h, count(*) AS sides FROM (
+       |    SELECT p.ga, p.gb, s.h FROM __pr p JOIN __sk s ON s.g = p.ga
+       |    UNION ALL
+       |    SELECT p.ga, p.gb, s.h FROM __pr p JOIN __sk s ON s.g = p.gb)
+       |  GROUP BY ga, gb, h),
+       |__u AS (SELECT ga, gb, h, sides,
+       |        row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r FROM __m),
+       |__agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_sketch,
+       |        CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |        max(h) AS kth FROM __u WHERE r <= $k GROUP BY ga, gb),
+       |__est AS (SELECT ga, gb, n_union_sketch, n_common,
+       |        CASE WHEN n_union_sketch < $k THEN n_union_sketch
+       |             ELSE ${(k - 1).toLong * TextOps.P} // kth END AS est_union
+       |        FROM __agg),
+       |__da AS (SELECT g, CAST(count(*) AS BIGINT) AS d FROM __kh GROUP BY g),
+       |__ix AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS inter
+       |         FROM __kh a JOIN __kh b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
+       |SELECT e.ga, e.gb, e.n_union_sketch, e.n_common, e.est_union,
+       |       (e.n_common * e.est_union) // e.n_union_sketch AS est_intersection,
+       |       CAST(e.n_common AS DOUBLE) / CAST(e.n_union_sketch AS DOUBLE) AS jaccard_est,
+       |       CAST(coalesce(i.inter, 0) AS DOUBLE) /
+       |         CAST(da.d + db.d - coalesce(i.inter, 0) AS DOUBLE) AS true_jaccard
+       |FROM __est e
+       |JOIN __da da ON da.g = e.ga
+       |JOIN __da db ON db.g = e.gb
+       |LEFT JOIN __ix i ON i.ga = e.ga AND i.gb = e.gb""".stripMargin
 }

@@ -137,4 +137,53 @@ class SketchesSpec extends SparkSpec {
     }
     assert(got === want)
   }
+
+  test("KMV: small sets are exact; the sketch merges as union-keep-k") {
+    val sess = spark
+    import sess.implicits._
+    // two groups of word-soup docs; group g1 has < k distinct 2-grams
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    def soup(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val small = Seq((1L, "g1", "a b c d e"))            // 4 distinct 2-grams
+    val big = (2L to 40L).map(i => (i, "g2", soup(60)))
+    val df = (small ++ big).toDF("doc_id", "g", "text")
+    val k = 16
+    val est = Sketches.kmvDistinctEval(df, "g", "text", 2, k).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // under-full sketch: estimate IS the exact distinct count
+    assert(est("g1").getAs[Long]("n_sketch") === 4L)
+    assert(est("g1").getAs[Long]("est_distinct") === est("g1").getAs[Long]("exact_distinct"))
+    // full sketch: the estimating regime, within the ~1/sqrt(k) band
+    assert(est("g2").getAs[Long]("n_sketch") === k.toLong)
+    val e2 = est("g2").getAs[Long]("est_distinct").toDouble
+    val x2 = est("g2").getAs[Long]("exact_distinct").toDouble
+    assert(math.abs(e2 - x2) / x2 < 0.8, s"est $e2 vs exact $x2")
+    // mergeability: sketch(all docs as ONE group) == union-keep-k of the
+    // two per-group sketches — the property that makes KMV shardable
+    val one = Sketches.kmvSketch(df.withColumn("g", lit("all")), "g", "text", 2, k)
+      .select("h").collect().map(_.getLong(0)).sorted.toSeq
+    val merged = Sketches.kmvSketch(df, "g", "text", 2, k)
+      .select("h").distinct().collect().map(_.getLong(0)).sorted.take(k).toSeq
+    assert(one === merged)
+  }
+
+  test("KMV jaccard: identical groups estimate 1.0; disjoint estimate 0.0") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("p", "q", "r", "s", "t", "u", "v", "w")
+    def soup(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val texts = (1L to 20L).map(i => i -> soup(40))
+    val df = (texts.map { case (i, t) => (i, "ga", t) } ++
+      texts.map { case (i, t) => (i + 100L, "gb", t) } ++            // gb == ga
+      (1L to 20L).map(i => (i + 200L, "gc", soup(40).toUpperCase))   // disjoint case
+    ).toDF("doc_id", "g", "text")
+    val out = Sketches.kmvOverlapEval(df, "g", "text", 2, 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("ga", "gb")).getAs[Double]("jaccard_est") === 1.0)
+    assert(out(("ga", "gb")).getAs[Double]("true_jaccard") === 1.0)
+    assert(out(("ga", "gc")).getAs[Double]("jaccard_est") === 0.0)
+    assert(out(("ga", "gc")).getAs[Double]("true_jaccard") === 0.0)
+  }
 }
