@@ -1024,6 +1024,18 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // MRR evaluation of the LSH ANN: where the TRUE nearest neighbor
+    // lands in the approximate list, reciprocal rank in integer
+    // micro-units (a downstream mean sums BIGINTs, not floats).
+    "s_mrr_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.annRankEval(
+        Similarity.lshTopK(e, q, k = 10, dim = 64),
+        Similarity.bruteForceTopK(e, q, k = 10, dim = 64))
+        .orderBy("query_id")
+    }),
+
     // Hybrid retrieval (the RAG stack's ranker): reciprocal-rank fusion
     // of the BM25 lexical top-20 and the embedding cosine top-20 for one
     // query — rrf = Σ floor(10^6 / (60 + rank)) over the legs a doc
@@ -1482,6 +1494,32 @@ object SparkEntry {
       graft.ops.TimeSeries.zscoreAnomalies(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
+    // Local-maxima peak detection per series: a point is a peak iff it
+    // strictly exceeds both neighbors, gated on prominence = the
+    // smaller of the two rises (pure double subtraction — exact and
+    // order-free, unlike any windowed mean). Rows dedupe to unique
+    // (attribute, timestamp) first — a ROWS-adjacent lag/lead over
+    // tied sort keys is order-ambiguous across engines (ts_moving's
+    // rationale). Two adjacent-row window functions, no frame sums.
+    "ts_peaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("attribute_id").orderBy("timestamp")
+      archiveDim(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .filter(col("prev_value").isNotNull && col("next_value").isNotNull &&
+          col("value") > col("prev_value") && col("value") > col("next_value"))
+        .withColumn("prominence",
+          least(col("value") - col("prev_value"), col("value") - col("next_value")))
+        .filter(col("prominence") > 5.0)
+        .select("attribute_id", "timestamp", "value", "prev_value",
+          "next_value", "prominence")
+        .orderBy("attribute_id", "timestamp")
+    }),
+
     // Truncated EWMA (alpha = 1/2) per series: the order-dependent
     // smoothing recursion made engine-exact by folding the frame's
     // quantized values as ONE BIGINT (newest-first, a*2+x) — weights
@@ -1686,6 +1724,20 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
       graft.graph.GraphOps.kCore(edges, "src", "dst", k = 8, rounds = 4)
         .orderBy("id")
+    }),
+
+    // Common-neighbor link prediction over the co-purchase graph:
+    // top-50 NON-edges ranked by neighbor-set jaccard (exact integer
+    // counts, one double division). Candidate volume is capped by the
+    // maxDeg center lever (d_jaccard's maxDf applied to wedge centers).
+    "g_linkpred" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.graph.GraphOps.linkPrediction(edges, "src", "dst",
+        maxDeg = 256, k = 50)
     }),
 
     "w4_funnel" -> ((s, d) => {
@@ -2805,6 +2857,11 @@ object SparkEntry {
         Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
         BruteKnnSql)}) ORDER BY query_id"),
 
+    "s_mrr_lsh" ->
+      (s"SELECT * FROM (${Similarity.annRankEvalSql(
+        Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
+        BruteKnnSql)}) ORDER BY query_id"),
+
     "s_knn_sq8" ->
       (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",
         k = 10, dim = 64)}) ORDER BY query_id, rank"),
@@ -3047,6 +3104,20 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
         "ORDER BY attribute_id, timestamp"),
 
+    "ts_peaks" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
+        "WHERE value IS NOT NULL GROUP BY attribute_id, timestamp), " +
+        "__w AS (SELECT attribute_id, timestamp, value, " +
+        "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value " +
+        "FROM __pts WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp)) " +
+        "SELECT attribute_id, timestamp, value, prev_value, next_value, " +
+        "least(value - prev_value, value - next_value) AS prominence " +
+        "FROM __w WHERE prev_value IS NOT NULL AND next_value IS NOT NULL " +
+        "AND value > prev_value AND value > next_value " +
+        "AND least(value - prev_value, value - next_value) > 5.0 " +
+        "ORDER BY attribute_id, timestamp"),
+
     "ts_zscore" ->
       (s"WITH $archiveSqlCte SELECT * FROM (" +
         s"${graft.ops.TimeSeries.zscoreAnomaliesSql("SELECT * FROM archive")}) " +
@@ -3187,6 +3258,12 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         k = 8, rounds = 4)}) ORDER BY id"),
+
+    "g_linkpred" ->
+      graft.graph.GraphOps.linkPredictionSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        maxDeg = 256, k = 50),
 
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +

@@ -340,4 +340,74 @@ object GraphOps {
        |), $steps
        |SELECT id, outdeg, score FROM __s$iters""".stripMargin
   }
+
+  /** Common-neighbor link prediction: for every NON-edge vertex pair at
+    * distance 2, the number of shared neighbors and the neighbor-set
+    * jaccard (common / (deg_a + deg_b − common)) — the classic
+    * Liben-Nowell & Kleinberg (CIKM 2003) candidates, integer counts +
+    * one deterministic double division so the scores are cell-exact.
+    * Adamic-Adar is deliberately NOT offered: its Σ 1/ln(deg) sums
+    * floats in engine-dependent order.
+    *
+    * Scale shape: candidate volume is Σ_w deg(w)² over wedge CENTERS,
+    * so `maxDeg` caps the per-center contribution — the same explicit
+    * volume lever as d_jaccard's maxDf (hub centers contribute
+    * near-zero signal per pair and quadratic cost; skipping them is
+    * standard). Everything else is equi-joins on vertex ids + one
+    * combinable groupBy; the existing-edge filter is a left-anti join,
+    * and top-k is TakeOrdered, never a global sort. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Int = 256, k: Int = 50): DataFrame = {
+    val u = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // reused: adjacency (×2), degrees, anti-join
+    val adj = u.select(col("a").as("v"), col("b").as("n"))
+      .union(u.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(false) // reused: center cap + both endpoint joins
+    val small = adj.join(deg.filter(col("dg") <= maxDeg), Seq("v"))
+      .select("v", "n")
+    val wedges = small.as("x").join(small.as("y"),
+        col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"))
+    wedges.groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .join(u, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("da") + col("db") - col("common")).cast("double"))
+      .select("a", "b", "common", "da", "db", "jaccard")
+      .orderBy(col("jaccard").desc, col("a"), col("b")).limit(k)
+  }
+
+  /** Oracle twin of [[linkPrediction]]: same canonical undirected set,
+    * same maxDeg center cap, same anti-join and tie-broken top-k. */
+  def linkPredictionSql(edgesSql: String, maxDeg: Int = 256, k: Int = 50): String =
+    s"""WITH __raw AS (
+       |  SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __u AS (
+       |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM __raw
+       |), __adj AS (
+       |  SELECT a AS v, b AS n FROM __u UNION ALL SELECT b, a FROM __u
+       |), __deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS dg FROM __adj GROUP BY v
+       |), __sm AS (
+       |  SELECT adj.v, adj.n FROM __adj adj JOIN __deg dg ON adj.v = dg.v AND dg.dg <= $maxDeg
+       |), __w AS (
+       |  SELECT x.n AS a, y.n AS b FROM __sm x JOIN __sm y ON x.v = y.v AND x.n < y.n
+       |), __c AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM __w GROUP BY a, b
+       |), __ne AS (
+       |  SELECT c.a, c.b, c.common FROM __c c
+       |  LEFT JOIN __u u ON u.a = c.a AND u.b = c.b WHERE u.a IS NULL
+       |)
+       |SELECT ne.a, ne.b, ne.common, da.dg AS da, db.dg AS db,
+       |       CAST(ne.common AS DOUBLE) / CAST(da.dg + db.dg - ne.common AS DOUBLE) AS jaccard
+       |FROM __ne ne JOIN __deg da ON da.v = ne.a JOIN __deg db ON db.v = ne.b
+       |ORDER BY jaccard DESC, ne.a, ne.b LIMIT $k""".stripMargin
 }

@@ -531,6 +531,37 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
+  /** Rank-position evaluation of an approximate ANN result — the MRR
+    * face of [[annRecall]]: per query, WHERE the true nearest neighbor
+    * (exact rank 1) lands in the approximate list (NULL = missed), and
+    * the reciprocal rank in integer micro-units (10^6 div rank — the
+    * float 1/r is representable but a downstream MEAN of floats is
+    * order-dependent, while a mean over rr_micro sums BIGINTs). Same
+    * thin (query, neighbor) equi-join shape as recall. */
+  def annRankEval(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val nn = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val a = approx.select(col("query_id"),
+      col("neighbor_id").as("true_nn"), col("rank").as("found_rank"))
+    nn.join(a, Seq("query_id", "true_nn"), "left")
+      .withColumn("rr_micro",
+        when(col("found_rank").isNotNull,
+          expr("1000000 div cast(found_rank as bigint)")).otherwise(0L))
+      .select("query_id", "true_nn", "found_rank", "rr_micro")
+  }
+
+  /** Oracle twin of [[annRankEval]]. */
+  def annRankEvalSql(approxSql: String, exactSql: String): String =
+    s"""WITH __ap AS (
+       |  SELECT query_id, neighbor_id, rank FROM ($approxSql)
+       |), __nn AS (
+       |  SELECT query_id, neighbor_id AS true_nn FROM ($exactSql) WHERE rank = 1
+       |)
+       |SELECT n.query_id, n.true_nn, a.rank AS found_rank,
+       |       CAST(coalesce(1000000 // CAST(a.rank AS BIGINT), 0) AS BIGINT) AS rr_micro
+       |FROM __nn n LEFT JOIN __ap a
+       |  ON a.query_id = n.query_id AND a.neighbor_id = n.true_nn""".stripMargin
+
   /** Oracle twin of [[annRecall]]: wraps two complete top-k statements
     * (each already oracle-exact) and applies the same join + count. */
   def annRecallSql(approxSql: String, exactSql: String): String =
