@@ -482,4 +482,28 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"d_diff has unexpected extra shuffles ($exchanges):\n$p")
   }
+
+  test("link prediction: wedge/degree/anti joins are all equi-joins, never all-pairs") {
+    val p = plan("g_linkpred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"g_linkpred degenerated to an all-pairs join:\n$p")
+    assert(p.contains("LeftAnti"), s"existing-edge filter lost its anti join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k ranking sorts globally instead of TakeOrdered:\n$p")
+  }
+
+  test("KMV overlap: only the #groups-sized pair seed may nest-loop; corpus joins are equi") {
+    val p = plan("k_kmv_jaccard")
+    assert(!p.contains("CartesianProduct"), s"k_kmv_jaccard went cartesian:\n$p")
+    // the ga < gb pair seed (#groups rows) is the only permitted
+    // nested-loop; its subtree is duplicated once for the two UNION
+    // branches (no CTE reuse), so 2 catalog-sized nodes are expected —
+    // everything touching hashes must stay hash-joined. Count the
+    // "(n) BroadcastNestedLoopJoin" detail headers (one per plan node;
+    // a bare substring count doubles through the tree rendering).
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(bnlj <= 2, s"k_kmv_jaccard has $bnlj nested-loop joins (2 catalog-sized allowed):\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"union-sketch rank window missing:\n$p")
+  }
 }
