@@ -1582,6 +1582,32 @@ object Similarity {
       .start()
   }
 
+  /** Table maintenance for an appended ANN index (IVF-PQ or IVF-SQ8 —
+    * both bucket on `cluster`): fold the per-append files in each
+    * bucket back into one file per bucket and drop replay-duplicated
+    * rows. A replayed foreachBatch appends byte-identical rows, so
+    * DISTINCT is deterministic — it can only remove exact duplicates,
+    * never choose between variants. Same-table rewrite: the read is
+    * localCheckpointed so the overwrite may target the table it read
+    * (the ArchiveStore.compact discipline). Query RESULTS are already
+    * replay-safe without this ([[ivfPqQuery]] dedups its candidate
+    * set); what compaction restores is the file listing — appends add
+    * `buckets` files each, and scan-open cost grows with every sweep
+    * interval — and the duplicate-free approximate window (a duplicate
+    * burns one nCandidates slot). Run on whatever cadence keeps the
+    * per-bucket file count short, exactly like the claim registries. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val buckets = bucketCount(spark, tableName)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+      .getOrElse(sys.error(s"$tableName has no location"))
+    val rows = spark.table(tableName).distinct().localCheckpoint()
+    rows.write.bucketBy(buckets, "cluster").sortBy("cluster")
+      .option("path", loc).mode("overwrite").saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
   /** Query a prebuilt [[IvfPqModel]]: per query, an ADC lookup table and
     * the nProbe nearest coarse clusters; candidates via the cluster
     * equi-join against the index table; ADC score, nCandidates cut,

@@ -188,4 +188,52 @@ class IvfPqIndexSpec extends SparkSpec {
       assert(recall >= 0.4, s"recall $recall")
     } finally spark.sql("DROP TABLE IF EXISTS t_ivfpq_frozen")
   }
+
+  test("index compaction: fewer files, replay duplicates dropped, identical rows and query") {
+    val dir = Files.createTempDirectory("graft_ivfpq_cmp").toString
+    spark.sql("DROP TABLE IF EXISTS t_ivfpq_cmp")
+    val modelFull = Similarity.ivfPqIndex(emb, 64)
+    val a = emb.filter(col("vec_id") < 250)
+    val b = emb.filter(col("vec_id") >= 250)
+    val m1 = modelFull.copy(index = graft.ops.Relational.materializeBucketed(
+      Similarity.ivfPqEncode(modelFull, a, 64), s"$dir/idx", "t_ivfpq_cmp",
+      "cluster", 8))
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/idx")).count(_.getName.endsWith(".parquet"))
+    }
+    try {
+      // append the SECOND installment, then REPLAY it (the foreachBatch
+      // failure mode): the table now holds duplicate rows + 3x the files
+      val m2 = Similarity.ivfPqIndexAppend(m1, b, 64, "t_ivfpq_cmp")
+      Similarity.ivfPqIndexAppend(m2, b, 64, "t_ivfpq_cmp")
+      val before = parquetFiles()
+      val total = spark.table("t_ivfpq_cmp").count()
+      val distinctN = spark.table("t_ivfpq_cmp").distinct().count()
+      assert(total > distinctN, "replay should have produced duplicate rows")
+      // the clean one-shot result; the DUPLICATED table must differ from
+      // it (each duplicate burns one nCandidates slot — the documented
+      // reason compaction matters beyond the file listing)
+      val expect = rows(Similarity.ivfPqQuery(
+        modelFull.copy(index = modelFull.index), emb, q, 10, 64))
+      assert(rows(Similarity.ivfPqQuery(m2, emb, q, 10, 64)) !== expect,
+        "duplicates were expected to perturb the candidate window")
+
+      val compacted = Similarity.ivfIndexCompact(spark, "t_ivfpq_cmp")
+      // duplicate-free, row-identical to the batch-built index
+      assert(compacted.count() === distinctN)
+      assert(indexRows(compacted) === indexRows(modelFull.index))
+      // strictly fewer files (3 writes x 8 buckets -> 8)
+      assert(parquetFiles() < before, s"files ${parquetFiles()} vs $before")
+      // query parity from the compacted table
+      val m3 = m2.copy(index = spark.table("t_ivfpq_cmp"))
+      assert(rows(Similarity.ivfPqQuery(m3, emb, q, 10, 64)) === expect)
+      // and the exchange-free bucketed read survives the rewrite
+      val agg = spark.table("t_ivfpq_cmp").groupBy("cluster").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"compacted index should keep the bucketed no-shuffle read:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS t_ivfpq_cmp")
+  }
 }
