@@ -1726,6 +1726,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // HITS hubs/authorities over the bipartite customer→part purchase
+    // graph (customers offset +10^9 so the id spaces never collide):
+    // integer micro-unit scores, max-normalized per half-step — the
+    // "who are the power buyers / staple products" ranking. Full node
+    // listing (catalog-sized vs the fact table that built the edges).
+    "g_hits" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_custkey") + 1000000000L).as("src"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("dst")), Seq("o_orderkey"))
+      graft.graph.GraphOps.hits(edges, "src", "dst", iters = 2)
+        .orderBy("id")
+    }),
+
     // Common-neighbor link prediction over the co-purchase graph:
     // top-50 NON-edges ranked by neighbor-set jaccard (exact integer
     // counts, one double division). Candidate volume is capped by the
@@ -3258,6 +3272,12 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         k = 8, rounds = 4)}) ORDER BY id"),
+
+    "g_hits" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.hitsSql(
+        "SELECT o.o_custkey + 1000000000 AS src, l.l_partkey AS dst " +
+          "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+        iters = 2)}) ORDER BY id"),
 
     "g_linkpred" ->
       graft.graph.GraphOps.linkPredictionSql(

@@ -341,6 +341,93 @@ object GraphOps {
        |SELECT id, outdeg, score FROM __s$iters""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999), `iters` rounds
+    * unrolled over a DIRECTED edge list, in integer micro-units with
+    * max-normalization after each half-step: auth ← Σ hub over
+    * in-edges, rescaled to [0, 10^6] by the max; hub ← Σ auth over
+    * out-edges, same rescale. A float HITS sums doubles in engine
+    * order; the integer form is bit-reproducible (flooring loses < 1
+    * micro-unit per half-step, irrelevant to ranking). On a bipartite
+    * graph — the canonical use, e.g. customers→parts — hubs live on
+    * the left and authorities on the right; callers must offset ids so
+    * the two sides never collide.
+    *
+    * Scale shape: each half-step is the [[pageRank]] superstep (edge ⋈
+    * state equi-join + one combinable sum, state broadcast by default)
+    * plus a SCALAR max cross-joined back — broadcast, never collected.
+    * Overflow headroom: raw sums are ≤ 10^6·maxdeg and the rescale
+    * multiplies by 10^6, so maxdeg must stay < ~9·10^6 — comfortably
+    * true for any graph whose state fits a broadcast anyway. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, broadcastState: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // reused by every half-step
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
+    var state = nodes.withColumn("hub", lit(PrScale)).withColumn("auth", lit(PrScale))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hint(state.select(col("id").as("src"), col("hub"))), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__raw"))
+      val authed = state.select("id", "hub")
+        .join(hint(araw), Seq("id"), "left")
+        .crossJoin(hint(araw.agg(max(col("__raw")).as("__m"))))
+        .select(col("id"), col("hub"),
+          expr("(coalesce(__raw, CAST(0 AS BIGINT)) * 1000000) div __m").as("auth"))
+        .localCheckpoint(false) // per-half-step: the pageRank O(iters²) guard
+      val hraw = e.join(hint(authed.select(col("id").as("dst"), col("auth"))), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__raw"))
+      state = authed.select("id", "auth")
+        .join(hint(hraw), Seq("id"), "left")
+        .crossJoin(hint(hraw.agg(max(col("__raw")).as("__m"))))
+        .select(col("id"),
+          expr("(coalesce(__raw, CAST(0 AS BIGINT)) * 1000000) div __m").as("hub"),
+          col("auth"))
+        .localCheckpoint(false)
+    }
+    state.select("id", "hub", "auth")
+  }
+
+  /** Oracle twin of [[hits]]: identical half-steps as chained CTEs with
+    * scalar-max cross joins. */
+  def hitsSql(edgesSql: String, iters: Int = 2): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__ar$i AS (
+         |  SELECT e.dst AS id, CAST(sum(s.hub) AS BIGINT) AS raw
+         |  FROM __e e JOIN __s${i - 1} s ON e.src = s.id GROUP BY e.dst
+         |), __a$i AS (
+         |  SELECT s.id, s.hub,
+         |         (coalesce(ar.raw, CAST(0 AS BIGINT)) * 1000000) // m.m AS auth
+         |  FROM __s${i - 1} s LEFT JOIN __ar$i ar ON s.id = ar.id
+         |  CROSS JOIN (SELECT max(raw) AS m FROM __ar$i) m
+         |), __hr$i AS (
+         |  SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS raw
+         |  FROM __e e JOIN __a$i a ON e.dst = a.id GROUP BY e.src
+         |), __s$i AS (
+         |  SELECT a.id,
+         |         (coalesce(hr.raw, CAST(0 AS BIGINT)) * 1000000) // m.m AS hub,
+         |         a.auth
+         |  FROM __a$i a LEFT JOIN __hr$i hr ON a.id = hr.id
+         |  CROSS JOIN (SELECT max(raw) AS m FROM __hr$i) m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __e AS (
+       |  SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL
+       |), __n AS (
+       |  SELECT src AS id FROM __e UNION SELECT dst FROM __e
+       |), __s0 AS (
+       |  SELECT id, CAST($PrScale AS BIGINT) AS hub, CAST($PrScale AS BIGINT) AS auth FROM __n
+       |), $steps
+       |SELECT id, hub, auth FROM __s$iters""".stripMargin
+  }
+
   /** Common-neighbor link prediction: for every NON-edge vertex pair at
     * distance 2, the number of shared neighbors and the neighbor-set
     * jaccard (common / (deg_a + deg_b − common)) — the classic
