@@ -722,6 +722,33 @@ object SparkEntry {
       kept.select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // Streaming attribution, batch kernel: clicks BEFORE the split
+    // collapse to the latest-per-user registry (the O(|users|) state),
+    // purchases after the split attribute against registry ∪ own-batch
+    // clicks. The DuckDB twin is the FULL-HISTORY as-of — their
+    // equality is exactly the registry-collapse theorem the streaming
+    // design rests on (earlier clicks are all <= the purchase ts, so
+    // only the latest one can win the as-of).
+    "d_stream_attrib" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      def clicksOf(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val registry = clicksOf(ev.filter(col("ts") < split))
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("k"))).as("__m"))
+        .select(col("user_id"), col("__m.ts").as("ts"),
+          col("__m.event_id").as("event_id"), col("__m.k").as("k"))
+      val purchases = ev.filter(col("event_type") === "purchase" && col("ts") >= split)
+        .select("user_id", "ts", "event_id", "value")
+      graft.streaming.StreamingAttribution.attribute(purchases,
+        registry.unionByName(clicksOf(ev.filter(col("ts") >= split))),
+        86400000000L)
+        .orderBy("event_id")
+    }),
+
     // Train/eval decontamination: per eval doc, the fraction of its
     // distinct 3-gram shingles that occur anywhere in the train corpus
     // (train = every other source). Hash-keyed equi-join probe, no
@@ -3300,6 +3327,21 @@ object SparkEntry {
         "CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate, " +
         "CASE WHEN sum(conv) > 0 THEN CAST(sum(lag_us) AS DOUBLE) / (CAST(sum(conv) AS DOUBLE) * 1000000.0) END AS avg_lag_sec " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+
+    "d_stream_attrib" ->
+      ("WITH c AS (SELECT user_id, ts, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id, value FROM events " +
+        "WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts, p.value, cc.c_ts, cc.c_k FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS c_ts, c.k AS c_k FROM c " +
+        "WHERE c.user_id = p.user_id AND c.ts <= p.ts " +
+        "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS cc ON true) " +
+        "SELECT event_id, user_id, ts, value, " +
+        "CASE WHEN c_ts IS NULL OR epoch_us(ts) - epoch_us(c_ts) > 86400000000 THEN 'none' " +
+        "WHEN c_k % 4 = 0 THEN 'search' WHEN c_k % 4 = 1 THEN 'social' " +
+        "WHEN c_k % 4 = 2 THEN 'email' ELSE 'direct' END AS channel " +
+        "FROM j ORDER BY event_id"),
 
     "a_rfm" ->
       ("WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o, " +
