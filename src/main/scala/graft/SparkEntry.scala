@@ -1051,6 +1051,36 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Intra-list diversity of the ANN top-k (the RAG redundancy check:
+    // a result list of near-clones wastes the context window): pairwise
+    // cosines WITHIN each query's top-10 — k²-sized per query, constant
+    // work after the search. min/max stay exact doubles; the mean is a
+    // floor-quantized integer sum with a +1e6-per-pair offset so the
+    // numerator is non-negative (Spark `div` truncates toward zero,
+    // DuckDB `//` floors — they agree only on non-negative operands).
+    "s_diversity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val top = Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, dim = 64)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+      val a = top.select(col("query_id"), col("neighbor_id").as("na"),
+        col("embedding").as("va"))
+      val b = top.select(col("query_id"), col("neighbor_id").as("nb"),
+        col("embedding").as("vb"))
+      a.join(b, Seq("query_id")).filter(col("na") < col("nb"))
+        .withColumn("__cos", Similarity.cosine("va", "vb", 64))
+        .withColumn("__cosq", floor(col("__cos") * 1000000).cast("long"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("__cos")).as("min_cos"), max(col("__cos")).as("max_cos"),
+          sum(col("__cosq")).as("__sumq"))
+        .withColumn("mean_cos_micro",
+          expr("((__sumq + n_pairs * 1000000) div n_pairs) - 1000000"))
+        .select("query_id", "n_pairs", "min_cos", "max_cos", "mean_cos_micro")
+        .orderBy("query_id")
+    }),
+
     // MRR evaluation of the LSH ANN: where the TRUE nearest neighbor
     // lands in the approximate list, reciprocal rank in integer
     // micro-units (a downstream mean sums BIGINTs, not floats).
@@ -1928,6 +1958,31 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // Curriculum assembly (easy→hard pretraining order): phase = global
+    // quality quartile via row_number + integer div (a_rfm's exact-ntile
+    // trick; NULLS FIRST matches both engines), position within a phase
+    // = rank under a salted doc-id hash so each phase is internally
+    // shuffled, reproducibly, with no RNG state. Windows sort only the
+    // thin (doc_id, score) projection of the corpus.
+    "pipe_curriculum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      val base = TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"), col("score"))
+      val h = graft.functions.NativeExprs.polyHash(
+        concat(lit("curr:"), col("doc_id").cast("string")),
+        TextOps.CharMul, TextOps.P)
+      base.crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+        .withColumn("__r", row_number().over(w))
+        .withColumn("phase", expr("(4 * (cast(__r as bigint) - 1)) div __n"))
+        .withColumn("__h", h)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("phase").orderBy(col("__h"), col("doc_id"))))
+        .select("doc_id", "source", "score", "phase", "pos")
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (pretraining batch assembly): documents are
     // packed greedily in a deterministic order (per source, by doc_id);
     // a doc joins the pack its first token falls into — pack_id =
@@ -2471,6 +2526,18 @@ object SparkEntry {
     // NULLS FIRST pinned: Spark ASC defaults to nulls-first, DuckDB to
     // nulls-last; the doc_id tie-break makes every rank unique so tied
     // scores cannot produce engine-dependent percent_rank values.
+    "pipe_curriculum" -> {
+      val h = TextOps.tokenHashSql("'curr:' || CAST(doc_id AS VARCHAR)")
+      s"WITH __b AS (SELECT doc_id, source, ${TextOps.qualityScoreSql("text")} AS score FROM documents), " +
+        "__n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM __b), " +
+        "__r AS (SELECT __b.*, __n.n, row_number() OVER (ORDER BY score ASC NULLS FIRST, doc_id) AS rn " +
+        "FROM __b CROSS JOIN __n), " +
+        s"__p AS (SELECT doc_id, source, score, (4 * (rn - 1)) // n AS phase, $h AS h FROM __r) " +
+        "SELECT doc_id, source, score, phase, " +
+        "CAST(row_number() OVER (PARTITION BY phase ORDER BY h, doc_id) AS INTEGER) AS pos " +
+        "FROM __p ORDER BY doc_id"
+    },
+
     "t_quality_pct" ->
       (s"SELECT doc_id, source, score, percent_rank() OVER (PARTITION BY source " +
         s"ORDER BY score ASC NULLS FIRST, doc_id) AS score_pct FROM " +
@@ -2902,6 +2969,20 @@ object SparkEntry {
       (s"SELECT * FROM (${Similarity.annRankEvalSql(
         Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64),
         BruteKnnSql)}) ORDER BY query_id"),
+
+    "s_diversity" ->
+      (s"WITH __t AS (${Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64)}), " +
+        "__v AS (SELECT t.query_id, t.neighbor_id, e.embedding FROM __t t " +
+        "JOIN embeddings e ON e.vec_id = t.neighbor_id), " +
+        "__p AS (SELECT a.query_id, " +
+        s"${Similarity.cosineSql("a.embedding", "b.embedding", 64)} AS cos " +
+        "FROM __v a JOIN __v b ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id), " +
+        "__g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "min(cos) AS min_cos, max(cos) AS max_cos, " +
+        "CAST(sum(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT) AS sumq FROM __p GROUP BY query_id) " +
+        "SELECT query_id, n_pairs, min_cos, max_cos, " +
+        "((sumq + n_pairs * 1000000) // n_pairs) - 1000000 AS mean_cos_micro " +
+        "FROM __g ORDER BY query_id"),
 
     "s_knn_sq8" ->
       (s"SELECT * FROM (${Similarity.sq8TopKSql("embeddings", "vec_id < 5",
