@@ -1577,6 +1577,38 @@ object SparkEntry {
         .orderBy("attribute_id", "timestamp")
     }),
 
+    // Rank-based winsorization per series (robust-stats clamping before
+    // any mean-sensitive downstream): the p5/p95 bounds are the VALUES
+    // at exact integer ranks — (5n div 100 + 1)-th smallest/largest
+    // under a (value, timestamp) total order — so no percentile
+    // interpolation arithmetic exists to diverge between engines.
+    // Bounds are catalog-sized (one row per attribute) and broadcast
+    // back; the clamp is a pure projection.
+    "ts_winsorize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("attribute_id").orderBy(col("value"), col("timestamp"))
+      val pts = archiveDim(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+      val ranked = pts.withColumn("__r", row_number().over(w))
+      val bounds = ranked.groupBy("attribute_id")
+        .agg(count(lit(1)).as("__n"))
+        .select(col("attribute_id"),
+          expr("(5 * __n) div 100 + 1").as("__lor"),
+          expr("__n - (5 * __n) div 100").as("__hir"))
+      val lohi = ranked.join(bounds, Seq("attribute_id"))
+        .groupBy("attribute_id")
+        .agg(min(when(col("__r") === col("__lor"), col("value"))).as("lo_bound"),
+          min(when(col("__r") === col("__hir"), col("value"))).as("hi_bound"))
+      pts.join(broadcast(lohi), Seq("attribute_id"))
+        .withColumn("winsorized",
+          least(greatest(col("value"), col("lo_bound")), col("hi_bound")))
+        .select("attribute_id", "timestamp", "value", "lo_bound", "hi_bound",
+          "winsorized")
+        .orderBy("attribute_id", "timestamp")
+    }),
+
     // Truncated EWMA (alpha = 1/2) per series: the order-dependent
     // smoothing recursion made engine-exact by folding the frame's
     // quantized values as ONE BIGINT (newest-first, a*2+x) — weights
@@ -2264,6 +2296,15 @@ object SparkEntry {
       graft.sketch.Sketches.kmvOverlapEval(
         Tables.documents(s, d), "source", "text", 3, 64)
         .orderBy("ga", "gb")),
+
+    // Distributed KMV: two shards sketch independently, the merge
+    // (union, keep k smallest) reproduces the direct sketch EXACTLY —
+    // the oracle statement is k_kmv's direct form, so the equality gate
+    // IS the merge law, verified cell-exact.
+    "k_kmv_merge" -> ((s, d) =>
+      graft.sketch.Sketches.kmvDistinctEvalSharded(
+        Tables.documents(s, d), col("doc_id") % 2, "source", "text", 3, 64)
+        .orderBy("source")),
 
     // mergeable equi-width-histogram quantile sketch: bounded-error
     // quantiles with a bins-integer shuffle instead of a full sort
@@ -3226,6 +3267,22 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
         "ORDER BY attribute_id, timestamp"),
 
+    "ts_winsorize" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
+        "WHERE value IS NOT NULL GROUP BY attribute_id, timestamp), " +
+        "__rk AS (SELECT attribute_id, timestamp, value, " +
+        "row_number() OVER (PARTITION BY attribute_id ORDER BY value, timestamp) AS r, " +
+        "CAST(count(*) OVER (PARTITION BY attribute_id) AS BIGINT) AS n FROM __pts), " +
+        "__b AS (SELECT attribute_id, " +
+        "min(CASE WHEN r = (5 * n) // 100 + 1 THEN value END) AS lo_bound, " +
+        "min(CASE WHEN r = n - (5 * n) // 100 THEN value END) AS hi_bound " +
+        "FROM __rk GROUP BY attribute_id) " +
+        "SELECT p.attribute_id, p.timestamp, p.value, b.lo_bound, b.hi_bound, " +
+        "least(greatest(p.value, b.lo_bound), b.hi_bound) AS winsorized " +
+        "FROM __pts p JOIN __b b ON p.attribute_id = b.attribute_id " +
+        "ORDER BY p.attribute_id, p.timestamp"),
+
     "ts_peaks" ->
       (s"WITH $archiveSqlCte, __pts AS (" +
         "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
@@ -3483,6 +3540,12 @@ object SparkEntry {
     "k_kmv_jaccard" ->
       (s"SELECT * FROM (${graft.sketch.Sketches.kmvJaccardPairsSql("documents", "source", "text", 3, 64)}) " +
         "ORDER BY ga, gb"),
+
+    // deliberately the DIRECT whole-corpus statement: equality with the
+    // shard-merged Spark result is the KMV merge law under oracle gate
+    "k_kmv_merge" ->
+      (s"SELECT * FROM (${graft.sketch.Sketches.kmvEstimateSql("documents", "source", "text", 3, 64)}) " +
+        "ORDER BY source"),
 
     "k_cms_est" -> {
       val h = TextOps.tokenHashSql("tok")

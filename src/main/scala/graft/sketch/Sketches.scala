@@ -501,6 +501,38 @@ object Sketches {
         "est_intersection", "jaccard_est", "true_jaccard")
   }
 
+  /** Merge per-shard KMV sketches: union, dedupe (the same hash can be
+    * in several shards' k-minima), keep the k smallest per group — the
+    * operation that lets every executor sketch its shard independently
+    * and a reducer combine them at catalog size. The merge law
+    * (merged == sketch of the union) is both spec-pinned and verified
+    * through the k_kmv_merge oracle, whose DuckDB twin sketches the
+    * whole corpus directly. */
+  def kmvMerge(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h")
+    sketches.select(col(groupCol), col("h")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[kmvDistinctEval]] with the estimate built from TWO per-shard
+    * sketches merged via [[kmvMerge]] — output-identical to the direct
+    * form by the merge law, so the shared oracle statement (the direct
+    * whole-corpus sketch) verifies distributed sketching end to end. */
+  def kmvDistinctEvalSharded(df: DataFrame, shardCol: Column,
+      groupCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val shards = Seq(0, 1).map(i =>
+      kmvSketch(df.filter(shardCol === i), groupCol, textCol, n, k))
+    val est = kmvEstimate(
+      kmvMerge(shards(0).unionByName(shards(1)), groupCol, k), groupCol, k)
+    val exact = kmvHashes(df, groupCol, textCol, n)
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq(groupCol))
+      .select(groupCol, "n_sketch", "kth_hash", "est_distinct", "exact_distinct")
+  }
+
   /** Shared CTE for the KMV oracle twins: distinct (group, shingle-hash)
     * pairs, then the per-group k-minimum ranks. */
   def kmvSketchCtes(table: String, group: String, text: String,
