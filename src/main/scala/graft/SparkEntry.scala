@@ -405,6 +405,14 @@ object SparkEntry {
         .select("doc_id", "lang", "lang_pred")
         .orderBy("doc_id")),
 
+    // Language-ID confusion matrix vs the labeled lang column — the
+    // classifier-evaluation face of t_langid (which languages the
+    // n-gram heuristic confuses, and how often). One combinable groupBy.
+    "t_lang_confusion" -> ((s, d) =>
+      TextOps.withLangId(Tables.documents(s, d), "text")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
     "t_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), TextOps.fingerprint("text").as("fp"))
@@ -1950,6 +1958,45 @@ object SparkEntry {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Data-quality audit (the Deequ/dbt-test family): completeness,
+    // key uniqueness, value range, domain membership, referential
+    // integrity, non-emptiness — ONE aggregate pass over the fact table
+    // (conditional sums share the scan) plus one broadcast anti-join
+    // for the foreign key; the report explodes from a single row, so
+    // adding checks never adds scans.
+    "a_dq_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      val orphans = o.join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"))), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      base.crossJoin(orphans)
+        .select(explode(array(
+          struct(lit("completeness:o_custkey").as("check_name"),
+            col("null_cust").as("observed"), (col("null_cust") === 0).as("passed")),
+          struct(lit("uniqueness:o_orderkey").as("check_name"),
+            (col("n_rows") - col("n_keys")).as("observed"),
+            (col("n_rows") === col("n_keys")).as("passed")),
+          struct(lit("range:o_totalprice_positive").as("check_name"),
+            col("bad_price").as("observed"), (col("bad_price") === 0).as("passed")),
+          struct(lit("domain:o_orderstatus").as("check_name"),
+            col("bad_status").as("observed"), (col("bad_status") === 0).as("passed")),
+          struct(lit("referential:o_custkey_in_customer").as("check_name"),
+            col("n_orphans").as("observed"), (col("n_orphans") === 0).as("passed")),
+          struct(lit("nonempty:orders").as("check_name"),
+            col("n_rows").as("observed"), (col("n_rows") > 0).as("passed"))
+        )).as("c"))
+        .select(col("c.check_name").as("check_name"),
+          col("c.observed").as("observed"), col("c.passed").as("passed"))
+        .orderBy("check_name")
+    }),
+
     // RFM segmentation (recency / frequency / monetary): per-customer
     // metrics from ONE map-side-combinable groupBy over the fact table,
     // then quintile scores via row_number + integer div (ntile's exact
@@ -2588,6 +2635,10 @@ object SparkEntry {
     "t_langid" ->
       (s"SELECT doc_id, lang, ${TextOps.langIdSql("text")} AS lang_pred " +
         "FROM documents ORDER BY doc_id"),
+
+    "t_lang_confusion" ->
+      (s"SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n " +
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred"),
 
     "t_fingerprint" ->
       (s"SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"),
@@ -3480,6 +3531,24 @@ object SparkEntry {
         "WHEN c_k % 4 = 0 THEN 'search' WHEN c_k % 4 = 1 THEN 'social' " +
         "WHEN c_k % 4 = 2 THEN 'email' ELSE 'direct' END AS channel " +
         "FROM j ORDER BY event_id"),
+
+    "a_dq_audit" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust, " +
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys, " +
+        "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price, " +
+        "CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status " +
+        "FROM orders), " +
+        "orph AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM orders o " +
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) " +
+        "SELECT * FROM (" +
+        "SELECT 'completeness:o_custkey' AS check_name, null_cust AS observed, null_cust = 0 AS passed FROM m CROSS JOIN orph " +
+        "UNION ALL SELECT 'uniqueness:o_orderkey', n_rows - n_keys, n_rows = n_keys FROM m CROSS JOIN orph " +
+        "UNION ALL SELECT 'range:o_totalprice_positive', bad_price, bad_price = 0 FROM m CROSS JOIN orph " +
+        "UNION ALL SELECT 'domain:o_orderstatus', bad_status, bad_status = 0 FROM m CROSS JOIN orph " +
+        "UNION ALL SELECT 'referential:o_custkey_in_customer', n_orphans, n_orphans = 0 FROM m CROSS JOIN orph " +
+        "UNION ALL SELECT 'nonempty:orders', n_rows, n_rows > 0 FROM m CROSS JOIN orph" +
+        ") ORDER BY check_name"),
 
     "a_rfm" ->
       ("WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o, " +
