@@ -1958,6 +1958,51 @@ object SparkEntry {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // SCD type-2 history assembly from three dimension snapshots (the
+    // warehouse versioning mechanism d_diff feeds): keep only versions
+    // where the value changed vs the key's own lag, stitch validity
+    // intervals with a lead — two keyed windows, zero joins, N
+    // snapshots cost one sort per key group instead of N−1 self-joins.
+    // Snapshots v2/v3 are deterministic segment transforms mirrored in
+    // the oracle (churn at custkey%7, winback at %21).
+    "j_scd2" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val v1 = c.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), lit(1).as("version"))
+      val v2 = c.select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit("CHURNED"))
+          .otherwise(col("c_mktsegment")).as("segment"), lit(2).as("version"))
+      val v3 = c.select(col("c_custkey"),
+        when(col("c_custkey") % 21 === 0, lit("WINBACK"))
+          .when(col("c_custkey") % 7 === 0, lit("CHURNED"))
+          .otherwise(col("c_mktsegment")).as("segment"), lit(3).as("version"))
+      Relational.scd2(v1.unionByName(v2).unionByName(v3),
+        "c_custkey", "segment", "version")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Poisson bootstrap over the corpus (Chamandy et al., 2012): replica
+    // b weighs each doc by a salted hash mod 3 ∈ {0,1,2} (mean 1) —
+    // with-replacement resampling WITHOUT materializing resamples, B
+    // replica means from conditional sums in one pass. Integer
+    // micro-unit means; the replica spread is the corpus-stat CI.
+    "pipe_bootstrap" -> ((s, d) => {
+      val B = 8
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      toks.select(col("doc_id"), col("n_tok"),
+          explode(array((0 until B).map(lit(_)): _*)).as("replica"))
+        .withColumn("__w", graft.functions.NativeExprs.polyHash(
+          concat(lit("boot:"), col("replica").cast("string"), lit(":"),
+            col("doc_id").cast("string")), TextOps.CharMul, TextOps.P) % 3)
+        .groupBy("replica")
+        .agg(sum(col("__w")).as("n_eff"),
+          sum(col("__w") * col("n_tok")).as("__wt"))
+        .withColumn("mean_tok_micro", expr("(1000000 * __wt) div n_eff"))
+        .select("replica", "n_eff", "mean_tok_micro")
+        .orderBy("replica")
+    }),
+
     // Data-quality audit (the Deequ/dbt-test family): completeness,
     // key uniqueness, value range, domain membership, referential
     // integrity, non-emptiness — ONE aggregate pass over the fact table
@@ -3531,6 +3576,28 @@ object SparkEntry {
         "WHEN c_k % 4 = 0 THEN 'search' WHEN c_k % 4 = 1 THEN 'social' " +
         "WHEN c_k % 4 = 2 THEN 'email' ELSE 'direct' END AS channel " +
         "FROM j ORDER BY event_id"),
+
+    "j_scd2" -> {
+      val snaps =
+        "SELECT c_custkey, c_mktsegment AS segment, 1 AS version FROM customer " +
+          "UNION ALL SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 'CHURNED' " +
+          "ELSE c_mktsegment END, 2 FROM customer " +
+          "UNION ALL SELECT c_custkey, CASE WHEN c_custkey % 21 = 0 THEN 'WINBACK' " +
+          "WHEN c_custkey % 7 = 0 THEN 'CHURNED' ELSE c_mktsegment END, 3 FROM customer"
+      s"SELECT * FROM (${Relational.scd2Sql(snaps, "c_custkey", "segment", "version")}) " +
+        "ORDER BY c_custkey, valid_from"
+    },
+
+    "pipe_bootstrap" -> {
+      val h = TextOps.tokenHashSql(
+        "'boot:' || CAST(replica AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+      s"WITH __r AS (SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok, " +
+        "unnest(range(0, 8)) AS replica FROM documents), " +
+        s"__w AS (SELECT replica, n_tok, $h % 3 AS w FROM __r) " +
+        "SELECT replica, CAST(sum(w) AS BIGINT) AS n_eff, " +
+        "(1000000 * CAST(sum(w * n_tok) AS BIGINT)) // CAST(sum(w) AS BIGINT) AS mean_tok_micro " +
+        "FROM __w GROUP BY replica ORDER BY replica"
+    },
 
     "a_dq_audit" ->
       ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

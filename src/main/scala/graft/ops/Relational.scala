@@ -450,4 +450,45 @@ object Relational {
        |FROM __p p JOIN __ic ia ON p.item_a = ia.item
        |           JOIN __ic ib ON p.item_b = ib.item
        |           CROSS JOIN __n n""".stripMargin
+
+  /** Slowly-changing-dimension TYPE 2 history from versioned snapshots:
+    * given rows (key, value, version), keep only the versions where the
+    * value CHANGED vs the key's previous snapshot, then stitch validity
+    * intervals — valid_from = the changing version, valid_to = the next
+    * change (NULL = current). The standard warehouse mechanism as two
+    * keyed windows and zero joins: snapshots diff against their own lag,
+    * so N snapshots cost one sort per key group, not N−1 self-joins.
+    * Works for any snapshot cadence; `version` only needs to be ordered.
+    * (The companion snapshot-DIFF operator is d_diff; this is the
+    * history ASSEMBLY it feeds.) */
+  def scd2(snapshots: DataFrame, keyCol: String, valueCol: String,
+      versionCol: String): DataFrame = {
+    val byVer = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(versionCol)
+    snapshots
+      .withColumn("__prev", lag(col(valueCol), 1).over(byVer))
+      .filter(col("__prev").isNull || col(valueCol) =!= col("__prev"))
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(byVer))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
+  /** Oracle twin of [[scd2]] — same two windows. The second window runs
+    * over the FILTERED change rows, exactly as the Scala plan does. */
+  def scd2Sql(snapshotsSql: String, key: String, value: String,
+      version: String): String =
+    s"""WITH __s AS (
+       |  SELECT $key, $value, $version,
+       |         lag($value) OVER (PARTITION BY $key ORDER BY $version) AS prev
+       |  FROM ($snapshotsSql)
+       |), __c AS (
+       |  SELECT $key, $value, $version AS valid_from
+       |  FROM __s WHERE prev IS NULL OR $value <> prev
+       |)
+       |SELECT $key, $value, valid_from,
+       |       lead(valid_from) OVER (PARTITION BY $key ORDER BY valid_from) AS valid_to,
+       |       lead(valid_from) OVER (PARTITION BY $key ORDER BY valid_from) IS NULL AS is_current
+       |FROM __c""".stripMargin
 }
