@@ -483,6 +483,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"d_diff has unexpected extra shuffles ($exchanges):\n$p")
   }
 
+  test("attribution (batch + streaming kernel) never pair-joins: as-of is the union-sort carry") {
+    for (q <- Seq("w9_attribution", "d_stream_attrib")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n$p")
+    }
+  }
+
+  test("SCD2 assembly is two keyed windows and ZERO joins") {
+    val p = plan("j_scd2")
+    assert(!p.contains("Join"), s"scd2 grew a join it doesn't need:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length === 2,
+      s"scd2 should be exactly two window passes:\n$p")
+  }
+
+  test("DQ audit shares one scan for the conditional checks + one broadcast anti-join") {
+    val p = plan("a_dq_audit")
+    assert(p.contains("LeftAnti"), s"referential check lost its anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dq audit should broadcast the dimension, not shuffle:\n$p")
+    // three scans total: orders for the shared conditional-agg pass,
+    // orders again as the anti-join probe, customer once — adding
+    // checks must not add scans (count the "(n) Scan parquet" node
+    // headers; a substring count doubles through the tree rendering)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 3, s"a_dq_audit reads its inputs $scans times:\n$p")
+  }
+
+  test("bootstrap replicas are one explode + one combinable aggregate, no join") {
+    val p = plan("pipe_bootstrap")
+    assert(!p.contains("Join"), s"bootstrap grew a join:\n$p")
+    assert(p.contains("HashAggregate"), s"bootstrap lost hash aggregation:\n$p")
+  }
+
   test("link prediction: wedge/degree/anti joins are all equi-joins, never all-pairs") {
     val p = plan("g_linkpred")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
