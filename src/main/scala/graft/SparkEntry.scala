@@ -1837,6 +1837,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Multi-source BFS over the co-purchase graph: hop distance from
+    // the seed parts (partkey < 3) within 3 supersteps, NULL =
+    // unreached — the reachability/radius probe. Pure integer min
+    // relaxation, trivially engine-exact.
+    "g_bfs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") < 3)
+        .select(col("p_partkey").as("id"))
+      graft.graph.GraphOps.bfsHops(edges, "src", "dst", seeds, hops = 3)
+        .orderBy("id")
+    }),
+
     // Common-neighbor link prediction over the co-purchase graph:
     // top-50 NON-edges ranked by neighbor-set jaccard (exact integer
     // counts, one double division). Candidate volume is capped by the
@@ -3533,6 +3549,13 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         k = 8, rounds = 4)}) ORDER BY id"),
+
+    "g_bfs" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.bfsHopsSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        "SELECT p_partkey AS id FROM part WHERE p_partkey < 3",
+        hops = 3)}) ORDER BY id"),
 
     "g_hits" ->
       (s"SELECT * FROM (${graft.graph.GraphOps.hitsSql(

@@ -428,6 +428,82 @@ object GraphOps {
        |SELECT id, hub, auth FROM __s$iters""".stripMargin
   }
 
+  /** Multi-source BFS distances, `hops` supersteps unrolled over an
+    * UNDIRECTED edge list: seeds start at 0; each round every reached
+    * node relaxes its neighbors to dist+1 (min wins — pure integer,
+    * trivially engine-exact). Returns every node's distance (NULL =
+    * unreached within `hops`) — the reachability/radius probe the
+    * other kernels don't answer.
+    *
+    * Scale shape per round: reached-frontier ⋈ edges on the node id +
+    * one combinable min groupBy — the [[pageRank]] superstep; state is
+    * (id, dist) and broadcast by default. The join deliberately sends
+    * the whole REACHED set, not just the new frontier: a frontier
+    * delta would need an extra anti-join per round, and min-combine
+    * makes re-relaxation free. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, hops: Int = 3, broadcastState: Boolean = true): DataFrame = {
+    require(hops >= 1 && hops <= 10, s"unrolled hops must be in [1,10], got $hops")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val sym = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(false) // reused every superstep
+    val nodes = e.select(col("u").as("id")).distinct()
+      .localCheckpoint(false)
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id")).distinct()
+    var state = nodes.join(hint(seedIds.withColumn("__s", lit(0L))), Seq("id"), "left")
+      .select(col("id"), col("__s").as("dist"))
+      .localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val relaxed = e.join(
+        hint(state.filter(col("dist").isNotNull)
+          .select(col("id").as("u"), col("dist"))), Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("dist") + 1).as("__nd"))
+      state = state.join(hint(relaxed), Seq("id"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("__nd"))
+            .when(col("__nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("__nd"))).as("dist"))
+        .localCheckpoint(false) // the per-round re-derivation guard
+    }
+    state
+  }
+
+  /** Oracle twin of [[bfsHops]] — identical supersteps as chained CTEs. */
+  def bfsHopsSql(edgesSql: String, seedsSql: String, hops: Int = 3): String = {
+    require(hops >= 1 && hops <= 10)
+    val steps = (1 to hops).map { i =>
+      s"""__r$i AS (
+         |  SELECT e.v AS id, CAST(min(s.dist + 1) AS BIGINT) AS nd
+         |  FROM __e e JOIN __d${i - 1} s ON e.u = s.id
+         |  WHERE s.dist IS NOT NULL GROUP BY e.v
+         |), __d$i AS (
+         |  SELECT d.id,
+         |         CASE WHEN d.dist IS NULL THEN r.nd
+         |              WHEN r.nd IS NULL THEN d.dist
+         |              ELSE least(d.dist, r.nd) END AS dist
+         |  FROM __d${i - 1} d LEFT JOIN __r$i r ON d.id = r.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __raw AS (
+       |  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __e AS (
+       |  SELECT DISTINCT u, v FROM (SELECT u, v FROM __raw UNION ALL SELECT v, u FROM __raw)
+       |), __n AS (
+       |  SELECT DISTINCT u AS id FROM __e
+       |), __sd AS (
+       |  SELECT DISTINCT CAST(id AS BIGINT) AS id FROM ($seedsSql)
+       |), __d0 AS (
+       |  SELECT n.id, CASE WHEN s.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+       |  FROM __n n LEFT JOIN __sd s ON n.id = s.id
+       |), $steps
+       |SELECT id, dist FROM __d$hops""".stripMargin
+  }
+
   /** Common-neighbor link prediction: for every NON-edge vertex pair at
     * distance 2, the number of shared neighbors and the neighbor-set
     * jaccard (common / (deg_a + deg_b − common)) — the classic
