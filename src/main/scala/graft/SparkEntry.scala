@@ -1837,6 +1837,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Connected components over the THRESHOLDED co-purchase graph
+    // (product families: parts co-bought in >= 3 distinct orders):
+    // the generic min-label CC kernel the dedup clusters use, applied
+    // to an arbitrary edge table; unpaired parts stay singletons.
+    "g_cc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val pairs = li.select(col("ok"), col("l_partkey").as("id_a"))
+        .join(li.select(col("ok"), col("l_partkey").as("id_b")), Seq("ok"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(countDistinct(col("ok")).as("__n"))
+        .filter(col("__n") >= 3)
+        .select("id_a", "id_b")
+      Dedup.clusters(Tables.part(s, d).select(col("p_partkey")), pairs,
+        "p_partkey")
+        .orderBy("id")
+    }),
+
     // Multi-source BFS over the co-purchase graph: hop distance from
     // the seed parts (partkey < 3) within 3 supersteps, NULL =
     // unreached — the reachability/radius probe. Pure integer min
@@ -3549,6 +3567,19 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         k = 8, rounds = 4)}) ORDER BY id"),
+
+    "g_cc" ->
+      ("WITH RECURSIVE __pairs AS (" +
+        "SELECT id_a, id_b FROM (" +
+        "SELECT a.l_partkey AS id_a, b.l_partkey AS id_b, a.l_orderkey AS ok " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) " +
+        "GROUP BY id_a, id_b HAVING count(DISTINCT ok) >= 3), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT p_partkey, p_partkey FROM part " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
+        "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
 
     "g_bfs" ->
       (s"SELECT * FROM (${graft.graph.GraphOps.bfsHopsSql(
