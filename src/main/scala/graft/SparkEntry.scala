@@ -1975,6 +1975,45 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Linear multi-touch attribution (w9's fairness-variant): every
+    // click within 24h before a purchase gets an equal share of
+    // floor(value·1e6) — credits are BIGINT micro-units so the
+    // per-channel totals sum exactly (a float credit sum is
+    // shuffle-order-dependent). In-window click sets come from the
+    // cell-bucketed range join (day cells on the user key — the
+    // o_range_join machinery), clickless purchases fall to 'none'.
+    "w10_multitouch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("value"))
+        .withColumn("w_start",
+          expr("cast(p_ts as timestamp) - INTERVAL 24 HOURS"))
+      val j = Relational.rangeJoin(clicks, purchases, "user_id",
+        "ts", "w_start", "p_ts", bucketSeconds = 86400)
+      val per = j.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p_id")))
+        .withColumn("credit",
+          expr("cast(floor(value * 1000000) as bigint) div __n"))
+        .withColumn("channel",
+          when(col("k") % 4 === 0, lit("search"))
+            .when(col("k") % 4 === 1, lit("social"))
+            .when(col("k") % 4 === 2, lit("email"))
+            .otherwise(lit("direct")))
+        .select("channel", "credit")
+      val none = purchases
+        .join(j.select("p_id").distinct(), Seq("p_id"), "left_anti")
+        .select(lit("none").as("channel"),
+          expr("cast(floor(value * 1000000) as bigint)").as("credit"))
+      per.unionByName(none)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("credit_micro"))
+        .orderBy("channel")
+    }),
+
     // Cohort retention matrix: users bucketed by first-activity week,
     // distinct actives per (cohort, weeks-since) cell — the classic
     // retention triangle. Per-user min is map-side combinable; the
@@ -3652,6 +3691,21 @@ object SparkEntry {
         "(1000000 * CAST(sum(w * n_tok) AS BIGINT)) // CAST(sum(w) AS BIGINT) AS mean_tok_micro " +
         "FROM __w GROUP BY replica ORDER BY replica"
     },
+
+    "w10_multitouch" ->
+      ("WITH c AS (SELECT user_id, ts, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id, value FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT p.p_id, p.value, c.k FROM p JOIN c ON c.user_id = p.user_id " +
+        "AND c.ts <= p.p_ts AND c.ts >= p.p_ts - INTERVAL 24 HOUR), " +
+        "per AS (SELECT p_id, value, k, CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n FROM j), " +
+        "cr AS (SELECT CASE WHEN k % 4 = 0 THEN 'search' WHEN k % 4 = 1 THEN 'social' " +
+        "WHEN k % 4 = 2 THEN 'email' ELSE 'direct' END AS channel, " +
+        "CAST(floor(value * 1000000) AS BIGINT) // n AS credit FROM per), " +
+        "un AS (SELECT 'none' AS channel, CAST(floor(value * 1000000) AS BIGINT) AS credit " +
+        "FROM p WHERE p_id NOT IN (SELECT p_id FROM j)) " +
+        "SELECT channel, count(*) AS n_credits, CAST(sum(credit) AS BIGINT) AS credit_micro " +
+        "FROM (SELECT * FROM cr UNION ALL SELECT * FROM un) GROUP BY channel ORDER BY channel"),
 
     "a_dq_audit" ->
       ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
