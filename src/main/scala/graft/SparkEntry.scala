@@ -793,6 +793,31 @@ object SparkEntry {
         col("doc_id") % 2 === 0)
         .orderBy("source")),
 
+    // Collocation mining: adjacent-token bigrams ranked by LIFT,
+    // n_ab·N / (n_a·n_b) — exp(PMI), the same ordering with NO logs (a
+    // log is a libm call whose last ulp differs across engines; the
+    // lift is integer products + ONE double division, engine-exact).
+    // Two explodes + combinable counts + two vocab-sized joins.
+    "t_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(TextOps.tokens(col("text")).as("__toks"))
+      val uni = toks.select(explode(col("__toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val bi = toks.select(
+          explode(TextOps.shinglesFromTokens(col("__toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      bi.withColumn("__w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("tok").as("__w1"), col("n").as("n_a")), Seq("__w1"))
+        .join(uni.select(col("tok").as("__w2"), col("n").as("n_b")), Seq("__w2"))
+        .crossJoin(broadcast(uni.agg(sum(col("n")).as("__total"))))
+        .withColumn("lift", (col("n_ab") * col("__total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+        .select("bigram", "n_ab", "n_a", "n_b", "lift")
+        .orderBy(col("lift").desc, col("bigram")).limit(50)
+    }),
+
     // Tokenizer fertility per language (subword/word ratio — the
     // multilingual token-budget planning metric: languages the lexer
     // fragments cost more compute per word). Integer sums, one final
@@ -3048,6 +3073,20 @@ object SparkEntry {
     "t_readability" ->
       (s"SELECT * FROM (${TextOps.readabilitySql("documents", "doc_id", "text")}) " +
         "ORDER BY doc_id"),
+
+    "t_collocations" ->
+      (s"WITH __t AS (SELECT ${TextOps.tokensSql("text")} AS toks FROM documents), " +
+        "__uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(toks) AS tok FROM __t) GROUP BY tok), " +
+        "__tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM __uni), " +
+        s"__bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_ab FROM " +
+        s"(SELECT unnest(${TextOps.shinglesSql("text", 2)}) AS bg FROM documents) " +
+        "GROUP BY bg HAVING count(*) >= 5) " +
+        "SELECT bg AS bigram, n_ab, a.n AS n_a, b.n AS n_b, " +
+        "CAST(n_ab * total AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS lift " +
+        "FROM __bi JOIN __uni a ON a.tok = string_split(bg, ' ')[1] " +
+        "JOIN __uni b ON b.tok = string_split(bg, ' ')[2] CROSS JOIN __tot " +
+        "ORDER BY lift DESC, bigram LIMIT 50"),
 
     "o_asof" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
