@@ -1234,6 +1234,16 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.fromDocuments(Tables.documents(s, d)), 64)
         .orderBy("media_id", "frame_offset")),
 
+    // Shot/scene-boundary detection over the frame stream: per-frame
+    // aHash windows, boundary when the hamming distance to the
+    // previous frame exceeds the threshold — one adjacent lag per
+    // media, no pair joins (the video face of m_phash_pairs).
+    "m_scene_detect" -> ((s, d) =>
+      Multimodal.sceneBoundaries(
+        Multimodal.fromDocuments(Tables.documents(s, d)),
+        stride = 48, maxHamming = 32)
+        .orderBy("media_id", "frame_offset")),
+
     // Perceptual near-dup pairs over media payloads: aHash (mean-
     // threshold bits over the decode frame, pure Column exprs) +
     // the shared pigeonhole band kernel — image-dedup's shape with the
@@ -3293,6 +3303,10 @@ object SparkEntry {
     "m_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS INTEGER) AS frame_offset " +
         "FROM documents ORDER BY media_id, frame_offset"),
+
+    "m_scene_detect" ->
+      (s"SELECT * FROM (${Multimodal.sceneBoundariesSql(stride = 48, maxHamming = 32)}) " +
+        "ORDER BY media_id, frame_offset"),
 
     // oracle verifies brute-force (banding is Spark's candidate
     // strategy, not a semantics change — same contract as d_simhash_pairs)

@@ -154,6 +154,87 @@ object Multimodal {
        |SELECT media_id, $recombine AS ahash FROM __am""".stripMargin
   }
 
+  /** Per-frame aHash over the sampled frame stream: each
+    * [[frameSample]] offset hashes its OWN `frame`-byte window — the
+    * [[aHash]] kernel applied at an offset, same decode boundary (a
+    * codec swap changes the byte source, not the hash or plumbing). */
+  def frameHashes(media: DataFrame, stride: Int, frame: Int = 64): DataFrame = {
+    require(frame >= 1 && frame <= 64, s"frame packs into one long, got $frame")
+    val bl = expr(s"transform(sequence(1, $frame), __i -> " +
+      "CASE WHEN length(__ft) >= __i THEN CAST(ascii(substring(__ft, __i, 1)) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END)")
+    val mean = expr(s"aggregate(__bl, CAST(0 AS BIGINT), (__a, __x) -> __a + __x) div $frame")
+    val packed = (0 until frame).map { b =>
+      when(element_at(col("__bl"), b + 1) > col("__mean"), lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    frameSample(media, stride)
+      .join(media.select(col("media_id"), decode(col("bytes"), "UTF-8").as("__t")),
+        Seq("media_id"))
+      .select(col("media_id"), col("frame_offset"),
+        expr(s"substring(__t, frame_offset + 1, $frame)").as("__ft"))
+      .select(col("media_id"), col("frame_offset"), bl.as("__bl"))
+      .select(col("media_id"), col("frame_offset"), col("__bl"), mean.as("__mean"))
+      .select(col("media_id"), col("frame_offset"), packed.as("fhash"))
+  }
+
+  /** Scene-change detection over the frame-hash stream: a frame starts
+    * a new scene when its perceptual hash is more than `maxHamming`
+    * bits from the PREVIOUS frame's (the classic shot-boundary
+    * heuristic). One adjacent lag per media — no pair joins; at scale
+    * the window partition is a single media's frames. */
+  def sceneBoundaries(media: DataFrame, stride: Int, maxHamming: Int,
+      frame: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_offset")
+    frameHashes(media, stride, frame)
+      .withColumn("__prev", lag(col("fhash"), 1).over(w))
+      .withColumn("hamming", when(col("__prev").isNotNull,
+        bit_count(col("fhash").bitwiseXOR(col("__prev"))).cast("int")))
+      .withColumn("is_boundary",
+        coalesce(col("hamming") > maxHamming, lit(false)))
+      .select("media_id", "frame_offset", "hamming", "is_boundary")
+  }
+
+  /** Oracle twin of [[sceneBoundaries]] over the documents-backed media
+    * table — same windows, same floor-mean aHash at each offset, same
+    * strict threshold. */
+  def sceneBoundariesSql(stride: Int, maxHamming: Int, frame: Int = 64,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val recombine = (0 until frame).map { b =>
+      s"CASE WHEN bl[${b + 1}] > mean THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH __fr AS (
+       |  SELECT $idCol AS media_id, $textCol AS t,
+       |         CAST(unnest(range(0, CAST(octet_length(encode($textCol)) AS BIGINT), $stride)) AS INTEGER) AS frame_offset
+       |  FROM $table
+       |), __ft AS (
+       |  SELECT media_id, frame_offset, substr(t, frame_offset + 1, $frame) AS ft FROM __fr
+       |), __bl AS (
+       |  SELECT media_id, frame_offset,
+       |         list_transform(range(1, ${frame + 1}), __i ->
+       |           CASE WHEN length(ft) >= __i
+       |                THEN CAST(ascii(substr(ft, __i, 1)) AS BIGINT)
+       |                ELSE CAST(0 AS BIGINT) END) AS bl
+       |  FROM __ft
+       |), __m AS (
+       |  SELECT media_id, frame_offset, bl,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), bl), (__a, __x) -> __a + __x) // $frame AS mean
+       |  FROM __bl
+       |), __h AS (
+       |  SELECT media_id, frame_offset, $recombine AS fhash FROM __m
+       |), __l AS (
+       |  SELECT media_id, frame_offset, fhash,
+       |         lag(fhash) OVER (PARTITION BY media_id ORDER BY frame_offset) AS prev
+       |  FROM __h
+       |)
+       |SELECT media_id, frame_offset,
+       |       CAST(CASE WHEN prev IS NOT NULL THEN bit_count(xor(fhash, prev)) END AS INTEGER) AS hamming,
+       |       coalesce(bit_count(xor(fhash, prev)) > $maxHamming, false) AS is_boundary
+       |FROM __l""".stripMargin
+  }
+
   /** Metadata projection used by the oracle-checked query: everything
     * here is expressible over the raw text in DuckDB (octet_length,
     * ascii) so the binary plumbing gets a cell-exact check too. */
