@@ -2089,6 +2089,36 @@ object SparkEntry {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // Point-in-time (temporal) join — the feature-store lookup rule
+    // "read the dimension AS OF the fact's timestamp, never later":
+    // each order picks the segment valid at its order date from the
+    // SCD2 history (same snapshots as j_scd2, versions mapped to
+    // effective dates). The lookup is a backward as-of on
+    // (custkey, date) — the union-sort carry, so history length never
+    // multiplies the fact scan and nothing interval-joins.
+    "j_pit" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      def snap(eff: String, seg: Column) =
+        c.select(col("c_custkey"), seg.as("segment"),
+          lit(eff).cast("timestamp").as("eff_ts"))
+      val hist = snap("1994-01-01 00:00:00", col("c_mktsegment"))
+        .unionByName(snap("1997-01-01 00:00:00",
+          when(col("c_custkey") % 7 === 0, lit("CHURNED"))
+            .otherwise(col("c_mktsegment"))))
+        .unionByName(snap("2000-01-01 00:00:00",
+          when(col("c_custkey") % 21 === 0, lit("WINBACK"))
+            .when(col("c_custkey") % 7 === 0, lit("CHURNED"))
+            .otherwise(col("c_mktsegment"))))
+      val scd = Relational.scd2(hist, "c_custkey", "segment", "eff_ts")
+        .select(col("c_custkey"), col("valid_from").as("ts"),
+          col("segment"), col("valid_from"))
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"), col("o_orderdate").as("ts"))
+      Relational.asofJoin(orders, scd, "c_custkey", "ts",
+        Seq("segment", "valid_from"), Seq("valid_from"))
+        .orderBy("o_orderkey")
+    }),
+
     // Poisson bootstrap over the corpus (Chamandy et al., 2012): replica
     // b weighs each doc by a salted hash mod 3 ∈ {0,1,2} (mean 1) —
     // with-replacement resampling WITHOUT materializing resamples, B
@@ -3732,6 +3762,24 @@ object SparkEntry {
           "WHEN c_custkey % 7 = 0 THEN 'CHURNED' ELSE c_mktsegment END, 3 FROM customer"
       s"SELECT * FROM (${Relational.scd2Sql(snaps, "c_custkey", "segment", "version")}) " +
         "ORDER BY c_custkey, valid_from"
+    },
+
+    "j_pit" -> {
+      val hist =
+        "SELECT c_custkey, c_mktsegment AS segment, TIMESTAMP '1994-01-01 00:00:00' AS eff_ts FROM customer " +
+          "UNION ALL SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 'CHURNED' " +
+          "ELSE c_mktsegment END, TIMESTAMP '1997-01-01 00:00:00' FROM customer " +
+          "UNION ALL SELECT c_custkey, CASE WHEN c_custkey % 21 = 0 THEN 'WINBACK' " +
+          "WHEN c_custkey % 7 = 0 THEN 'CHURNED' ELSE c_mktsegment END, " +
+          "TIMESTAMP '2000-01-01 00:00:00' FROM customer"
+      s"WITH __scd AS (${Relational.scd2Sql(hist, "c_custkey", "segment", "eff_ts")}) " +
+        "SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate AS ts, " +
+        "pp.segment, pp.valid_from " +
+        "FROM orders o LEFT JOIN LATERAL (" +
+        "SELECT s.segment, s.valid_from FROM __scd s " +
+        "WHERE s.c_custkey = o.o_custkey AND s.valid_from <= o.o_orderdate " +
+        "ORDER BY s.valid_from DESC LIMIT 1) AS pp ON true " +
+        "ORDER BY o_orderkey"
     },
 
     "pipe_bootstrap" -> {
