@@ -1594,6 +1594,28 @@ object SparkEntry {
       graft.ops.TimeSeries.zscoreAnomalies(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
+    // Rate of change per series (the derivative every sensor dashboard
+    // plots): Δvalue / Δseconds vs the previous point — subtraction +
+    // ONE double division, engine-exact; same unique-(attr, ts) dedup
+    // discipline as every adjacent-row window here.
+    "ts_rate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("attribute_id").orderBy("timestamp")
+      archiveDim(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+        .withColumn("__pv", lag(col("value"), 1).over(w))
+        .withColumn("__pt", lag(col("timestamp"), 1).over(w))
+        .filter(col("__pv").isNotNull)
+        .withColumn("rate_per_sec",
+          (col("value") - col("__pv")) * 1000000.0 /
+            (unix_micros(col("timestamp").cast("timestamp")) -
+              unix_micros(col("__pt").cast("timestamp"))).cast("double"))
+        .select("attribute_id", "timestamp", "value", "rate_per_sec")
+        .orderBy("attribute_id", "timestamp")
+    }),
+
     // Local-maxima peak detection per series: a point is a peak iff it
     // strictly exceeds both neighbors, gated on prominence = the
     // smaller of the two rises (pure double subtraction — exact and
@@ -2218,6 +2240,27 @@ object SparkEntry {
         .select("custkey", "recency_days", "frequency", "monetary",
           "r_score", "f_score", "m_score", "segment")
         .orderBy("custkey")
+    }),
+
+    // Shard manifest (the dataset-publishing artifact next to the
+    // shards): per shard, doc/token counts, id range, and an
+    // order-independent content checksum (sum of doc fingerprints
+    // mod P — commutative, so shard-internal ordering never matters).
+    // One combinable groupBy over the shard assignment projection.
+    "pipe_manifest" -> ((s, d) => {
+      val sh = TextOps.shardAssignment(Tables.documents(s, d), "doc_id", 8)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("__tok"),
+          TextOps.fingerprint("text").as("__fp"))
+        .join(sh.select("doc_id", "shard"), Seq("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          (sum(col("__fp")) % TextOps.P).as("checksum"))
+        .orderBy("shard")
     }),
 
     // Curriculum assembly (easy→hard pretraining order): phase = global
@@ -3411,6 +3454,15 @@ object SparkEntry {
       (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16)}) " +
         "ORDER BY doc_id"),
 
+    "pipe_manifest" ->
+      (s"WITH __sh AS (${TextOps.shardAssignmentSql("documents", "doc_id", 8)}), " +
+        s"__d AS (SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS tok, " +
+        s"${TextOps.fingerprintSql("text")} AS fp FROM documents) " +
+        "SELECT s.shard, count(*) AS n_docs, CAST(sum(d.tok) AS BIGINT) AS n_tokens, " +
+        "min(d.doc_id) AS min_doc_id, max(d.doc_id) AS max_doc_id, " +
+        s"CAST(sum(d.fp) % ${TextOps.P} AS BIGINT) AS checksum " +
+        "FROM __d d JOIN __sh s USING (doc_id) GROUP BY s.shard ORDER BY shard"),
+
     "pipe_shard_epoch" ->
       (s"SELECT * FROM (${TextOps.shardAssignmentSql("documents", "doc_id", 16, epoch = 2)}) " +
         "ORDER BY doc_id"),
@@ -3518,6 +3570,17 @@ object SparkEntry {
         "FROM __pts " +
         "WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
         "ORDER BY attribute_id, timestamp"),
+
+    "ts_rate" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
+        "WHERE value IS NOT NULL GROUP BY attribute_id, timestamp), " +
+        "__l AS (SELECT attribute_id, timestamp, value, " +
+        "lag(value) OVER w AS pv, lag(timestamp) OVER w AS pt " +
+        "FROM __pts WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp)) " +
+        "SELECT attribute_id, timestamp, value, " +
+        "(value - pv) * 1000000.0 / CAST(epoch_us(timestamp) - epoch_us(pt) AS DOUBLE) AS rate_per_sec " +
+        "FROM __l WHERE pv IS NOT NULL ORDER BY attribute_id, timestamp"),
 
     "ts_winsorize" ->
       (s"WITH $archiveSqlCte, __pts AS (" +
