@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.ops.{Relational, TimeSeries}
 import graft.sim.Similarity
+import graft.sketch.Sketches
 import graft.text.TextOps
 
 /** Degenerate-input hardening: every operator family fed NULL text,
@@ -354,5 +355,72 @@ class RobustnessSpec extends SparkSpec {
       // totals are consistent: vocab <= n_ref + n_cur
       assert(r.getLong(3) <= r.getLong(1) + r.getLong(2))
     }
+  }
+
+  test("readability: NULL text yields NULL metrics; empty text survives with zero words") {
+    val df = docs((1L, null), (2L, ""), (3L, "one"))
+    val out = TextOps.readability(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3) // nothing dropped, nothing thrown
+    // NULL text: tokens(NULL) is NULL → every derived metric NULL
+    assert(out(1L).isNullAt(5) && out(1L).isNullAt(6) && out(1L).isNullAt(7))
+    // empty text: 0 words → NULL milli scores (guarded div), no throw
+    assert(out(2L).getLong(1) === 0L && out(2L).isNullAt(6))
+    assert(out(3L).getLong(1) === 1L && !out(3L).isNullAt(6))
+  }
+
+  test("linkPrediction: empty and edgeless graphs yield empty candidate sets") {
+    val sess = spark
+    import sess.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.graph.GraphOps.linkPrediction(empty, "src", "dst").isEmpty)
+    // self-loops and NULLs are dropped, a single clean edge has no
+    // distance-2 pairs → still empty, never a failure
+    val weird = Seq((1L, 1L), (2L, 3L)).toDF("src", "dst")
+    assert(graft.graph.GraphOps.linkPrediction(weird, "src", "dst").isEmpty)
+  }
+
+  test("hits/bfs: empty edge lists and unreachable seeds degrade, never fail") {
+    val sess = spark
+    import sess.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.graph.GraphOps.hits(empty, "src", "dst", iters = 1).isEmpty)
+    val e = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("id") // not in the graph
+    val dists = graft.graph.GraphOps.bfsHops(e, "src", "dst", seeds, hops = 2)
+      .collect()
+    assert(dists.length === 4 && dists.forall(_.isNullAt(1)),
+      "unreachable graph should be all-NULL distances")
+  }
+
+  test("KMV: empty corpus and tokenless groups produce no sketch rows, never fail") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, "g1", ""), (2L, "g1", null.asInstanceOf[String]))
+      .toDF("doc_id", "g", "text")
+    assert(Sketches.kmvSketch(df, "g", "text", 2, 8).isEmpty)
+    assert(Sketches.kmvDistinctEval(df, "g", "text", 2, 8).isEmpty)
+  }
+
+  test("scd2: single-snapshot input is one open interval per key") {
+    val sess = spark
+    import sess.implicits._
+    val snap = Seq((1L, "A", 1), (2L, "B", 1)).toDF("k", "v", "ver")
+    val out = Relational.scd2(snap, "k", "v", "ver").collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.isNullAt(3) && r.getBoolean(4)),
+      "every single-snapshot row must be the current open interval")
+  }
+
+  test("attribution kernel: purchases with no clicks at all land on 'none'") {
+    val sess = spark
+    import sess.implicits._
+    val p = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val c = Seq.empty[(Long, java.sql.Timestamp, Long, Int)]
+      .toDF("user_id", "ts", "event_id", "k")
+    val out = graft.streaming.StreamingAttribution.attribute(p, c, 86400000000L)
+      .collect()
+    assert(out.length === 1 && out.head.getString(4) === "none")
   }
 }
