@@ -2071,6 +2071,25 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Longest activity streak per user (gaps-and-islands): consecutive
+    // active DAYS group into islands via the day − row_number trick —
+    // pure integer arithmetic, two combinable aggregates around one
+    // user-keyed window; no self-joins, no recursion.
+    "w11_streaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .distinct()
+      days.withColumn("__grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "__grp").agg(count(lit(1)).as("__len"))
+        .groupBy("user_id")
+        .agg(max(col("__len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // Cohort retention matrix: users bucketed by first-activity week,
     // distinct actives per (cohort, weeks-since) cell — the classic
     // retention triangle. Per-user min is map-side combinable; the
@@ -3906,6 +3925,14 @@ object SparkEntry {
         "WHEN r_score >= 4 THEN 'recent' WHEN f_score >= 4 THEN 'loyal' " +
         "WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk' ELSE 'regular' END AS segment " +
         "FROM r ORDER BY custkey"),
+
+    "w11_streaks" ->
+      ("WITH __d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "__g AS (SELECT user_id, day, " +
+        "day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM __d), " +
+        "__s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM __g GROUP BY user_id, grp) " +
+        "SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks " +
+        "FROM __s GROUP BY user_id ORDER BY user_id"),
 
     "w9_attribution" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +
