@@ -1642,6 +1642,50 @@ object SparkEntry {
         .orderBy("attribute_id", "timestamp")
     }),
 
+    // Seasonal-naive forecast backtest (the baseline every forecasting
+    // deployment must beat): forecast(t) = value(t − 24h) on the hourly
+    // grid, scored as MAE over the points where both exist. Errors are
+    // quantized-integer |Δ| sums (a float MAE is shuffle-order-
+    // dependent), one div at the end — MAE in micro-units. The lag is
+    // a self-join on the shifted hour, not a window: the grid has
+    // holes, and "24 rows back" is not "24 hours back".
+    "ts_backtest" -> ((s, d) => {
+      val pts = archiveDim(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+      val prev = pts.select(col("attribute_id"),
+        (col("timestamp") + expr("INTERVAL 24 HOURS")).as("timestamp"),
+        col("value").as("forecast"))
+      pts.join(prev, Seq("attribute_id", "timestamp"))
+        .withColumn("__err",
+          abs(expr("cast(floor(value * 1000000) as bigint) - " +
+            "cast(floor(forecast * 1000000) as bigint)")))
+        .groupBy("attribute_id")
+        .agg(count(lit(1)).as("n_scored"), sum(col("__err")).as("__sum"))
+        .withColumn("mae_micro", expr("__sum div n_scored"))
+        .select("attribute_id", "n_scored", "mae_micro")
+        .orderBy("attribute_id")
+    }),
+
+    // Deterministic A/B split comparison (online-experiment analytics):
+    // users hash-assign to arms (stable, re-runnable, no RNG state);
+    // per event type, arm sizes and quantized-integer mean values —
+    // the uplift readout with no float summation anywhere.
+    "a_abtest" -> ((s, d) => {
+      val arm = when(graft.functions.NativeExprs.polyHash(
+        concat(lit("ab:"), col("user_id").cast("string")),
+        TextOps.CharMul, TextOps.P) % 2 === 0, lit("A")).otherwise(lit("B"))
+      Tables.events(s, d)
+        .select(col("event_type"), arm.as("arm"),
+          expr("cast(floor(value * 1000000) as bigint)").as("__v"))
+        .groupBy("event_type", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("__v")).as("__sum"))
+        .withColumn("mean_value_micro", expr("__sum div n"))
+        .select("event_type", "arm", "n", "mean_value_micro")
+        .orderBy("event_type", "arm")
+    }),
+
     // Rank-based winsorization per series (robust-stats clamping before
     // any mean-sensitive downstream): the p5/p95 bounds are the VALUES
     // at exact integer ranks — (5n div 100 + 1)-th smallest/largest
@@ -3589,6 +3633,26 @@ object SparkEntry {
         "FROM __pts " +
         "WINDOW w AS (PARTITION BY attribute_id ORDER BY timestamp ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
         "ORDER BY attribute_id, timestamp"),
+
+    "ts_backtest" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, min(value) AS value FROM archive " +
+        "WHERE value IS NOT NULL GROUP BY attribute_id, timestamp), " +
+        "__prev AS (SELECT attribute_id, timestamp + INTERVAL 24 HOUR AS timestamp, " +
+        "value AS forecast FROM __pts) " +
+        "SELECT p.attribute_id, CAST(count(*) AS BIGINT) AS n_scored, " +
+        "CAST(sum(abs(CAST(floor(p.value * 1000000) AS BIGINT) - " +
+        "CAST(floor(f.forecast * 1000000) AS BIGINT))) AS BIGINT) // CAST(count(*) AS BIGINT) AS mae_micro " +
+        "FROM __pts p JOIN __prev f ON p.attribute_id = f.attribute_id AND p.timestamp = f.timestamp " +
+        "GROUP BY p.attribute_id ORDER BY p.attribute_id"),
+
+    "a_abtest" -> {
+      val h = TextOps.tokenHashSql("'ab:' || CAST(user_id AS VARCHAR)")
+      s"SELECT event_type, CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS arm, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_value_micro " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, arm"
+    },
 
     "ts_rate" ->
       (s"WITH $archiveSqlCte, __pts AS (" +
