@@ -517,6 +517,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"bootstrap lost hash aggregation:\n$p")
   }
 
+  test("PIT join and streaks: as-of never pair-joins; islands are one window, zero joins") {
+    val pit = plan("j_pit")
+    assert(!pit.contains("CartesianProduct") && !pit.contains("BroadcastNestedLoopJoin"),
+      s"j_pit degenerated to an all-pairs join:\n$pit")
+    val st = plan("w11_streaks")
+    assert(!st.contains("Join"), s"w11_streaks grew a join it doesn't need:\n$st")
+  }
+
+  test("backtest joins on the shifted hour (equi), never an interval nested loop") {
+    val p = plan("ts_backtest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ts_backtest degenerated:\n$p")
+    assert(p.contains("HashAggregate"), s"backtest lost hash aggregation:\n$p")
+  }
+
   test("link prediction: wedge/degree/anti joins are all equi-joins, never all-pairs") {
     val p = plan("g_linkpred")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
