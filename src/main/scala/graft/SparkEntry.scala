@@ -2226,6 +2226,50 @@ object SparkEntry {
         .orderBy("replica")
     }),
 
+    // Revenue concentration (the 80/20 readout): the smallest
+    // top-customer set covering >= 80% of revenue. DECIMAL cumsum is
+    // exact and the threshold is cross-multiplied (cum·5 >= total·4),
+    // so no float ever decides the crossing; the window sorts only the
+    // customer dim.
+    "a_pareto" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("o_custkey"))
+      val cum = rev.withColumn("__rank", row_number().over(w))
+        .withColumn("__cum", sum(col("rev")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      cum.crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"),
+          count(lit(1)).as("n_customers"))))
+        .filter(col("__cum") * 5 >= col("total") * 4)
+        .groupBy("n_customers", "total")
+        .agg(min(col("__rank")).as("n_top"),
+          min_by(col("__cum"), col("__rank")).as("top_revenue"))
+        .withColumn("top_share",
+          col("top_revenue").cast("double") / col("total").cast("double"))
+        .select("n_customers", "n_top", "top_revenue", "total", "top_share")
+    }),
+
+    // Measured Bloom false-positive rate: 1000 deterministic probes
+    // guaranteed absent (the 'absent:' prefix cannot tokenize out of
+    // the corpus), FPR = reported-present fraction — the empirical
+    // companion to k_bloom_probe's no-false-negative guarantee, with
+    // the slot occupancy alongside so the theoretical rate is
+    // computable downstream.
+    "k_bloom_fpr" -> ((s, d) => {
+      val bloom = graft.sketch.Sketches.bloomSlots(Tables.documents(s, d), "text", 256)
+      val probes = s.range(0, 1000)
+        .select(concat(lit("absent:"), col("id").cast("string")).as("tok"))
+      graft.sketch.Sketches.bloomContains(bloom, probes, 256)
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("in_bloom"), 1L).otherwise(0L)).as("n_false_pos"))
+        .crossJoin(broadcast(bloom.agg(count(lit(1)).as("n_set"))))
+        .withColumn("m_bits", lit(256))
+        .withColumn("fpr",
+          col("n_false_pos").cast("double") / col("n_probes").cast("double"))
+        .select("m_bits", "n_set", "n_probes", "n_false_pos", "fpr")
+    }),
+
     // Data-quality audit (the Deequ/dbt-test family): completeness,
     // key uniqueness, value range, domain membership, referential
     // integrity, non-emptiness — ONE aggregate pass over the fact table
@@ -4084,6 +4128,37 @@ object SparkEntry {
         "(i.in_bloom OR t.tok IS NULL) AS no_false_negative " +
         "FROM __in i LEFT JOIN __truth t ON i.tok = t.tok ORDER BY i.tok"
     },
+
+    "k_bloom_fpr" -> {
+      val h = TextOps.tokenHashSql("tok")
+      val k = graft.sketch.Sketches.CmsRowParams.size
+      val slotRows = graft.sketch.Sketches.CmsRowParams.map { case (a, b) =>
+        s"SELECT tok, ((h * $a + $b) % ${TextOps.P}) % 256 AS slot FROM __ph"
+      }.mkString(" UNION ALL ")
+      s"WITH __bloom AS (${graft.sketch.Sketches.bloomSlotsSql("documents", "text", 256)}), " +
+        "__probes AS (SELECT 'absent:' || CAST(unnest(range(0, 1000)) AS VARCHAR) AS tok), " +
+        s"__ph AS (SELECT tok, $h AS h FROM __probes), " +
+        s"__slots AS ($slotRows), " +
+        "__in AS (SELECT tok, sum(CASE WHEN b.slot IS NOT NULL THEN 1 ELSE 0 END) = " +
+        s"$k AS in_bloom FROM __slots s LEFT JOIN __bloom b USING (slot) GROUP BY tok), " +
+        "__n AS (SELECT CAST(count(*) AS BIGINT) AS n_set FROM __bloom) " +
+        "SELECT 256 AS m_bits, n.n_set, CAST(count(*) AS BIGINT) AS n_probes, " +
+        "CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos, " +
+        "CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fpr " +
+        "FROM __in CROSS JOIN __n n GROUP BY n.n_set"
+    },
+
+    "a_pareto" ->
+      ("WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT sum(rev) AS total, CAST(count(*) AS BIGINT) AS n_customers FROM rev), " +
+        "c AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk, " +
+        "sum(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum FROM rev) " +
+        "SELECT t.n_customers, CAST(min(c.rnk) AS BIGINT) AS n_top, " +
+        "min_by(c.cum, c.rnk) AS top_revenue, t.total, " +
+        "CAST(min_by(c.cum, c.rnk) AS DOUBLE) / CAST(t.total AS DOUBLE) AS top_share " +
+        "FROM c CROSS JOIN t WHERE c.cum * 5 >= t.total * 4 " +
+        "GROUP BY t.n_customers, t.total"),
 
     "k_hll" -> {
       val hashed = s"SELECT ${TextOps.tokenHashSql("CAST(user_id AS VARCHAR)")} AS h FROM events"
