@@ -2115,6 +2115,21 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Set operators beyond UNION (u1): INTERSECT = users who both
+    // clicked and purchased, EXCEPT = clicked but never purchased —
+    // audience segmentation as set algebra; both are distinct-keyed
+    // shuffles Catalyst plans as aggregates, no joins written by hand.
+    "u2_set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) = ev.filter(col("event_type") === t)
+        .select("user_id").distinct()
+      users("click").intersect(users("purchase"))
+        .withColumn("op", lit("intersect"))
+        .unionByName(users("click").except(users("purchase"))
+          .withColumn("op", lit("except")))
+        .orderBy("op", "user_id")
+    }),
+
     // Longest activity streak per user (gaps-and-islands): consecutive
     // active DAYS group into islands via the day − row_number trick —
     // pure integer arithmetic, two combinable aggregates around one
@@ -4033,6 +4048,14 @@ object SparkEntry {
         "WHEN r_score >= 4 THEN 'recent' WHEN f_score >= 4 THEN 'loyal' " +
         "WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk' ELSE 'regular' END AS segment " +
         "FROM r ORDER BY custkey"),
+
+    "u2_set_ops" ->
+      ("WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') " +
+        "SELECT user_id, 'intersect' AS op FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p) " +
+        "UNION ALL " +
+        "SELECT user_id, 'except' FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p) " +
+        "ORDER BY op, user_id"),
 
     "w11_streaks" ->
       ("WITH __d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
