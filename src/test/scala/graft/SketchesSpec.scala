@@ -186,4 +186,30 @@ class SketchesSpec extends SparkSpec {
     assert(out(("ga", "gc")).getAs[Double]("jaccard_est") === 0.0)
     assert(out(("ga", "gc")).getAs[Double]("true_jaccard") === 0.0)
   }
+
+  test("streaming KMV: installments merge to the whole-corpus sketch; replay is idempotent") {
+    val sess = spark
+    import sess.implicits._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toString
+    val k = 32
+    // three id-sliced installments
+    Seq(0, 1, 2).foreach { i =>
+      graft.streaming.StreamingSketch.kmvBatchStep(spark, dir,
+        "source", "text", 3, k)(docs.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    def est() = graft.streaming.StreamingSketch
+      .kmvCurrent(spark, dir, "source", k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val direct = Sketches.kmvEstimate(
+      Sketches.kmvSketch(docs, "source", "text", 3, k), "source", k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(est() === direct, "merged installments diverge from the direct sketch")
+    // replay batch 1: the sketch is a function of the batch's SET, so
+    // the partition rewrites identically and the merge cannot move
+    graft.streaming.StreamingSketch.kmvBatchStep(spark, dir,
+      "source", "text", 3, k)(docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(est() === direct, "replayed batch changed the merged sketch")
+  }
 }
