@@ -2331,12 +2331,18 @@ object SparkEntry {
     // score windows sort only the CUSTOMER DIM — at 100 TB the fact
     // scan collapses to |customers| rows before anything global sorts;
     // the reference date is a broadcast scalar, never a driver collect.
+    // Monetary is integer CENTS (floor(price*100) — identical IEEE
+    // double arithmetic in both engines, the a_abtest micro-unit
+    // pattern): a double→DECIMAL cast here rounds the shortest decimal
+    // repr HALF_UP in Spark but the exact binary value in DuckDB, and
+    // comparator decimal canonicalization differs across harnesses.
     "a_rfm" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val per = o.groupBy(col("o_custkey").as("custkey"))
         .agg(max(col("o_orderdate")).as("__last"),
           count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+          sum(expr("cast(floor(o_totalprice * 100) as bigint)"))
+            .as("monetary_cents"))
       val ref = o.agg(max(col("o_orderdate")).as("__ref"),
         countDistinct(col("o_custkey")).as("__n"))
       val w = org.apache.spark.sql.expressions.Window
@@ -2349,7 +2355,7 @@ object SparkEntry {
         .withColumn("__fr", row_number().over(
           w.orderBy(col("frequency").asc, col("custkey").asc)))
         .withColumn("__mr", row_number().over(
-          w.orderBy(col("monetary").asc, col("custkey").asc)))
+          w.orderBy(col("monetary_cents").asc, col("custkey").asc)))
         .withColumn("r_score", expr("1 + (5 * (cast(__rr as bigint) - 1)) div __n"))
         .withColumn("f_score", expr("1 + (5 * (cast(__fr as bigint) - 1)) div __n"))
         .withColumn("m_score", expr("1 + (5 * (cast(__mr as bigint) - 1)) div __n"))
@@ -2359,7 +2365,7 @@ object SparkEntry {
             .when(col("f_score") >= 4, lit("loyal"))
             .when(col("r_score") <= 2 && col("f_score") <= 2, lit("at_risk"))
             .otherwise(lit("regular")))
-        .select("custkey", "recency_days", "frequency", "monetary",
+        .select("custkey", "recency_days", "frequency", "monetary_cents",
           "r_score", "f_score", "m_score", "segment")
         .orderBy("custkey")
     }),
@@ -4033,17 +4039,17 @@ object SparkEntry {
 
     "a_rfm" ->
       ("WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o, " +
-        "count(*) AS frequency, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary " +
+        "count(*) AS frequency, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary_cents " +
         "FROM orders GROUP BY 1), " +
         "ref AS (SELECT max(o_orderdate) AS ref_d, " +
         "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders), " +
         "b AS (SELECT custkey, (epoch_us(ref_d) - epoch_us(last_o)) // 86400000000 AS recency_days, " +
-        "frequency, monetary, n FROM per CROSS JOIN ref), " +
+        "frequency, monetary_cents, n FROM per CROSS JOIN ref), " +
         "r AS (SELECT *, " +
         "1 + (5 * (row_number() OVER (ORDER BY recency_days DESC, custkey DESC) - 1)) // n AS r_score, " +
         "1 + (5 * (row_number() OVER (ORDER BY frequency ASC, custkey ASC) - 1)) // n AS f_score, " +
-        "1 + (5 * (row_number() OVER (ORDER BY monetary ASC, custkey ASC) - 1)) // n AS m_score FROM b) " +
-        "SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score, " +
+        "1 + (5 * (row_number() OVER (ORDER BY monetary_cents ASC, custkey ASC) - 1)) // n AS m_score FROM b) " +
+        "SELECT custkey, recency_days, frequency, monetary_cents, r_score, f_score, m_score, " +
         "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion' " +
         "WHEN r_score >= 4 THEN 'recent' WHEN f_score >= 4 THEN 'loyal' " +
         "WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk' ELSE 'regular' END AS segment " +

@@ -357,7 +357,11 @@ object GraphOps {
     * plus a SCALAR max cross-joined back — broadcast, never collected.
     * Overflow headroom: raw sums are ≤ 10^6·maxdeg and the rescale
     * multiplies by 10^6, so maxdeg must stay < ~9·10^6 — comfortably
-    * true for any graph whose state fits a broadcast anyway. */
+    * true for any graph whose state fits a broadcast anyway. The bound
+    * is ENFORCED (one combinable degree count over the checkpointed
+    * edge list): a denser graph fails loudly here instead of silently
+    * wrapping the rescale under non-ANSI arithmetic and corrupting the
+    * hub/authority ranking. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 2, broadcastState: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
@@ -367,6 +371,15 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(false) // reused by every half-step
+    // loud guard for the documented headroom: (in+out) degree bounds
+    // both half-steps' fan-in, so max over the union is conservative
+    val maxDeg = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .groupBy("id").count()
+      .agg(coalesce(max("count"), lit(0L))).first().getLong(0)
+    require(maxDeg < 9000000L,
+      s"hits() integer rescale overflows BIGINT beyond max degree ~9e6; " +
+        s"this graph's max (in+out) degree is $maxDeg")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(false)

@@ -96,20 +96,41 @@ object StreamingAttribution {
         lit(0).cast("int").as("k"), lit(0L).as("batch_id")).limit(0)
   }
 
-  /** Table maintenance: fold the batch_id partitions into ONE row per
-    * user (the global latest click), bucketed by user_id — registry
-    * size becomes |users| regardless of click history, and user-keyed
-    * reads of the compacted base need no exchange. The base carries
-    * batch_id = -1 so post-compaction steps' strictly-earlier read
-    * always includes it; compact only batches BELOW the checkpoint
-    * frontier, or a replayed batch would see its own clicks through
-    * the base (the same frontier caveat as the dedup registries). */
-  def compactRegistry(spark: SparkSession, registryDir: String, path: String,
-      tableName: String, buckets: Int = 32): DataFrame = {
+  /** Table maintenance, IN PLACE: fold every `batch_id < upToBatchId`
+    * partition (including a previous compaction's base) into ONE row
+    * per user — the global latest click — written back as the REAL
+    * partition `batch_id=-1` under `registryDir`, and delete the folded
+    * partitions. Because the base is a partition of the same directory
+    * [[batchStep]] already scans, its strictly-earlier read
+    * (`batch_id < current`) includes it with no extra wiring, and
+    * pruning the folded history is safe by construction (the fold IS
+    * the prune). Registry size becomes |users| + post-compaction
+    * batches regardless of click history.
+    *
+    * `upToBatchId` must be at or below the checkpoint frontier: a
+    * batch that may still replay must keep its own partition, or the
+    * replay would see its own clicks through the base (the same
+    * frontier caveat as the dedup registries). The fold is staged in a
+    * dot-prefixed directory (invisible to partition discovery) and
+    * swapped in only after the folded partitions are removed, so a
+    * concurrent reader never sees a user twice. */
+  def compactRegistry(spark: SparkSession, registryDir: String,
+      upToBatchId: Long): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = latestPerUser(
-      readRegistry(spark, registryDir).select("user_id", "ts", "event_id", "k"))
-      .withColumn("batch_id", lit(-1L))
-    Relational.materializeBucketed(latest, path, tableName, "user_id", buckets)
+      readRegistry(spark, registryDir).filter(col("batch_id") < upToBatchId)
+        .select("user_id", "ts", "event_id", "k"))
+    val staging = new org.apache.hadoop.fs.Path(dirPath, ".compact-staging")
+    latest.write.mode("overwrite").parquet(staging.toString)
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          n.stripPrefix("batch_id=").toLong < upToBatchId)
+        fs.delete(st.getPath, true)
+    }
+    fs.rename(staging, new org.apache.hadoop.fs.Path(dirPath, "batch_id=-1"))
+    ()
   }
 
   /** Continuous form: foreachBatch over the registry table. */

@@ -34,25 +34,30 @@ object StreamingSketch {
   }
 
   /** The registry across all batches (empty with the right columns when
-    * nothing has been written yet). */
-  def readRegistry(spark: SparkSession, dir: String, groupCol: String): DataFrame = {
+    * nothing has been written yet). `groupType` is the group column's
+    * DDL type for the not-yet-written fallback — the schema after the
+    * first batch is whatever the source's group column is, so the empty
+    * frame must not assume string. */
+  def readRegistry(spark: SparkSession, dir: String, groupCol: String,
+      groupType: String = "string"): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.listStatus(path).nonEmpty)
       spark.read.option("basePath", dir).parquet(dir)
     else
-      spark.range(0).select(lit("").as(groupCol), lit(0L).as("h"),
-        lit(0L).as("batch_id")).limit(0)
+      spark.range(0).select(lit(null).cast(groupType).as(groupCol),
+        lit(0L).as("h"), lit(0L).as("batch_id")).limit(0)
   }
 
   /** The corpus-so-far sketch + distinct estimates: merge every batch's
     * sketch (union, keep k smallest per group) and apply the standard
     * (k−1)·P/h_k estimator. Catalog-sized input by construction. */
   def kmvCurrent(spark: SparkSession, registryDir: String,
-      groupCol: String, k: Int): DataFrame =
+      groupCol: String, k: Int, groupType: String = "string"): DataFrame =
     Sketches.kmvEstimate(
       Sketches.kmvMerge(
-        readRegistry(spark, registryDir, groupCol).select(col(groupCol), col("h")),
+        readRegistry(spark, registryDir, groupCol, groupType)
+          .select(col(groupCol), col("h")),
         groupCol, k),
       groupCol, k)
 

@@ -393,6 +393,18 @@ class RobustnessSpec extends SparkSpec {
       "unreachable graph should be all-NULL distances")
   }
 
+  test("hits: a graph past the integer-rescale degree headroom fails loudly") {
+    // 9,000,001 in-edges on one node: past the documented ~9e6 bound the
+    // rescale would wrap BIGINT under non-ANSI arithmetic and silently
+    // corrupt rankings — the guard must reject it instead
+    val star = spark.range(1L, 9000002L)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.hits(star, "src", "dst", iters = 1)
+    }
+    assert(ex.getMessage.contains("max degree"))
+  }
+
   test("KMV: empty corpus and tokenless groups produce no sketch rows, never fail") {
     val sess = spark
     import sess.implicits._

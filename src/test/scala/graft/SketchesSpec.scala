@@ -212,4 +212,28 @@ class SketchesSpec extends SparkSpec {
       "source", "text", 3, k)(docs.filter(col("doc_id") % 3 === 1), 1L)
     assert(est() === direct, "replayed batch changed the merged sketch")
   }
+
+  test("streaming KMV: empty registry honors a non-string group type") {
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_kmv_empty").toString
+    // bigint group column: the fallback schema must match what the first
+    // batch would write, not assume string
+    val cur = graft.streaming.StreamingSketch
+      .kmvCurrent(spark, s"$empty/none", "grp", 16, groupType = "bigint")
+    assert(cur.schema("grp").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(cur.count() === 0)
+    // and a real bigint-grouped batch round-trips through the registry
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, 10L, "a b c"), (2L, 10L, "c d e"), (3L, 20L, "x y z"))
+      .toDF("doc_id", "grp", "text")
+    graft.streaming.StreamingSketch.kmvBatchStep(spark, s"$empty/reg",
+      "grp", "text", 2, 16)(df, 0L)
+    val est = graft.streaming.StreamingSketch
+      .kmvCurrent(spark, s"$empty/reg", "grp", 16, groupType = "bigint")
+    assert(est.schema("grp").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(est.count() === 2)
+  }
 }
