@@ -943,6 +943,34 @@ object SparkEntry {
         .orderBy("user_id", "event_id", "incident_id")
     }),
 
+    // Interval-overlap join (the third temporal join after as-of and
+    // point-in-range): per-user click sessions × error-burst windows
+    // that OVERLAP — "was the user mid-session while errors fired".
+    // Both interval sets come from gap sessionization; the join is the
+    // grid-cell equi-join with first-shared-cell emission, never a
+    // key-equi join with a range residual (a hot user would degenerate
+    // to sessions × bursts pair generation).
+    "o_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def sessions(tpe: String, gap: String, pfx: String) = ev
+        .filter(col("event_type") === tpe)
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("user_id"), col("w.start").as(s"${pfx}_start"),
+          col("w.end").as(s"${pfx}_end"))
+      Relational.intervalOverlapJoin(
+          sessions("click", "2 hours", "click"),
+          sessions("error", "1 hour", "err"), "user_id",
+          "click_start", "click_end", "err_start", "err_end",
+          bucketSeconds = 6 * 3600L)
+        .withColumn("overlap_us",
+          expr("unix_micros(cast(least(click_end, err_end) as timestamp)) - " +
+            "unix_micros(cast(greatest(click_start, err_start) as timestamp))"))
+        .select("user_id", "click_start", "click_end",
+          "err_start", "err_end", "overlap_us")
+        .orderBy("user_id", "click_start", "err_start")
+    }),
+
     // Corpus-mixture control: deterministic salted-hash downsampling to
     // per-source target rates, with the realized mixture as the output.
     "pipe_mixture_sample" -> ((s, d) =>
@@ -1279,6 +1307,28 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.clustersStar(docs.select("doc_id"),
         Dedup.minhashLshCandidates(docs, "doc_id", "text", 3), "doc_id")
+        .orderBy("id")
+    }),
+
+    // Entity resolution, stage 1 — blocked pairwise matching over the
+    // part catalog: candidates share a (brand, type) block (the ONLY
+    // pair generator — Σ block² / 2, never |parts|²), scored by
+    // codegen'd levenshtein with an integer similarity percent. The
+    // record-linkage face of near-dup detection, for structured
+    // catalogs rather than documents.
+    "er_match" -> ((s, d) =>
+      graft.er.EntityResolution.matchPairs(Tables.part(s, d),
+          "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Entity resolution, stage 2 — matched records collapse to
+    // entities via connected components (d_cluster's label-prop engine
+    // on the match graph); unmatched records are their own entity.
+    "er_entities" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      graft.er.EntityResolution.entities(p, "p_partkey",
+          graft.er.EntityResolution.matchPairs(p, "p_partkey", "p_name",
+            Seq("p_brand", "p_type"), maxDist = 3))
         .orderBy("id")
     }),
 
@@ -2147,6 +2197,28 @@ object SparkEntry {
         .agg(max(col("__len")).as("longest_streak"),
           count(lit(1)).as("n_streaks"))
         .orderBy("user_id")
+    }),
+
+    // Rolling 7-day active users (trailing-window distinct count — the
+    // DAU/WAU dashboard primitive). Neither engine supports COUNT
+    // DISTINCT in a window frame, so the exact form is a BOUNDED
+    // expansion: each distinct (user, day) pair registers in the ≤ 7
+    // window-end days it can serve (explode of a 7-long sequence —
+    // 7× the distinct-pair volume, independent of raw event count),
+    // then one distinct + combinable count per window day. Window days
+    // are clamped to days that actually occur (left-semi with the
+    // catalog-sized day set), so no phantom trailing windows appear.
+    "w12_rolling_active" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .distinct()
+      val days = du.select("day").distinct()
+      du.withColumn("wday", explode(expr("sequence(day, day + 6)")))
+        .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+        .select("wday", "user_id").distinct()
+        .groupBy("wday").agg(count(lit(1)).as("active_users"))
+        .orderBy("wday")
     }),
 
     // Cohort retention matrix: users bucketed by first-activity week,
@@ -3342,6 +3414,25 @@ object SparkEntry {
         "AND c.ts >= i.win_start AND c.ts <= i.win_end " +
         "ORDER BY c.user_id, c.event_id, i.incident_id"),
 
+    "o_interval_overlap" ->
+      ("WITH co AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts " +
+        "FROM events WHERE event_type = 'click'), " +
+        "cs AS (SELECT user_id, ts, sum(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 2 HOUR THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM co), " +
+        "c AS (SELECT user_id, min(ts) AS click_start, max(ts) + INTERVAL 2 HOUR AS click_end " +
+        "FROM cs GROUP BY user_id, sid), " +
+        "eo AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts " +
+        "FROM events WHERE event_type = 'error'), " +
+        "es AS (SELECT user_id, ts, sum(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 1 HOUR THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM eo), " +
+        "e AS (SELECT user_id, min(ts) AS err_start, max(ts) + INTERVAL 1 HOUR AS err_end " +
+        "FROM es GROUP BY user_id, sid) " +
+        "SELECT c.user_id, click_start, click_end, err_start, err_end, " +
+        "epoch_us(least(click_end, err_end)) - epoch_us(greatest(click_start, err_start)) AS overlap_us " +
+        "FROM c JOIN e ON c.user_id = e.user_id " +
+        "AND click_start <= err_end AND err_start <= click_end " +
+        "ORDER BY c.user_id, click_start, err_start"),
+
     "pipe_mixture_sample" ->
       (s"SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         s"FROM documents WHERE ${TextOps.mixtureKeepSql("doc_id", "source", MixtureRates)} " +
@@ -3559,6 +3650,17 @@ object SparkEntry {
         "UNION " +
         "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
         "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
+
+    "er_match" ->
+      (s"SELECT * FROM (${graft.er.EntityResolution.matchPairsSql(
+        "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)}) " +
+        "ORDER BY id_a, id_b"),
+
+    "er_entities" ->
+      (graft.er.EntityResolution.entitiesSql("part", "p_partkey",
+        graft.er.EntityResolution.matchPairsSql(
+          "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)) +
+        " ORDER BY id"),
 
     "a_rollup" ->
       ("SELECT source, lang, count(*) AS n_docs, max(n_chars) AS max_chars " +
@@ -4070,6 +4172,14 @@ object SparkEntry {
         "__s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM __g GROUP BY user_id, grp) " +
         "SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks " +
         "FROM __s GROUP BY user_id ORDER BY user_id"),
+
+    "w12_rolling_active" ->
+      ("WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "days AS (SELECT DISTINCT day FROM du), " +
+        "cov AS (SELECT DISTINCT d.day AS wday, u.user_id FROM days d " +
+        "JOIN du u ON u.day BETWEEN d.day - 6 AND d.day) " +
+        "SELECT wday, CAST(count(*) AS BIGINT) AS active_users " +
+        "FROM cov GROUP BY wday ORDER BY wday"),
 
     "w9_attribution" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), " +

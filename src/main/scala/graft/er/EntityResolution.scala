@@ -1,0 +1,119 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Entity resolution (record linkage) over structured records: the
+  * blocking → pairwise-scoring → clustering pipeline of Fellegi–Sunter
+  * style dedup systems (Dedupe, Zingg, Splink), re-expressed as three
+  * declarative Spark stages.
+  *
+  *  - BLOCKING is an equi-self-join on a compound block key — the only
+  *    candidate generator, so pair volume is Σ_b |block_b|² / 2, never
+  *    |records|². The block key is the scale lever: at 100 TB you widen
+  *    it (more columns, finer buckets) until blocks are small, and
+  *    [[candidatePairs]]' `maxBlock` drops pathological blocks outright
+  *    (the `maxDf` discipline of the Jaccard pair generators — a block
+  *    too big to score pairwise is by definition not discriminating).
+  *  - SCORING is `levenshtein` — codegen'd in Spark, identical classic
+  *    edit-distance semantics in the DuckDB twin — plus an integer
+  *    similarity percent, so no float comparison exists to diverge.
+  *  - ENTITIES is connected components over the match pairs
+  *    ([[Dedup.clusters]]' label propagation): matched records collapse
+  *    to the min-id canonical record of their component.
+  *
+  * Part of the beyond-reference curation surface (like the dedup and
+  * ANN families): the structured-record face of near-duplicate
+  * detection, for catalogs and metadata tables rather than documents.
+  */
+object EntityResolution {
+
+  /** Candidate pairs via blocking: records sharing EVERY `blockCols`
+    * value meet; each unordered pair emits once (`id_a < id_b`).
+    * Records with a NULL in any block column never pair (a NULL key is
+    * not evidence of sameness). `maxBlock` drops blocks larger than the
+    * cap BEFORE the self-join — the skew lever that keeps the join's
+    * per-key fanout bounded. */
+  def candidatePairs(records: DataFrame, idCol: String,
+      blockCols: Seq[String], maxBlock: Option[Int] = None): DataFrame = {
+    require(blockCols.nonEmpty, "blocking needs at least one column")
+    val base0 = records
+      .select(col(idCol).as("__id") +: blockCols.map(col): _*)
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+    val base = maxBlock match {
+      case Some(cap) =>
+        // block sizes are one combinable groupBy, catalog-shaped in the
+        // block key; the cap filter is a broadcast-able semi structure
+        val sizes = base0.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap)
+          .drop("__bn")
+        base0.join(broadcast(sizes), blockCols, "left_semi")
+      case None => base0
+    }
+    base.as("a").join(base.as("b"),
+        blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+  }
+
+  /** Blocked pairwise matching: candidate pairs whose `nameCol` edit
+    * distance is ≤ `maxDist`, with names, the distance, and an integer
+    * similarity percent (100 − 100·dist div max-length — exact integer
+    * arithmetic, no float similarity to diverge between engines). */
+  def matchPairs(records: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int,
+      maxBlock: Option[Int] = None): DataFrame = {
+    val names = records.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
+    candidatePairs(records, idCol, blockCols, maxBlock)
+      .join(names.select(col("__id").as("id_a"), col("__nm").as("name_a")), Seq("id_a"))
+      .join(names.select(col("__id").as("id_b"), col("__nm").as("name_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("sim_pct",
+        (lit(100L) - expr("(100 * cast(dist as bigint)) div " +
+          "greatest(length(name_a), length(name_b))")).cast("bigint"))
+      .select("id_a", "id_b", "name_a", "name_b", "dist", "sim_pct")
+  }
+
+  /** Resolved entities: connected components over the match pairs —
+    * every record labeled with the min record id of its match component
+    * (itself when unmatched). Label propagation runs only on the
+    * matched subgraph; the full record set joins back once. */
+  def entities(records: DataFrame, idCol: String, matches: DataFrame): DataFrame =
+    Dedup.clusters(records.select(idCol), matches, idCol)
+      .withColumnRenamed("cluster", "entity")
+
+  // ---- oracle twins -------------------------------------------------------
+
+  /** SQL twin of [[matchPairs]] (no block cap — the cap is a scale
+    * lever, exercised by spec, not semantics). */
+  def matchPairsSql(table: String, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int): String = {
+    val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    val notNull = blockCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    s"""WITH __r AS (SELECT $idCol AS id, $nameCol AS nm, ${blockCols.mkString(", ")}
+       |             FROM $table WHERE $notNull),
+       |__p AS (SELECT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b,
+       |               CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+       |        FROM __r a JOIN __r b ON $blockEq AND a.id < b.id)
+       |SELECT id_a, id_b, name_a, name_b, dist,
+       |       CAST(100 - (100 * CAST(dist AS BIGINT)) // greatest(length(name_a), length(name_b)) AS BIGINT) AS sim_pct
+       |FROM __p WHERE dist <= $maxDist""".stripMargin
+  }
+
+  /** SQL twin of [[entities]]: recursive reachability over the
+    * symmetric closure of the match pairs, min-id label per record —
+    * the d_cluster oracle shape seeded from `table`. */
+  def entitiesSql(table: String, idCol: String, pairsSql: String): String =
+    s"""WITH RECURSIVE __pairs AS ($pairsSql),
+       |__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs
+       |          UNION ALL SELECT id_b, id_a FROM __pairs),
+       |__reach(src, dst) AS (
+       |  SELECT $idCol, $idCol FROM $table
+       |  UNION
+       |  SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src)
+       |SELECT src AS id, min(dst) AS entity FROM __reach GROUP BY src""".stripMargin
+}

@@ -295,6 +295,41 @@ object Relational {
       .drop("__cell")
   }
 
+  /** Interval-overlap join — match left intervals to right intervals
+    * that OVERLAP them under the same key (`l_start <= r_end AND
+    * r_start <= l_end`, inclusive like BETWEEN): the third temporal
+    * join Spark has no operator for, completing [[asofJoin]]
+    * (point→latest point) and [[rangeJoin]] (point→containing
+    * interval). The segment-alignment primitive: sessions × incident
+    * windows, speech turns × video scenes, maintenance windows ×
+    * sensor outages.
+    *
+    * Scale shape: same grid trick as [[rangeJoin]], but since BOTH
+    * sides are intervals a pair can now share MANY cells — instead of
+    * a dedup pass, a pair is emitted only in the FIRST shared cell of
+    * its overlap (`cell = max(cell(l_start), cell(r_start))`, well
+    * defined because an overlap is contiguous in cell space), so each
+    * qualifying pair materializes exactly once and the join stays a
+    * pure (key, cell) equi-join with post-filters. Inverted intervals
+    * (end < start) match nothing on either side. Left and right must
+    * not share data column names (select/alias before joining). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+      lStartCol: String, lEndCol: String, rStartCol: String, rEndCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val b = bucketSeconds * 1000000L
+    def cellOf(c: Column) = floor(unix_micros(c.cast("timestamp")) / b).cast("long")
+    def cells(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) >= col(s))
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(s)), cellOf(col(e)), lit(1L))))
+    cells(left, lStartCol, lEndCol)
+      .join(cells(right, rStartCol, rEndCol), Seq(key, "__cell"))
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      .filter(col("__cell") ===
+        greatest(cellOf(col(lStartCol)), cellOf(col(rStartCol))))
+      .drop("__cell")
+  }
+
   /** Materialize a frame bucketed+sorted by its join key — the layout
     * that lets two big fact tables join with NO shuffle exchange on
     * either side (co-located sort-merge join), the 100 TB alternative

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.er.EntityResolution
+
+/** Entity resolution: blocking must generate exactly the
+  * same-block pairs (and nothing across blocks or through NULLs),
+  * matching must equal the brute-force pairwise scorer within a block,
+  * the block cap must drop oversized blocks only, and components must
+  * collapse transitive matches to the min-id entity. */
+class EntityResolutionSpec extends SparkSpec {
+
+  private def recs = {
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      // one block: three near-identical names + one far name
+      (1L, "acme corp", "b1", "t1"),
+      (2L, "acme corp.", "b1", "t1"),   // dist 1 to #1
+      (3L, "acme company", "b1", "t1"), // dist 4 to #1, 4 to #2, transitive via none
+      (4L, "zzz unrelated", "b1", "t1"),
+      // different block, name identical to #1: must NOT pair across blocks
+      (5L, "acme corp", "b2", "t1"),
+      (6L, "acme korp", "b2", "t1"),    // dist 1 to #5
+      // NULL block column: never a candidate
+      (7L, "acme corp", null.asInstanceOf[String], "t1")
+    ).toDF("id", "name", "blk", "typ")
+  }
+
+  test("candidate pairs: same-block only, emitted once, NULL keys never pair") {
+    val pairs = EntityResolution.candidatePairs(recs, "id", Seq("blk", "typ"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L)))
+  }
+
+  test("matchPairs equals the brute-force in-block scorer; integer sim") {
+    val got = EntityResolution.matchPairs(recs, "id", "name",
+      Seq("blk", "typ"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4), r.getLong(5)))
+      .toSet
+    // brute force over the same blocks
+    val rows = recs.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)), r.getString(3)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._3.isDefined && a._3 == b._3 && a._4 == b._4
+      dist = lev(a._2, b._2) if dist <= 2
+    } yield (a._1, b._1, dist,
+      100L - (100L * dist) / math.max(a._2.length, b._2.length))).toSet
+    assert(got === want)
+    // the crafted expectation, spelled out: 1≈2 and 5≈6 match, 3 does not
+    assert(got.map(t => (t._1, t._2)) === Set((1L, 2L), (5L, 6L)))
+  }
+
+  test("maxBlock drops oversized blocks, leaves the rest untouched") {
+    // block (b1,t1) has 4 records, (b2,t1) has 2
+    val capped = EntityResolution.candidatePairs(recs, "id",
+      Seq("blk", "typ"), maxBlock = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((5L, 6L)))
+  }
+
+  test("entities: transitive matches collapse to the min id; singletons stand alone") {
+    val sess = spark
+    import sess.implicits._
+    // chain 1-2, 2-3 (via a generous maxDist) must merge all three
+    val chain = Seq(
+      (1L, "aaaa", "b", "t"), (2L, "aaab", "b", "t"), (3L, "aabb", "b", "t"),
+      (9L, "zzzz", "b", "t"))
+      .toDF("id", "name", "blk", "typ")
+    val ents = EntityResolution.entities(chain, "id",
+      EntityResolution.matchPairs(chain, "id", "name", Seq("blk", "typ"), 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2 dist 1, 2-3 dist 1, 1-3 dist 2 (> maxDist) — transitivity closes it
+    assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("er_match plan: blocking is an equi-join, never a cartesian product") {
+    val p = SparkEntry.queries("er_match")(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"er_match degenerated to all-pairs:\n$p")
+  }
+}

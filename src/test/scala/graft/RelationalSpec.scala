@@ -68,6 +68,60 @@ class RelationalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("intervalOverlapJoin: inclusive overlap, exactly-once pairs, inverted intervals drop") {
+    val sess = spark
+    import sess.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1, t("2024-01-01 00:00:00"), t("2024-01-01 10:00:00"), 10),
+      (1, t("2024-01-02 00:00:00"), t("2024-01-02 01:00:00"), 11),
+      (1, t("2024-01-03 05:00:00"), t("2024-01-03 04:00:00"), 12) // inverted
+    ).toDF("user_id", "l_start", "l_end", "lid")
+    val right = Seq(
+      (1, t("2024-01-01 09:00:00"), t("2024-01-01 12:00:00"), 20), // overlaps 10
+      (1, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), 21), // touches 10's end (inclusive)
+      (1, t("2024-01-01 10:00:01"), t("2024-01-01 11:00:00"), 22), // just past
+      (2, t("2024-01-01 05:00:00"), t("2024-01-01 06:00:00"), 23), // other key
+      (1, t("2024-01-03 00:00:00"), t("2024-01-03 23:00:00"), 24)  // only meets inverted
+    ).toDF("user_id", "r_start", "r_end", "rid")
+    // 1h cells: the long left interval spans 11 cells, overlapping pairs
+    // share several — each must still emit exactly once
+    val out = Relational.intervalOverlapJoin(left, right, "user_id",
+      "l_start", "l_end", "r_start", "r_end", bucketSeconds = 3600L)
+    val pairs = out.select("lid", "rid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(pairs === Seq((10, 20), (10, 21)))
+    assert(out.count() === out.select("lid", "rid").distinct().count())
+  }
+
+  test("intervalOverlapJoin matches brute force; result invariant to bucket size") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def mk(n: Int, off: Int) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(200000) * 1000L
+      (rnd.nextInt(4), new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + rnd.nextInt(30000) * 1000L), off + i)
+    }
+    val l = mk(60, 0)
+    val r = mk(60, 1000)
+    val want = (for {
+      (lk, ls, le, lid) <- l
+      (rk, rs, re, rid) <- r
+      if lk == rk && !ls.after(re) && !rs.after(le)
+    } yield (lid, rid)).sorted
+    for (bucket <- Seq(600L, 3600L, 86400L)) {
+      val got = Relational.intervalOverlapJoin(
+        l.toDF("k", "l_start", "l_end", "lid"),
+        r.toDF("k", "r_start", "r_end", "rid"),
+        "k", "l_start", "l_end", "r_start", "r_end", bucketSeconds = bucket)
+        .select("lid", "rid").collect()
+        .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+      assert(got === want, s"bucketSeconds=$bucket diverged from brute force")
+    }
+  }
+
   test("dedupFirst keeps exactly one row per key, deterministically") {
     val sess = spark
     import sess.implicits._
