@@ -971,6 +971,14 @@ object SparkEntry {
         .orderBy("user_id", "click_start", "err_start")
     }),
 
+    // Systematic PPS sampling: every step-th point of the cumulative
+    // token-weight axis — weight-proportional selection with zero
+    // random state, cum-sums via the two-level prefix sum (only the
+    // catalog-sized group table ever sorts globally).
+    "pipe_pps_sample" -> ((s, d) =>
+      TextOps.ppsSample(Tables.documents(s, d), "doc_id", "text", n = 150)
+        .orderBy("doc_id")),
+
     // Corpus-mixture control: deterministic salted-hash downsampling to
     // per-source target rates, with the realized mixture as the output.
     "pipe_mixture_sample" -> ((s, d) =>
@@ -1037,6 +1045,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
+
+    // Top principal component via integer power iteration: the
+    // dominant direction of the embedding corpus without materializing
+    // the covariance — each round is xᵀ(x·v) as two combinable
+    // aggregates, exact integer carries end to end (no float-sum order
+    // to diverge at any scale or partitioning).
+    "s_pca_power" -> ((s, d) =>
+      Similarity.pcaTopComponent(Tables.embeddings(s, d), dim = 64, iters = 3)
+        .orderBy("dim_idx")),
 
     // Filtered vector search: each query's top-k among ONLY vectors
     // sharing its label — the tenant/category gate. The metadata
@@ -3433,6 +3450,10 @@ object SparkEntry {
         "AND click_start <= err_end AND err_start <= click_end " +
         "ORDER BY c.user_id, click_start, err_start"),
 
+    "pipe_pps_sample" ->
+      (TextOps.ppsSampleSql("documents", "doc_id", "text", 150) +
+        " ORDER BY doc_id"),
+
     "pipe_mixture_sample" ->
       (s"SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         s"FROM documents WHERE ${TextOps.mixtureKeepSql("doc_id", "source", MixtureRates)} " +
@@ -3483,6 +3504,10 @@ object SparkEntry {
       Similarity.semDedupAutoSql("embeddings", 64, targetBucket = 40),
 
     "s_knn_brute" -> BruteKnnSql,
+
+    "s_pca_power" ->
+      (graft.sim.Similarity.pcaTopComponentSql("embeddings", dim = 64, iters = 3) +
+        " ORDER BY dim_idx"),
 
     "s_knn_filtered" ->
       Similarity.filteredTopKSql("embeddings", "vec_id < 5", k = 10, dim = 64,

@@ -2008,4 +2008,100 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Top principal component of the embedding corpus via POWER
+    * ITERATION, in integer micro-units end to end — the dominant
+    * direction of an embedding table (drift monitoring, projection
+    * pruning, whitening prep), computed without ever materializing the
+    * d×d covariance: each round is xᵀ(x·v) — one row-keyed dot product
+    * and one dim-keyed weighted sum, both plain combinable aggregates.
+    *
+    * Determinism: floats quantize once (`floor(x·10⁶)`), means and all
+    * carries are integers, per-round rescale is `(w·10⁶) div max|w|`
+    * (truncation — Spark `div` and DuckDB `//` agree), and sums
+    * accumulate exactly (DECIMAL(38,0) here, HUGEINT in the twin) so no
+    * float-order or overflow divergence exists at ANY corpus size — a
+    * float power iteration sums doubles in engine order and is not
+    * reproducible across engines or partitionings. Sign is fixed by
+    * convention (the largest-|v| entry, ties to smallest index, is
+    * positive). `iters` rounds are exact by construction, converged or
+    * not — the twin runs the identical recurrence.
+    *
+    * Scale shape: the quantized matrix is long-format (n·d rows), the
+    * per-round shuffles are one groupBy(id) and one groupBy(j) — both
+    * map-side combinable; v and the means are dim-sized broadcasts;
+    * nothing is ever pairwise in rows or dims. */
+  def pcaTopComponent(vectors: DataFrame, dim: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1 && iters <= 8, s"unrolled iters must be in [1,8], got $iters")
+    val spark = vectors.sparkSession
+    val x = vectors
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("__p", "__xv")))
+      .select(col("__id"), (col("__p") + 1).cast("long").as("j"),
+        expr("cast(floor(cast(__xv as double) * 1000000) as bigint)").as("xq"))
+    // integer-centered columns: m_j = sum div n (truncation, like the twin)
+    val m = x.groupBy("j")
+      .agg(sum(col("xq").cast(DecimalType(38, 0))).as("__s"), count(lit(1)).as("__n"))
+      .select(col("j"), expr("cast(__s div __n as bigint)").as("mj"))
+    val c = x.join(broadcast(m), Seq("j"))
+      .select(col("__id"), col("j"), (col("xq") - col("mj")).as("cq"))
+      .localCheckpoint(false) // reused by every round
+    var v = spark.range(1, dim + 1)
+      .select(col("id").as("j"), lit(1000000L).as("vj"))
+    for (_ <- 1 to iters) {
+      // s_r = (c_r · v) div 10⁶  — products fit a long (|c| ≤ 2·10⁶,
+      // |v| ≤ 10⁶), the row sum is exact decimal
+      val s = c.join(broadcast(v), Seq("j"))
+        .groupBy("__id")
+        .agg(sum((col("cq") * col("vj")).cast(DecimalType(38, 0))).as("__sr"))
+        .select(col("__id"), expr("cast(__sr div 1000000 as bigint)").as("sr"))
+      // w_j = Σ_r c_rj · s_r  — exact decimal sum, then rescale to 10⁶
+      val w = c.join(s, Seq("__id"))
+        .groupBy("j")
+        .agg(sum((col("cq") * col("sr")).cast(DecimalType(38, 0))).as("wj"))
+      val mx = w.agg(max(abs(col("wj"))).as("__m"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("j"),
+          expr("cast((wj * 1000000) div nullif(__m, 0) as bigint)").as("vj"))
+        .localCheckpoint(false) // cut the per-round lineage
+    }
+    // sign convention via one struct-max: (|v|, -j) picks the canonical
+    // entry deterministically; a zero vector keeps sign +1
+    val sgn = v.agg(max(struct(abs(col("vj")).as("a"), (-col("j")).as("nj"),
+        col("vj").as("vv"))).as("m"))
+      .select(when(expr("sign(m.vv)") === 0, lit(1L))
+        .otherwise(expr("cast(sign(m.vv) as bigint)")).as("sgn"))
+    v.crossJoin(broadcast(sgn))
+      .select(col("j").as("dim_idx"), (col("vj") * col("sgn")).as("component"))
+  }
+
+  /** Oracle twin of [[pcaTopComponent]]: the identical integer
+    * recurrence as chained CTEs — HUGEINT sums, `//` truncation,
+    * 1-based `range(1, dim+1)` indexing matching posexplode+1. */
+  def pcaTopComponentSql(table: String, dim: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    require(iters >= 1 && iters <= 8)
+    val steps = (1 to iters).map { i =>
+      s"""__s$i AS (SELECT id, sum(cq * vj) // 1000000 AS sr
+         |  FROM __c JOIN __v${i - 1} USING (j) GROUP BY id),
+         |__w$i AS (SELECT j, sum(cq * sr) AS wj
+         |  FROM __c JOIN __s$i USING (id) GROUP BY j),
+         |__v$i AS (SELECT j, (wj * 1000000) // nullif((SELECT max(abs(wj)) FROM __w$i), 0) AS vj
+         |  FROM __w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH __x AS (
+       |  SELECT $idCol AS id, r.j,
+       |         CAST(floor(CAST($vecCol[r.j] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |  FROM $table, range(1, ${dim + 1}) AS r(j)),
+       |__m AS (SELECT j, sum(xq) // count(*) AS mj FROM __x GROUP BY j),
+       |__c AS (SELECT id, __x.j, xq - mj AS cq FROM __x JOIN __m ON __x.j = __m.j),
+       |__v0 AS (SELECT r.j, CAST(1000000 AS HUGEINT) AS vj FROM range(1, ${dim + 1}) AS r(j)),
+       |$steps,
+       |__sgn AS (SELECT CASE WHEN vv = 0 THEN 1 ELSE sign(vv) END AS sgn FROM (
+       |  SELECT vj AS vv FROM __v$iters ORDER BY abs(vj) DESC, j ASC LIMIT 1)),
+       |__out AS (SELECT j AS dim_idx, CAST(vj * sgn AS BIGINT) AS component
+       |  FROM __v$iters CROSS JOIN __sgn)
+       |SELECT dim_idx, component FROM __out""".stripMargin
+  }
 }

@@ -396,6 +396,55 @@ object TextOps {
       s"${qualityScoreSql(text)} AS score FROM $table)) WHERE cum_tok <= $budget"
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: lay
+    * documents on a weight axis (cumulative token counts in id order)
+    * and take every `step = max(totalW div n, 1)`-th point — each doc
+    * is hit in proportion to its weight, with NO random state (the
+    * deterministic cousin of weighted reservoir sampling; `hits` > 1
+    * marks docs heavier than the stride, the dataloader's repetition
+    * factor). All arithmetic is integer, so both engines agree cell
+    * for cell.
+    *
+    * Scale shape: the cumulative sum is the TWO-LEVEL prefix sum, not
+    * one global window — per-group (id div 1024) subtotals, a
+    * catalog-sized running offset over the group table, and a
+    * group-partitioned within-group window; only the tiny group table
+    * ever sorts globally. Zero-weight docs are never hit. */
+  def ppsSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Long): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+        wsTokenCount(col(textCol)).cast("long").as("__w"))
+      .withColumn("__g", expr("__id div 1024"))
+    val offs = base.groupBy("__g").agg(sum("__w").as("__gw"))
+      .withColumn("__off", coalesce(
+        sum(col("__gw")).over(W.orderBy("__g")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("__g", "__off")
+    val tot = base.agg(
+      greatest(expr(s"sum(__w) div $n"), lit(1L)).as("__step"))
+    base.join(broadcast(offs), Seq("__g"))
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(
+        W.partitionBy("__g").orderBy("__id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("hits",
+        expr("__cum div __step - (__cum - __w) div __step"))
+      .filter(col("hits") >= 1)
+      .select(col("__id").as(idCol), col("__w").as("weight"), col("hits"))
+  }
+
+  /** DuckDB twin of [[ppsSample]]: ONE global running sum (the oracle
+    * can afford it) — identical id order, stride, and hit arithmetic,
+    * which is exactly what the two-level prefix sum must reproduce. */
+  def ppsSampleSql(table: String, id: String, text: String, n: Long): String =
+    s"""WITH __b AS (SELECT $id AS id, CAST(len(${tokensSql(text)}) AS BIGINT) AS w FROM $table),
+       |__c AS (SELECT id, w, sum(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum FROM __b),
+       |__t AS (SELECT greatest(sum(w) // $n, 1) AS step FROM __b)
+       |SELECT id AS $id, w AS weight, CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
+       |FROM __c CROSS JOIN __t WHERE cum // step - (cum - w) // step >= 1""".stripMargin
+
   /** Temperature-based corpus rebalancing (the XLM-R / mT5 multilingual
     * sampling scheme, Conneau et al. 2020 §3.1): group g is sampled in
     * proportion to n_g^alpha, flattening the head and lifting the tail.

@@ -532,4 +532,35 @@ class SimilaritySpec extends SparkSpec {
     assert(real.getLong(1) <= math.min(real.getLong(2), real.getLong(3)),
       "sum C(nij,2) cannot exceed either margin sum")
   }
+
+  test("pcaTopComponent recovers a planted dominant direction; sign convention holds") {
+    val sess = spark
+    import sess.implicits._
+    // planted component along dims 3 (weight 3) and 7 (weight -1),
+    // plus small deterministic noise: power iteration must align with
+    // (0,0,3,0,0,0,-1,0)/√10 after a few rounds
+    val dim = 8
+    val rows = (0 until 400).map { i =>
+      val a = if (i % 2 == 0) 1.0f else -1.0f // the varying factor
+      val v = Array.fill(dim)(0.0f)
+      v(2) = 3.0f * a + 0.02f * ((i * 37 % 11) - 5)
+      v(6) = -1.0f * a + 0.02f * ((i * 53 % 13) - 6)
+      v(0) = 0.01f * ((i * 29 % 7) - 3)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val comp = Similarity.pcaTopComponent(df, dim, iters = 4)
+      .orderBy("dim_idx").collect().map(_.getLong(1))
+    // cosine with the planted direction
+    val planted = Array(0.0, 0, 3, 0, 0, 0, -1, 0)
+    val dot = comp.zip(planted).map { case (c, p) => c.toDouble * p }.sum
+    val nc = math.sqrt(comp.map(c => c.toDouble * c).sum)
+    val np = math.sqrt(planted.map(p => p * p).sum)
+    assert(math.abs(dot) / (nc * np) > 0.99,
+      s"component ${comp.mkString(",")} not aligned with planted direction")
+    // sign convention: the largest-|component| entry (dim 3) is positive
+    assert(comp(2) > 0 && comp(2) === comp.map(math.abs).max)
+    // rescale invariant: the canonical entry sits at exactly 10^6
+    assert(comp.map(math.abs).max === 1000000L)
+  }
 }

@@ -1287,4 +1287,35 @@ class TextDedupSpec extends SparkSpec {
     // doc 4: vowel-less-but-for-y words still count 1 syllable each
     assert(out(4L).getLong(3) === 2L)
   }
+
+  test("ppsSample: hit counts track weights exactly; partition-invariant; zero weight never hit") {
+    val sess = spark
+    import sess.implicits._
+    // weights via word counts: doc i has (i % 17 + a few spikes) words
+    val docs = (0L until 300L).map { i =>
+      val w = if (i == 42L) 120 else if (i == 77L) 0 else (i % 17).toInt + 1
+      (i, Seq.fill(w)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.text.TextOps.ppsSample(docs, "doc_id", "text", n = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalW = (0L until 300L).map(i =>
+      if (i == 42L) 120L else if (i == 77L) 0L else (i % 17) + 1).sum
+    val step = math.max(totalW / 40, 1L)
+    // the stride covers the axis exactly: sum(hits) == floor(W / step)
+    assert(out.map(_._3).sum === totalW / step)
+    // every hit count is within 1 of the ideal w/step quota
+    out.foreach { case (id, w, h) =>
+      assert(math.abs(h - w.toDouble / step) <= 1.0, s"doc $id quota off: w=$w hits=$h")
+    }
+    // the empty doc is never selected
+    assert(!out.exists(_._1 == 77L))
+    // the heavy doc is hit with multiplicity
+    assert(out.find(_._1 == 42L).exists(_._3 >= 2))
+    // two-level prefix sum is layout-independent: same rows under a
+    // hostile repartitioning
+    val shuffled = graft.text.TextOps.ppsSample(
+      docs.repartition(13, col("text")), "doc_id", "text", n = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }
