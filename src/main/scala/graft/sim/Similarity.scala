@@ -2027,45 +2027,55 @@ object Similarity {
     * positive). `iters` rounds are exact by construction, converged or
     * not — the twin runs the identical recurrence.
     *
-    * Scale shape: the quantized matrix is long-format (n·d rows), the
-    * per-round shuffles are one groupBy(id) and one groupBy(j) — both
-    * map-side combinable; v and the means are dim-sized broadcasts;
-    * nothing is ever pairwise in rows or dims. */
+    * Scale shape: vectors stay PACKED — v broadcasts as one dim-sized
+    * array row, the row dot product `(c_r · v) div 10⁶` is an in-row
+    * `zip_with`+`aggregate` fold (no row-keyed join, no shuffle), and
+    * the only per-round shuffle is the map-side-combinable
+    * groupBy(dim) of w = Σ_r c_r·s_r — n·d values folding to d.
+    * Nothing is ever pairwise in rows or dims. */
   def pcaTopComponent(vectors: DataFrame, dim: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(iters >= 1 && iters <= 8, s"unrolled iters must be in [1,8], got $iters")
-    val spark = vectors.sparkSession
-    val x = vectors
-      .select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("__p", "__xv")))
-      .select(col("__id"), (col("__p") + 1).cast("long").as("j"),
-        expr("cast(floor(cast(__xv as double) * 1000000) as bigint)").as("xq"))
-    // integer-centered columns: m_j = sum div n (truncation, like the twin)
-    val m = x.groupBy("j")
-      .agg(sum(col("xq").cast(DecimalType(38, 0))).as("__s"), count(lit(1)).as("__n"))
-      .select(col("j"), expr("cast(__s div __n as bigint)").as("mj"))
-    val c = x.join(broadcast(m), Seq("j"))
-      .select(col("__id"), col("j"), (col("xq") - col("mj")).as("cq"))
+    val xq = vectors.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+        .as("__xa"))
+    // integer column means, m_j = sum div n (truncation, like the twin),
+    // packed back into one dim-sized array row for the centering zip
+    val m = xq.select(posexplode(col("__xa")).as(Seq("__p", "__xv")))
+      .groupBy("__p")
+      .agg(sum(col("__xv").cast(DecimalType(38, 0))).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__p"), expr("cast(__s div __n as bigint)").as("__m"))
+    val mArr = m.agg(expr(
+      "transform(array_sort(collect_list(struct(__p, __m))), t -> t.__m)").as("__ma"))
+    val c = xq.crossJoin(broadcast(mArr))
+      .select(col("__id"), expr("zip_with(__xa, __ma, (a, b) -> a - b)").as("__ca"))
       .localCheckpoint(false) // reused by every round
-    var v = spark.range(1, dim + 1)
-      .select(col("id").as("j"), lit(1000000L).as("vj"))
+    var vArr = vectors.sparkSession.range(1)
+      .select(expr(s"array_repeat(1000000L, $dim)").as("__va"))
     for (_ <- 1 to iters) {
-      // s_r = (c_r · v) div 10⁶  — products fit a long (|c| ≤ 2·10⁶,
-      // |v| ≤ 10⁶), the row sum is exact decimal
-      val s = c.join(broadcast(v), Seq("j"))
-        .groupBy("__id")
-        .agg(sum((col("cq") * col("vj")).cast(DecimalType(38, 0))).as("__sr"))
-        .select(col("__id"), expr("cast(__sr div 1000000 as bigint)").as("sr"))
-      // w_j = Σ_r c_rj · s_r  — exact decimal sum, then rescale to 10⁶
-      val w = c.join(s, Seq("__id"))
-        .groupBy("j")
-        .agg(sum((col("cq") * col("sr")).cast(DecimalType(38, 0))).as("wj"))
-      val mx = w.agg(max(abs(col("wj"))).as("__m"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("j"),
-          expr("cast((wj * 1000000) div nullif(__m, 0) as bigint)").as("vj"))
+      // s_r = (c_r · v) div 10⁶, computed IN ROW: products fit a long
+      // (|c| ≤ 2·10⁶, |v| ≤ 10⁶) and the d-term fold stays far under
+      // 2⁶³ for any realistic dim — no cross-row accumulation here
+      val s = c.crossJoin(broadcast(vArr))
+        .select(col("__ca"), expr(
+          "aggregate(zip_with(__ca, __va, (a, b) -> a * b), 0L, (acc, x) -> acc + x) " +
+            "div 1000000").as("__sr"))
+      // w_j = Σ_r c_rj · s_r — the round's ONE shuffle, exact decimal
+      val w = s.select(col("__sr"), posexplode(col("__ca")).as(Seq("__p", "__cv")))
+        .groupBy("__p")
+        .agg(sum((col("__cv") * col("__sr")).cast(DecimalType(38, 0))).as("__w"))
+      val mx = w.agg(max(abs(col("__w"))).as("__mx"))
+      vArr = w.crossJoin(broadcast(mx))
+        .select(col("__p"),
+          expr("cast((__w * 1000000) div nullif(__mx, 0) as bigint)").as("__vj"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(__p, __vj))), t -> t.__vj)").as("__va"))
         .localCheckpoint(false) // cut the per-round lineage
     }
+    val v = vArr.select(posexplode(col("__va")).as(Seq("__p", "vj")))
+      .select((col("__p") + 1).cast("long").as("j"), col("vj"))
     // sign convention via one struct-max: (|v|, -j) picks the canonical
     // entry deterministically; a zero vector keeps sign +1
     val sgn = v.agg(max(struct(abs(col("vj")).as("a"), (-col("j")).as("nj"),
