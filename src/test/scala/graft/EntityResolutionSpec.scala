@@ -85,6 +85,64 @@ class EntityResolutionSpec extends SparkSpec {
     assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("incremental ER: crafted bridge merges entities through the merge log") {
+    val sess = spark
+    import sess.implicits._
+    import graft.streaming.StreamingEr
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_inc").toString
+    def step(rows: Seq[(Long, String)], i: Long) =
+      StreamingEr.batchStep(spark, s"$dir/reg", s"$dir/merge",
+        "id", "name", Seq("blk"), maxDist = 1)(
+        rows.map { case (id, nm) => (id, nm, "b") }.toDF("id", "name", "blk"), i)
+    // batch 0: two separate entities in one block
+    step(Seq((10L, "aaaa"), (20L, "aabb")), 0L)
+    // batch 1: 15 matches BOTH (dist 1 each) — bridges 10 and 20
+    step(Seq((15L, "aaab")), 1L)
+    // batch 2: 5 matches record 20 (whose arrival label 20 was already
+    // merged into 10) — the merge log must chain, not overwrite
+    step(Seq((5L, "abbb")), 2L)
+    val resolved = StreamingEr.resolveEntities(spark, s"$dir/reg",
+      s"$dir/merge", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved === Map(5L -> 5L, 10L -> 5L, 15L -> 5L, 20L -> 5L))
+    val merges = StreamingEr.readMerges(spark, s"$dir/merge")
+      .select("entity", "into").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merges === Set((20L, 10L), (20L, 5L)))
+  }
+
+  test("incremental ER equals the batch operator on the part catalog; replay idempotent") {
+    import graft.streaming.StreamingEr
+    import graft.model.Tables
+    val p = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name", "p_brand", "p_type").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_cat").toString
+    // id-mod slicing: arrival order deliberately unlike id order
+    Seq(2L, 0L, 1L).zipWithIndex.foreach { case (m, i) =>
+      StreamingEr.batchStep(spark, s"$dir/reg", s"$dir/merge",
+        "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 3)(
+        p.filter(pmod(col("p_partkey"), lit(3)) === m), i.toLong)
+    }
+    def resolvedMap() = StreamingEr.resolveEntities(spark, s"$dir/reg",
+      s"$dir/merge", "p_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.er.EntityResolution.entities(p, "p_partkey",
+      graft.er.EntityResolution.matchPairs(p, "p_partkey", "p_name",
+        Seq("p_brand", "p_type"), maxDist = 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = resolvedMap()
+    assert(got === batch,
+      "incremental resolution diverges from the batch entities")
+    // the bridge path is actually exercised on this data
+    assert(StreamingEr.readMerges(spark, s"$dir/merge").count() > 0,
+      "fixture produced no merges — the test lost its teeth")
+    // replay the middle batch: strictly-earlier reads make it rewrite
+    // both partitions identically, resolution unchanged
+    StreamingEr.batchStep(spark, s"$dir/reg", s"$dir/merge",
+      "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 3)(
+      p.filter(pmod(col("p_partkey"), lit(3)) === 0L), 1L)
+    assert(resolvedMap() === batch, "replayed batch changed resolution")
+  }
+
   test("er_match plan: blocking is an equi-join, never a cartesian product") {
     val p = SparkEntry.queries("er_match")(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
