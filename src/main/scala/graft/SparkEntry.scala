@@ -793,6 +793,16 @@ object SparkEntry {
         col("doc_id") % 2 === 0)
         .orderBy("source")),
 
+    // Token-phrase search (multi-phrase, one corpus pass per phrase
+    // length): positional shingles probed by a broadcast phrase table —
+    // the inverted-index shape, where a contains/LIKE scan re-reads the
+    // corpus per phrase. Overlap-correct match counts + 1-based first
+    // position.
+    "t_phrase_search" -> ((s, d) =>
+      TextOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("scan slow", "query value", "value table part"))
+        .orderBy("phrase", "doc_id")),
+
     // Collocation mining: adjacent-token bigrams ranked by LIFT,
     // n_ab·N / (n_a·n_b) — exp(PMI), the same ordering with NO logs (a
     // log is a libm call whose last ulp differs across engines; the
@@ -2335,6 +2345,59 @@ object SparkEntry {
     // exact and the threshold is cross-multiplied (cum·5 >= total·4),
     // so no float ever decides the crossing; the window sorts only the
     // customer dim.
+    // Gini coefficient of customer revenue, EXACT: the rank formula
+    // G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over integer cents with a
+    // deterministic tie order (Σ i·x is tie-order invariant anyway),
+    // scaled to integer micro — no float Lorenz integration. The rank
+    // window sorts only the customer dim; the fact scan collapses
+    // map-side.
+    "a_gini" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents"), col("o_custkey"))
+      rev.withColumn("__i", row_number().over(w))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("__sx"),
+          sum((col("__i").cast("long") * col("cents")).cast(DecimalType(38, 0)))
+            .as("__six"))
+        .select(col("n_customers"),
+          expr("cast(__sx as bigint)").as("total_cents"),
+          expr("cast((1000000 * (2 * __six - (n_customers + 1) * __sx)) div " +
+            "(n_customers * __sx) as bigint)").as("gini_micro"))
+    }),
+
+    // Benford first-digit audit (the fabricated-numbers smoke test):
+    // first significant digit via STRING head of the integer part —
+    // no log10 (a libm call whose rounding differs across engines) —
+    // against the Benford expectation as integer-milli literals baked
+    // into BOTH statements. One combinable count over the scan; the
+    // digit spine keeps all 9 rows even for absent digits.
+    "a_benford" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .select(expr("cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("__N"))
+      val expMilli = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+        5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+      val expCol = expMilli.foldLeft(lit(0L)) { case (acc, (dg, e)) =>
+        when(col("digit") === dg, lit(e)).otherwise(acc)
+      }
+      s.range(1, 10).select(col("id").cast("int").as("digit"))
+        .join(counts, Seq("digit"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("observed_milli", expr("(1000 * n) div __N"))
+        .withColumn("expected_milli", expCol)
+        .withColumn("deviation_milli",
+          abs(col("observed_milli") - col("expected_milli")))
+        .select("digit", "n", "observed_milli", "expected_milli",
+          "deviation_milli")
+        .orderBy("digit")
+    }),
+
     "a_pareto" -> ((s, d) => {
       val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
@@ -3374,6 +3437,11 @@ object SparkEntry {
       (s"SELECT * FROM (${TextOps.readabilitySql("documents", "doc_id", "text")}) " +
         "ORDER BY doc_id"),
 
+    "t_phrase_search" ->
+      (TextOps.phraseSearchSql("documents", "doc_id", "text",
+        Seq("scan slow", "query value", "value table part")) +
+        " ORDER BY phrase, doc_id"),
+
     "t_collocations" ->
       (s"WITH __t AS (SELECT ${TextOps.tokensSql("text")} AS toks FROM documents), " +
         "__uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM " +
@@ -4311,6 +4379,29 @@ object SparkEntry {
         "CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fpr " +
         "FROM __in CROSS JOIN __n n GROUP BY n.n_set"
     },
+
+    "a_gini" ->
+      ("WITH __rev AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "__r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM __rev) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(cents) AS BIGINT) AS total_cents, " +
+        "CAST((1000000 * (2 * sum(i * cents) - (count(*) + 1) * sum(cents))) // " +
+        "(count(*) * sum(cents)) AS BIGINT) AS gini_micro FROM __r"),
+
+    "a_benford" ->
+      ("WITH __d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit " +
+        "FROM orders WHERE o_totalprice >= 1), " +
+        "__c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM __d GROUP BY digit), " +
+        "__t AS (SELECT CAST(sum(n) AS BIGINT) AS __nt FROM __c), " +
+        "__s AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit), " +
+        "__e(digit, expected_milli) AS (VALUES (1, CAST(301 AS BIGINT)), (2, CAST(176 AS BIGINT)), " +
+        "(3, CAST(125 AS BIGINT)), (4, CAST(97 AS BIGINT)), (5, CAST(79 AS BIGINT)), (6, CAST(67 AS BIGINT)), " +
+        "(7, CAST(58 AS BIGINT)), (8, CAST(51 AS BIGINT)), (9, CAST(46 AS BIGINT))) " +
+        "SELECT __s.digit, CAST(coalesce(__c.n, 0) AS BIGINT) AS n, " +
+        "(1000 * CAST(coalesce(__c.n, 0) AS BIGINT)) // __nt AS observed_milli, expected_milli, " +
+        "abs((1000 * CAST(coalesce(__c.n, 0) AS BIGINT)) // __nt - expected_milli) AS deviation_milli " +
+        "FROM __s LEFT JOIN __c ON __s.digit = __c.digit " +
+        "JOIN __e ON __s.digit = __e.digit CROSS JOIN __t ORDER BY __s.digit"),
 
     "a_pareto" ->
       ("WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +

@@ -396,6 +396,61 @@ object TextOps {
       s"${qualityScoreSql(text)} AS score FROM $table)) WHERE cum_tok <= $budget"
   }
 
+  /** Token-phrase search over the corpus via the POSITIONAL SHINGLE
+    * probe: each document emits its k-token windows (the
+    * substring-dedup machinery), the phrase emits its single full
+    * shingle, and hits are an equi-join on the shingle STRING — exact
+    * by construction (space-joined tokens are unambiguous for
+    * whitespace-split input), so no post-verification pass exists to
+    * pay for. The scale story of an inverted positional index: the
+    * window side is computed once per k and probed by a broadcast
+    * phrase table; a LIKE/contains scan re-reads the corpus per phrase
+    * and cannot batch. Output: one row per (phrase, doc) with the
+    * match count (overlapping counted — `replace`-based counting
+    * can't) and the 1-based first token position. */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byK = phrases.map(p => (p, p.trim.split("\\s+").length))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+    require(byK.forall(_._1 >= 2), "phrases must have >= 2 tokens")
+    val tok = docs.select(col(idCol).cast("long").as(idCol),
+      tokens(col(textCol)).as("__t"))
+    byK.map { case (k, ps) =>
+      val phk = ps.map(_._1).toDF("phrase")
+        .withColumn("__gs",
+          element_at(shinglesFromTokens(tokens(col("phrase")), k), 1))
+      tok.withColumn("__g", shinglesFromTokens(col("__t"), k))
+        .select(col(idCol), posexplode(col("__g")).as(Seq("__pos", "__gs")))
+        .join(broadcast(phk), Seq("__gs"))
+        .groupBy(col("phrase"), col(idCol))
+        .agg(count(lit(1)).as("n_matches"),
+          (min(col("__pos")) + 1).cast("long").as("first_pos"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[phraseSearch]]: per phrase, the positions whose
+    * k-token slice equals the phrase's token list (a per-row
+    * `unnest(range(...))` — overlap-correct, unlike replace-counting),
+    * unioned across phrases. */
+  def phraseSearchSql(table: String, id: String, text: String,
+      phrases: Seq[String]): String = {
+    val parts = phrases.map { p =>
+      val ts = p.trim.split("\\s+").toSeq
+      val k = ts.length
+      val lit = p.replace("'", "''")
+      val arr = ts.map(t => s"'${t.replace("'", "''")}'").mkString("[", ", ", "]")
+      s"""SELECT '$lit' AS phrase, $id, CAST(count(*) AS BIGINT) AS n_matches,
+         |CAST(min(p) AS BIGINT) AS first_pos FROM (
+         |  SELECT $id, __t, unnest(range(1, len(__t) - ${k - 1} + 1)) AS p
+         |  FROM (SELECT $id, ${tokensSql(text)} AS __t FROM $table))
+         |WHERE list_slice(__t, p, p + ${k - 1}) = $arr GROUP BY $id""".stripMargin
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") __u")
+  }
+
   /** Systematic probability-proportional-to-size (PPS) sampling: lay
     * documents on a weight axis (cumulative token counts in id order)
     * and take every `step = max(totalW div n, 1)`-th point — each doc

@@ -91,6 +91,14 @@ class PlanAuditSpec extends SparkSpec {
       s"asofJoin lost its window carry:\n$p")
   }
 
+  test("interval overlap, phrase search, rolling actives: cell/shingle equi-joins, no nested loop") {
+    for (q <- Seq("o_interval_overlap", "t_phrase_search", "w12_rolling_active")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n$p")
+    }
+  }
+
   test("substring dedup is gram-hash equi-joins + bounded windows: no nested loop, no cartesian") {
     for (q <- Seq("d_substring", "d_stream_substring")) {
       val p = plan(q)

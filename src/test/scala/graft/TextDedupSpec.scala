@@ -1288,6 +1288,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L).getLong(3) === 2L)
   }
 
+  test("phraseSearch: overlap-correct counts, 1-based positions, mixed phrase lengths") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "a a a b c"),        // "a a" overlaps: positions 1 and 2
+      (2L, "x y a a z b c q"),  // "a a" at 3; "b c" at 6
+      (3L, "b c"),              // exactly the phrase
+      (4L, "nothing here"),
+      (5L, "a b c d a b c")     // "a b c" at 1 and 5
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.phraseSearch(docs, "doc_id", "text",
+        Seq("a a", "b c", "a b c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      ("a a", 1L) -> ((2L, 1L)), ("a a", 2L) -> ((1L, 3L)),
+      ("b c", 1L) -> ((1L, 4L)), ("b c", 2L) -> ((1L, 6L)),
+      ("b c", 3L) -> ((1L, 1L)), ("b c", 5L) -> ((2L, 2L)),
+      ("a b c", 1L) -> ((1L, 3L)), ("a b c", 5L) -> ((2L, 1L))))
+  }
+
   test("ppsSample: hit counts track weights exactly; partition-invariant; zero weight never hit") {
     val sess = spark
     import sess.implicits._
