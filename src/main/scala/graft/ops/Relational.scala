@@ -408,6 +408,53 @@ object Relational {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Per-file min/max stats MANIFEST over a parquet layout — the
+    * Delta/Iceberg file-skipping metadata as a plain table: one
+    * combinable scan grouped by `input_file_name`, one row per file
+    * with `min_<col>`/`max_<col>` bounds plus a row count. Built once
+    * per layout write (amortized over every subsequent pruned read);
+    * the result is FILE-catalog-sized, not data-sized. Pairs with
+    * [[materializeZOrdered]]: Z-order makes the per-file boxes tight
+    * in every clustered dimension, which is what makes the manifest
+    * selective. */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-pruned range read: keep only the files whose
+    * [min, max] box INTERSECTS every requested range (a file that
+    * cannot match is never opened), then re-apply the exact predicate
+    * to the survivors — so the result is row-identical to the full
+    * filtered scan, only cheaper. The manifest filter collects a FILE
+    * LIST (bounded by the layout's file count, catalog-sized by
+    * construction); zero surviving files short-circuits to an empty
+    * frame without touching storage. `ranges` are inclusive bounds per
+    * column. */
+  def manifestPrunedRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifest: DataFrame,
+      ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "pruned read needs at least one range")
+    val boxHit = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val exact = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    val files = manifest.filter(boxHit).select("file")
+      .collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(exact)
+  }
+
   /** Skew-safe equi-join (the 100 TB tool for hot keys, e.g. one sensor
     * producing most archive rows): the big side's hot partitions are split
     * by a salt derived from a per-row expression, the small side is

@@ -396,39 +396,43 @@ object TextOps {
       s"${qualityScoreSql(text)} AS score FROM $table)) WHERE cum_tok <= $budget"
   }
 
-  /** Token-phrase search over the corpus via the POSITIONAL SHINGLE
-    * probe: each document emits its k-token windows (the
-    * substring-dedup machinery), the phrase emits its single full
-    * shingle, and hits are an equi-join on the shingle STRING — exact
-    * by construction (space-joined tokens are unambiguous for
-    * whitespace-split input), so no post-verification pass exists to
-    * pay for. The scale story of an inverted positional index: the
-    * window side is computed once per k and probed by a broadcast
-    * phrase table; a LIKE/contains scan re-reads the corpus per phrase
-    * and cannot batch. Output: one row per (phrase, doc) with the
-    * match count (overlapping counted — `replace`-based counting
-    * can't) and the 1-based first token position. */
+  /** Token-phrase search over the corpus as ONE fused scan: each
+    * phrase compiles to a position predicate (`filter(sequence(...))`
+    * comparing tokens IN PLACE — the first-token test short-circuits
+    * almost every position), so all phrases are answered in a single
+    * corpus pass of pure whole-stage-codegen projection — no window
+    * strings are ever materialized, no join, no shuffle before the
+    * final per-doc rows. A LIKE/contains scan re-reads the corpus per
+    * phrase and can't report positions; the window-string explode
+    * (the substring-dedup shape) is right for open-ended gram INDEXING
+    * but pays corpus × k string churn that a literal phrase list never
+    * needs — it benched 35× per 2 decades before this form. Output:
+    * one row per (phrase, doc) with the match count (overlapping
+    * counted — `replace`-based counting can't) and the 1-based first
+    * token position. */
   def phraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(phrases.nonEmpty, "need at least one phrase")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val byK = phrases.map(p => (p, p.trim.split("\\s+").length))
-      .groupBy(_._2).toSeq.sortBy(_._1)
-    require(byK.forall(_._1 >= 2), "phrases must have >= 2 tokens")
+    val parsed = phrases.map(p => (p, p.trim.split("\\s+").toSeq))
+    require(parsed.forall(_._2.length >= 2), "phrases must have >= 2 tokens")
     val tok = docs.select(col(idCol).cast("long").as(idCol),
       tokens(col(textCol)).as("__t"))
-    byK.map { case (k, ps) =>
-      val phk = ps.map(_._1).toDF("phrase")
-        .withColumn("__gs",
-          element_at(shinglesFromTokens(tokens(col("phrase")), k), 1))
-      tok.withColumn("__g", shinglesFromTokens(col("__t"), k))
-        .select(col(idCol), posexplode(col("__g")).as(Seq("__pos", "__gs")))
-        .join(broadcast(phk), Seq("__gs"))
-        .groupBy(col("phrase"), col(idCol))
-        .agg(count(lit(1)).as("n_matches"),
-          (min(col("__pos")) + 1).cast("long").as("first_pos"))
-    }.reduce(_ unionByName _)
+    val perPhrase = parsed.map { case (p, ts) =>
+      val k = ts.length
+      // positions i (1-based) where every phrase token matches in place
+      val hit = (i: Column) => ts.zipWithIndex.map { case (t0, off) =>
+        element_at(col("__t"), (i + lit(off)).cast("int")) === lit(t0)
+      }.reduce(_ && _)
+      val pos = when(size(col("__t")) >= k,
+        filter(sequence(lit(1), size(col("__t")) - (k - 1)), hit))
+        .otherwise(expr("array()"))
+      struct(lit(p).as("phrase"), pos.as("pos"))
+    }
+    tok.select(col(idCol), explode(array(perPhrase: _*)).as("__ph"))
+      .filter(size(col("__ph.pos")) >= 1)
+      .select(col("__ph.phrase").as("phrase"), col(idCol),
+        size(col("__ph.pos")).cast("long").as("n_matches"),
+        element_at(col("__ph.pos"), 1).cast("long").as("first_pos"))
   }
 
   /** DuckDB twin of [[phraseSearch]]: per phrase, the positions whose

@@ -210,5 +210,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     // the quantity pruning cares about: the WORST dimension per file
     assert(mean(zs.map(s => math.max(s._1, s._2))) <
       0.6 * mean(lin.map(s => math.max(s._1, s._2))))
+
+    // ---- stats manifest + pruned read over the two layouts ----------
+    val manZ = Relational.statsManifest(spark, "/tmp/graft-zorder/z",
+      Seq("a", "b")).localCheckpoint()
+    val manL = Relational.statsManifest(spark, "/tmp/graft-zorder/linear",
+      Seq("a", "b")).localCheckpoint()
+    val box = Seq(("a", lit(10), lit(40)), ("b", lit(100), lit(140)))
+    // row-identical to the full filtered scan
+    val pruned = Relational.manifestPrunedRead(spark, "/tmp/graft-zorder/z",
+      manZ, box)
+    val full = spark.read.parquet("/tmp/graft-zorder/z")
+      .filter(col("a").between(10, 40) && col("b").between(100, 140))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      full.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the payoff: a TRAILING-column range — the linear layout bounds
+    // only its leading column, so every file survives; the z manifest
+    // keeps a fraction
+    def kept(man: org.apache.spark.sql.DataFrame) = man.filter(
+      col("min_b") <= 140 && col("max_b") >= 100).count()
+    assert(kept(manL) === manL.count(),
+      s"linear layout unexpectedly bounded b: kept ${kept(manL)}/${manL.count()}")
+    assert(kept(manZ) < kept(manL),
+      s"z kept ${kept(manZ)} files, linear kept ${kept(manL)}")
+    assert(kept(manZ) < manZ.count(), "manifest pruned nothing")
+    // an impossible box short-circuits to empty without touching files
+    assert(Relational.manifestPrunedRead(spark, "/tmp/graft-zorder/z",
+      manZ, Seq(("a", lit(9999), lit(10000)))).isEmpty)
   }
 }
