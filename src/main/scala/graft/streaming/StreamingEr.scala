@@ -100,6 +100,51 @@ object StreamingEr {
         lit(0L).as("batch_id")).limit(0)
   }
 
+  /** Table maintenance, IN PLACE (the [[StreamingAttribution]]
+    * compaction discipline): fold every `batch_id < upToBatchId`
+    * registry partition into ONE base partition `batch_id=-1` whose
+    * entity labels are already RESOLVED through the merge log, and
+    * delete the folded registry and merge partitions — the fold IS the
+    * prune, and post-compaction the merge log is empty for the folded
+    * range because the base carries final labels. Subsequent
+    * [[batchStep]]s read the base through the existing strictly-earlier
+    * scan with no extra wiring; resolution semantics are unchanged
+    * because a component's resolved label is its min record id, exactly
+    * what a fresh arrival would have produced. `upToBatchId` must be at
+    * or below the checkpoint frontier (a replayable batch must keep its
+    * own partitions). */
+  def compactRegistry(spark: SparkSession, registryDir: String,
+      mergeDir: String, idCol: String, upToBatchId: Long): Unit = {
+    val regPath = new org.apache.hadoop.fs.Path(registryDir)
+    val mrgPath = new org.apache.hadoop.fs.Path(mergeDir)
+    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reg = spark.read.option("basePath", registryDir).parquet(registryDir)
+      .filter(col("batch_id") < upToBatchId).drop("batch_id")
+    val merges = readMerges(spark, mergeDir)
+      .filter(col("batch_id") < upToBatchId).select("entity", "into")
+    val nodes = merges.select(col("entity").as("__n"))
+      .unionByName(merges.select(col("into").as("__n"))).distinct()
+    val closed = Dedup.clusters(nodes,
+      merges.select(col("entity").as("id_a"), col("into").as("id_b")), "__n")
+      .select(col("id").as("entity"), col("cluster").as("__final"))
+    val resolved = reg.join(broadcast(closed), Seq("entity"), "left")
+      .withColumn("entity", coalesce(col("__final"), col("entity")))
+      .drop("__final")
+    val staging = new org.apache.hadoop.fs.Path(regPath, ".compact-staging")
+    resolved.write.mode("overwrite").parquet(staging.toString)
+    def prune(dir: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong < upToBatchId)
+          fs.delete(st.getPath, true)
+      }
+    prune(regPath)
+    prune(mrgPath)
+    fs.rename(staging, new org.apache.hadoop.fs.Path(regPath, "batch_id=-1"))
+    ()
+  }
+
   /** Current (id, entity) for everything seen so far: arrival-time
     * labels pushed through the transitive closure of the merge log
     * (components over the merge edges — a MERGE-SIZED graph, not a

@@ -143,6 +143,60 @@ class EntityResolutionSpec extends SparkSpec {
     assert(resolvedMap() === batch, "replayed batch changed resolution")
   }
 
+  test("multi-pass blocking is the deduplicated union of the passes") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "b1", "p1"), (2L, "b1", "p2"), // share blk only
+      (3L, "b2", "p2"), (4L, "b3", "p3"), // 3 shares phn with 2
+      (5L, "b1", "p1")                    // shares blk with 1,2 AND phn with 1
+    ).toDF("id", "blk", "phn")
+    val got = EntityResolution.candidatePairsMulti(df, "id",
+      Seq(Seq("blk"), Seq("phn")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blk pass: (1,2),(1,5),(2,5); phn pass: (2,3),(1,5) — (1,5) once
+    assert(got === Set((1L, 2L), (1L, 5L), (2L, 5L), (2L, 3L)))
+  }
+
+  test("incremental ER compaction folds resolved labels in place; later batches unaffected") {
+    import graft.streaming.StreamingEr
+    import graft.model.Tables
+    val p = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name", "p_brand", "p_type").localCheckpoint()
+    val dirs = Seq.fill(2)(java.nio.file.Files
+      .createTempDirectory("graft_er_cmp").toString)
+    def step(d: String, m: Long, i: Long) =
+      StreamingEr.batchStep(spark, s"$d/reg", s"$d/merge",
+        "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 3)(
+        p.filter(pmod(col("p_partkey"), lit(4)) === m), i)
+    // three installments on both sides; compact one side at the frontier
+    dirs.foreach { d => Seq(3L, 1L, 0L).zipWithIndex.foreach {
+      case (m, i) => step(d, m, i.toLong) } }
+    StreamingEr.compactRegistry(spark, s"${dirs.head}/reg",
+      s"${dirs.head}/merge", "p_partkey", upToBatchId = 3L)
+    // only the base remains, with RESOLVED labels and an empty merge log
+    val fs = new org.apache.hadoop.fs.Path(dirs.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"${dirs.head}/reg"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(parts.toSeq === Seq("batch_id=-1"))
+    assert(StreamingEr.readMerges(spark, s"${dirs.head}/merge")
+      .filter(col("batch_id") < 3).isEmpty)
+    // the fourth installment lands on both sides; resolution parity
+    dirs.foreach(d => step(d, 2L, 3L))
+    def res(d: String) = StreamingEr.resolveEntities(spark, s"$d/reg",
+      s"$d/merge", "p_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(dirs.head) === res(dirs(1)),
+      "post-compaction resolution diverges from the uncompacted twin")
+    // and both equal the batch operator on the union
+    val batch = graft.er.EntityResolution.entities(p, "p_partkey",
+      graft.er.EntityResolution.matchPairs(p, "p_partkey", "p_name",
+        Seq("p_brand", "p_type"), maxDist = 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(dirs.head) === batch)
+  }
+
   test("er_match plan: blocking is an equi-join, never a cartesian product") {
     val p = SparkEntry.queries("er_match")(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
