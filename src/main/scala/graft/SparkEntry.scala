@@ -953,6 +953,26 @@ object SparkEntry {
         .orderBy("user_id", "event_id", "incident_id")
     }),
 
+    // Snapshot CDC: the delta between two keyed table versions
+    // (insert/delete/update via one full-outer key join, null-safe
+    // value compares) — v2 is derived deterministically from the
+    // fixture (every 97th key deleted, every 13th segment moved,
+    // every 211th key re-inserted shifted).
+    "j_cdc" -> ((s, d) => {
+      val v1 = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val v2 = v1.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 13 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(v1.filter(col("c_custkey") % 211 === 0)
+          .select((col("c_custkey") + 100000L).as("c_custkey"),
+            lit("NEWSEG").as("c_mktsegment"), col("c_acctbal")))
+      Relational.snapshotDiff(v1, v2, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // Interval-overlap join (the third temporal join after as-of and
     // point-in-range): per-user click sessions × error-burst windows
     // that OVERLAP — "was the user mid-session while errors fired".
@@ -1055,6 +1075,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
+
+    // Reciprocal-rank fusion as a reusable OPERATOR (generalizing
+    // s_hybrid_rrf's inline single-query fuse): N retriever tiers ×
+    // many queries, integer micro-unit RRF scores, per-query
+    // deterministic re-rank — fusing THIN rank rows, never vectors.
+    "s_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.rrfFuse(Seq(
+          Similarity.bruteForceTopK(emb, q, k = 10, dim = 64),
+          Similarity.lshTopK(emb, q, k = 10, dim = 64)), k = 5)
+        .orderBy("query_id", "fused_rank")
+    }),
 
     // Top principal component via integer power iteration: the
     // dominant direction of the embedding corpus without materializing
@@ -2345,6 +2378,57 @@ object SparkEntry {
     // exact and the threshold is cross-multiplied (cum·5 >= total·4),
     // so no float ever decides the crossing; the window sorts only the
     // customer dim.
+    // Per-supplier OLS price-vs-quantity slope as ONE combinable
+    // aggregate: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over integer
+    // units (quantity, price cents), exact decimal/hugeint sums, one
+    // truncating micro-scale division at the end — regression at scale
+    // with no second pass and no float accumulation order.
+    "a_ols_slope" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          expr("cast(floor(l_quantity) as bigint)").as("__x"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)").as("__y"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x").cast(DecimalType(38, 0))).as("__sx"),
+          sum(col("__y").cast(DecimalType(38, 0))).as("__sy"),
+          sum((col("__x") * col("__y")).cast(DecimalType(38, 0))).as("__sxy"),
+          sum((col("__x") * col("__x")).cast(DecimalType(38, 0))).as("__sxx"))
+        .select(col("l_suppkey"), col("n"),
+          expr("cast((1000000 * (n * __sxy - __sx * __sy)) div " +
+            "nullif(n * __sxx - __sx * __sx, 0) as bigint)").as("slope_micro"))
+        .orderBy("l_suppkey")),
+
+    // Click→purchase lag percentiles, EXACT: value-at-integer-rank
+    // (the ts_winsorize convention — (q·n div 100 + 1)-th smallest) over
+    // the backward-as-of lags, so no percentile interpolation
+    // arithmetic exists to diverge. One union-sort as-of + one thin
+    // rank window.
+    "w13_lag_quantiles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val lags = Relational.asofJoin(p, c, "user_id", "ts",
+          Seq("c_ts", "c_id"), Seq("c_id"))
+        .filter(col("c_ts").isNotNull)
+        .select((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("c_ts").cast("timestamp"))).as("lag_us"))
+      val tot = lags.agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("lag_us")
+      lags.withColumn("__rnk", row_number().over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("__n")).as("n_pairs"),
+          max(when(col("__rnk") === expr("(50 * __n) div 100 + 1"),
+            col("lag_us"))).as("p50_us"),
+          max(when(col("__rnk") === expr("(90 * __n) div 100 + 1"),
+            col("lag_us"))).as("p90_us"),
+          max(when(col("__rnk") === expr("(99 * __n) div 100 + 1"),
+            col("lag_us"))).as("p99_us"))
+    }),
+
     // Gini coefficient of customer revenue, EXACT: the rank formula
     // G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over integer cents with a
     // deterministic tie order (Σ i·x is tie-order invariant anyway),
@@ -3499,6 +3583,24 @@ object SparkEntry {
         "AND c.ts >= i.win_start AND c.ts <= i.win_end " +
         "ORDER BY c.user_id, c.event_id, i.incident_id"),
 
+    "j_cdc" ->
+      ("WITH v1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer), " +
+        "v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment, c_acctbal " +
+        "FROM customer WHERE c_custkey % 97 <> 0 " +
+        "UNION ALL SELECT c_custkey + 100000, 'NEWSEG', c_acctbal FROM customer WHERE c_custkey % 211 = 0), " +
+        "j AS (SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey, " +
+        "v1.c_mktsegment AS bseg, v1.c_acctbal AS bbal, " +
+        "v2.c_mktsegment AS aseg, v2.c_acctbal AS abal, " +
+        "v1.c_custkey IS NULL AS ins, v2.c_custkey IS NULL AS del " +
+        "FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey) " +
+        "SELECT * FROM (SELECT c_custkey, " +
+        "CASE WHEN ins THEN 'insert' WHEN del THEN 'delete' " +
+        "WHEN bseg IS DISTINCT FROM aseg OR bbal IS DISTINCT FROM abal THEN 'update' " +
+        "ELSE 'unchanged' END AS op, " +
+        "bseg AS before_c_mktsegment, aseg AS after_c_mktsegment, " +
+        "bbal AS before_c_acctbal, abal AS after_c_acctbal FROM j) " +
+        "WHERE op <> 'unchanged' ORDER BY c_custkey"),
+
     "o_interval_overlap" ->
       ("WITH co AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts " +
         "FROM events WHERE event_type = 'click'), " +
@@ -3576,6 +3678,17 @@ object SparkEntry {
     "s_pca_power" ->
       (graft.sim.Similarity.pcaTopComponentSql("embeddings", dim = 64, iters = 3) +
         " ORDER BY dim_idx"),
+
+    "s_rrf_fusion" ->
+      (s"WITH __b AS ($BruteKnnSql), " +
+        s"__l AS (${Similarity.lshTopKSql("embeddings", "q.vec_id < 5", k = 10, dim = 64)}), " +
+        "__u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS s FROM __b " +
+        "UNION ALL SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM __l), " +
+        "__f AS (SELECT query_id, neighbor_id, CAST(sum(s) AS BIGINT) AS rrf_micro, " +
+        "CAST(count(*) AS BIGINT) AS n_lists FROM __u GROUP BY query_id, neighbor_id) " +
+        "SELECT * FROM (SELECT query_id, neighbor_id, rrf_micro, n_lists, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id) AS INTEGER) AS fused_rank " +
+        "FROM __f) WHERE fused_rank <= 5 ORDER BY query_id, fused_rank"),
 
     "s_knn_filtered" ->
       Similarity.filteredTopKSql("embeddings", "vec_id < 5", k = 10, dim = 64,
@@ -4379,6 +4492,30 @@ object SparkEntry {
         "CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fpr " +
         "FROM __in CROSS JOIN __n n GROUP BY n.n_set"
     },
+
+    "a_ols_slope" ->
+      ("WITH __b AS (SELECT l_suppkey, CAST(floor(l_quantity) AS BIGINT) AS x, " +
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), " +
+        "__a AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n, " +
+        "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx " +
+        "FROM __b GROUP BY l_suppkey) " +
+        "SELECT l_suppkey, n, " +
+        "CAST((1000000 * (n * sxy - sx * sy)) // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_micro " +
+        "FROM __a ORDER BY l_suppkey"),
+
+    "w13_lag_quantiles" ->
+      ("WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT p.ts, cc.c_ts FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.ts AS c_ts FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts " +
+        "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS cc ON true), " +
+        "l AS (SELECT epoch_us(ts) - epoch_us(c_ts) AS lag_us FROM j WHERE c_ts IS NOT NULL), " +
+        "r AS (SELECT lag_us, row_number() OVER (ORDER BY lag_us) AS rnk FROM l), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l) " +
+        "SELECT (SELECT n FROM t) AS n_pairs, " +
+        "(SELECT lag_us FROM r WHERE rnk = (50 * (SELECT n FROM t)) // 100 + 1) AS p50_us, " +
+        "(SELECT lag_us FROM r WHERE rnk = (90 * (SELECT n FROM t)) // 100 + 1) AS p90_us, " +
+        "(SELECT lag_us FROM r WHERE rnk = (99 * (SELECT n FROM t)) // 100 + 1) AS p99_us"),
 
     "a_gini" ->
       ("WITH __rev AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents " +

@@ -408,6 +408,35 @@ object Relational {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Snapshot diff (CDC between two keyed table versions): one full
+    * outer join on the key, classified into insert / delete / update /
+    * unchanged by null-side and value comparison over the tracked
+    * columns (null-safe `<=>`, so a NULL→value change is an update,
+    * not noise). The change-data-capture primitive for publishing
+    * incremental table versions; emit `unchanged = false` rows only
+    * and the output is the delta a downstream MERGE applies. Scale
+    * shape: one key shuffle (or zero on bucketed layouts via
+    * [[materializeBucketed]]); values compare map-side. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      trackCols: Seq[String], includeUnchanged: Boolean = false): DataFrame = {
+    require(keys.nonEmpty && trackCols.nonEmpty)
+    val b = before.select((keys ++ trackCols).map(col): _*)
+      .withColumn("__b", lit(1))
+    val a = after.select(keys.map(col) ++
+      trackCols.map(c => col(c).as(s"__a_$c")): _*).withColumn("__a", lit(1))
+    val changed = trackCols.map(c => !(col(c) <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    val op = when(col("__b").isNull, lit("insert"))
+      .when(col("__a").isNull, lit("delete"))
+      .when(changed, lit("update"))
+      .otherwise(lit("unchanged"))
+    val out = b.join(a, keys, "full_outer").withColumn("op", op)
+      .select(keys.map(col) :+ col("op") :++
+        trackCols.flatMap(c => Seq(col(c).as(s"before_$c"),
+          col(s"__a_$c").as(s"after_$c"))): _*)
+    if (includeUnchanged) out else out.filter(col("op") =!= "unchanged")
+  }
+
   /** Per-file min/max stats MANIFEST over a parquet layout — the
     * Delta/Iceberg file-skipping metadata as a plain table: one
     * combinable scan grouped by `input_file_name`, one row per file

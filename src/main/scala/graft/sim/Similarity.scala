@@ -2009,6 +2009,29 @@ object Similarity {
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of several
+    * retriever rankings — the standard multi-retriever combiner (dense
+    * + sparse + ANN tiers) for RAG pipelines: each list contributes
+    * `10⁶ div (c + rank)` in integer micro-units (integer division, no
+    * float 1/x to diverge), summed per (query, candidate), re-ranked
+    * with a deterministic tie-break. Inputs are any frames with
+    * (query_id, neighbor_id, rank) — [[bruteForceTopK]], [[lshTopK]],
+    * [[ivfPqQuery]] outputs compose directly. Scale shape: the fuse
+    * shuffles THIN (query, candidate, score) rows — never vectors —
+    * and the re-rank window is per-query over ≤ Σ list lengths. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val scored = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+      expr(s"1000000 div ($c + rank)").as("__s")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    scored.reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__s")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** Top principal component of the embedding corpus via POWER
     * ITERATION, in integer micro-units end to end — the dominant
     * direction of an embedding table (drift monitoring, projection

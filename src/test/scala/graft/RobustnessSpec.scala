@@ -405,6 +405,53 @@ class RobustnessSpec extends SparkSpec {
     assert(ex.getMessage.contains("max degree"))
   }
 
+  test("round-7 operators: degenerate inputs degrade to empty/null, never fail") {
+    val sess = spark
+    import sess.implicits._
+    // phrase search: empty corpus; docs shorter than the phrase
+    val short = Seq((1L, "a"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.text.TextOps.phraseSearch(short, "doc_id", "text",
+      Seq("a b c")).isEmpty)
+    assert(graft.text.TextOps.phraseSearch(
+      short.limit(0), "doc_id", "text", Seq("a b")).isEmpty)
+    // PPS: n far above total weight clamps the stride to 1 — every doc
+    // is hit exactly weight times, nothing divides by zero
+    val tiny = Seq((1L, "w w"), (2L, "w")).toDF("doc_id", "text")
+    val pps = graft.text.TextOps.ppsSample(tiny, "doc_id", "text", n = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pps === Map(1L -> 2L, 2L -> 1L))
+    // PCA: a constant corpus centers to zero — components come back
+    // NULL (nullif rescale), dim rows, no failure
+    val const = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pca = graft.sim.Similarity.pcaTopComponent(const, dim = 2, iters = 2)
+      .collect()
+    assert(pca.length === 2 && pca.forall(_.isNullAt(1)))
+    // interval overlap: an empty side matches nothing
+    val iv = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1))
+      .toDF("k", "l_start", "l_end", "lid")
+    val emptyIv = iv.limit(0).select(col("k"), col("l_start").as("r_start"),
+      col("l_end").as("r_end"), col("lid").as("rid"))
+    assert(graft.ops.Relational.intervalOverlapJoin(iv, emptyIv, "k",
+      "l_start", "l_end", "r_start", "r_end", 3600L).isEmpty)
+    // snapshot diff: identical snapshots emit nothing; NULL→value is an
+    // update, not noise
+    val s1 = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    assert(graft.ops.Relational.snapshotDiff(s1, s1, Seq("k"), Seq("v")).isEmpty)
+    val s2 = Seq((1L, "x"), (2L, "now")).toDF("k", "v")
+    val d2 = graft.ops.Relational.snapshotDiff(s1, s2, Seq("k"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d2.toSeq === Seq((2L, "update")))
+    // ER blocking: all-NULL block keys pair nothing
+    val nul = Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "a", null.asInstanceOf[String])).toDF("id", "name", "blk")
+    assert(graft.er.EntityResolution.candidatePairs(nul, "id", Seq("blk")).isEmpty)
+    // RRF: fusing empty rankings is empty
+    val er = Seq.empty[(Long, Long, Int)].toDF("query_id", "neighbor_id", "rank")
+    assert(graft.sim.Similarity.rrfFuse(Seq(er, er), k = 5).isEmpty)
+  }
+
   test("KMV: empty corpus and tokenless groups produce no sketch rows, never fail") {
     val sess = spark
     import sess.implicits._
