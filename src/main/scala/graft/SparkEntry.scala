@@ -2378,6 +2378,89 @@ object SparkEntry {
     // exact and the threshold is cross-multiplied (cum·5 >= total·4),
     // so no float ever decides the crossing; the window sorts only the
     // customer dim.
+    // ---- classic multi-join OLAP (TPC-H Q3/Q5/Q10 shapes, adapted to
+    // the fixture's columns; revenue in integer cents so no float-sum
+    // order exists) — the join-planning stress tests: semi joins where
+    // no dim column is needed, broadcasts only for genuinely tiny dims
+    // (nation/region/supplier), shuffle joins for fact×fact, AQE free
+    // to re-plan at scale. ------------------------------------------
+
+    // Q3 shipping priority: top unshipped-revenue orders for one
+    // segment. The customer gate is a LEFT SEMI (no customer column in
+    // the output — never a wide join), date filters reach both scans.
+    "q3_shipping" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            .as("__rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("__rev")).as("revenue_cents"))
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cents")
+        .orderBy(col("revenue_cents").desc, col("l_orderkey")).limit(10)
+    }),
+
+    // Q5 local-supplier volume: revenue per nation where customer and
+    // supplier share the nation, one region, one order-date year.
+    // nation⋈region and the region's suppliers broadcast; the
+    // fact-side joins shuffle on their keys.
+    "q5_local_volume" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            .as("__rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name").agg(sum(col("__rev")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
+    // Q10 returned-item losers: customers ranked by revenue lost to
+    // returns in one quarter. The per-customer fold happens BEFORE the
+    // customer-dim join — the join input is |customers|, not |lines|.
+    "q10_returns" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val lost = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            .as("__rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum(col("__rev")).as("revenue_cents"))
+      lost.join(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey"), Seq("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
+    }),
+
     // Per-supplier OLS price-vs-quantity slope as ONE combinable
     // aggregate: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over integer
     // units (quantity, price cents), exact decimal/hugeint sums, one
@@ -4492,6 +4575,38 @@ object SparkEntry {
         "CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fpr " +
         "FROM __in CROSS JOIN __n n GROUP BY n.n_set"
     },
+
+    "q3_shipping" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum(rev) AS BIGINT) AS revenue_cents FROM (" +
+        "SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, " +
+        "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "AND o.o_orderdate < TIMESTAMP '1998-06-01' AND l.l_shipdate > TIMESTAMP '1998-06-01') " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"),
+
+    "q5_local_volume" ->
+      ("SELECT n.n_name, CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM lineitem l " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA' " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01' " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey " +
+        "GROUP BY n.n_name ORDER BY revenue_cents DESC, n.n_name"),
+
+    "q10_returns" ->
+      ("WITH lost AS (SELECT o.o_custkey AS c_custkey, " +
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_returnflag = 'R' " +
+        "AND o.o_orderdate >= TIMESTAMP '1997-10-01' AND o.o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY o.o_custkey) " +
+        "SELECT lost.c_custkey, c.c_name, n.n_name, lost.revenue_cents " +
+        "FROM lost JOIN customer c ON lost.c_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "ORDER BY lost.revenue_cents DESC, lost.c_custkey LIMIT 20"),
 
     "a_ols_slope" ->
       ("WITH __b AS (SELECT l_suppkey, CAST(floor(l_quantity) AS BIGINT) AS x, " +

@@ -91,6 +91,20 @@ class PlanAuditSpec extends SparkSpec {
       s"asofJoin lost its window carry:\n$p")
   }
 
+  test("TPC-H shapes: semi-join customer gate, broadcast tiny dims, pushed date bounds") {
+    val p3 = plan("q3_shipping")
+    assert(p3.contains("LeftSemi"), s"Q3 customer gate is not a semi join:\n$p3")
+    assert(p3.contains("LessThan(o_orderdate") || p3.contains("LessThan(ts"),
+      s"Q3 order-date bound not pushed:\n$p3")
+    val p5 = plan("q5_local_volume")
+    assert(p5.contains("BroadcastHashJoin"), s"Q5 has no broadcast dim join:\n$p5")
+    assert(!p5.contains("CartesianProduct"), s"Q5 degenerated:\n$p5")
+    val p10 = plan("q10_returns")
+    assert(p10.contains("BroadcastHashJoin"), s"Q10 nation join not broadcast:\n$p10")
+    assert(p10.contains("EqualTo(l_returnflag,R)") || p10.contains("l_returnflag"),
+      s"Q10 return-flag filter not pushed:\n$p10")
+  }
+
   test("interval overlap, phrase search, rolling actives: cell/shingle equi-joins, no nested loop") {
     for (q <- Seq("o_interval_overlap", "t_phrase_search", "w12_rolling_active")) {
       val p = plan(q)
