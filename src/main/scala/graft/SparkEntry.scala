@@ -1009,6 +1009,51 @@ object SparkEntry {
       TextOps.ppsSample(Tables.documents(s, d), "doc_id", "text", n = 150)
         .orderBy("doc_id")),
 
+    // Per-SOURCE dataset card (complementing pipe_corpus_card's
+    // corpus-global row — this is the breakdown a mixture designer
+    // reads): doc/token counts, EXACT median tokens
+    // (value-at-integer-rank), mean quality in integer milli, language
+    // census with a deterministic top language, and the exact-dup rate
+    // from fingerprint cardinality. The feature pass is computed ONCE
+    // and checkpointed for its three consumers (the pipe_quality_gate
+    // lesson); everything downstream is combinable aggregates +
+    // source-keyed joins over a catalog-sized frame.
+    "pipe_dataset_card" -> ((s, d) => {
+      val feats = TextOps.withQualityFeatures(
+          Tables.documents(s, d).select("doc_id", "source", "text"), "text")
+        .select(col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tok"),
+          expr("cast(floor(score * 1000) as bigint)").as("q_milli"),
+          TextOps.fingerprint("text").as("fp"),
+          TextOps.langId(col("text")).as("lang"))
+        .localCheckpoint(false) // three consumers, one tokenize pass
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+      val p50 = feats
+        .withColumn("__rnk", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .filter(col("__rnk") === expr("(50 * __cnt) div 100 + 1"))
+        .select(col("source"), col("n_tok").as("p50_tokens"))
+      val langs = feats.groupBy("source", "lang")
+        .agg(count(lit(1)).as("__ln"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          min(struct((-col("__ln")).as("nn"), col("lang"))).as("__m"))
+        .select(col("source"), col("n_langs"), col("__m.lang").as("top_lang"))
+      feats.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          expr("cast(sum(q_milli) div count(1) as bigint)")
+            .as("mean_quality_milli"),
+          countDistinct(col("fp")).as("__ufp"))
+        .withColumn("dup_rate_milli",
+          expr("(1000 * (n_docs - __ufp)) div n_docs"))
+        .join(p50, Seq("source")).join(langs, Seq("source"))
+        .select("source", "n_docs", "n_tokens", "p50_tokens",
+          "mean_quality_milli", "n_langs", "top_lang", "dup_rate_milli")
+        .orderBy("source")
+    }),
+
     // Corpus-mixture control: deterministic salted-hash downsampling to
     // per-source target rates, with the realized mixture as the output.
     "pipe_mixture_sample" -> ((s, d) =>
@@ -3706,6 +3751,26 @@ object SparkEntry {
     "pipe_pps_sample" ->
       (TextOps.ppsSampleSql("documents", "doc_id", "text", 150) +
         " ORDER BY doc_id"),
+
+    "pipe_dataset_card" ->
+      (s"WITH __f AS (SELECT source, doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok, " +
+        s"CAST(floor((${TextOps.qualityScoreSql("text")}) * 1000) AS BIGINT) AS q_milli, " +
+        s"${TextOps.fingerprintSql("text")} AS fp, ${TextOps.langIdSql("text")} AS lang FROM documents), " +
+        "__r AS (SELECT source, doc_id, n_tok, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rnk, " +
+        "count(*) OVER (PARTITION BY source) AS cnt FROM __f), " +
+        "__p AS (SELECT source, n_tok AS p50_tokens FROM __r WHERE rnk = (50 * cnt) // 100 + 1), " +
+        "__lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS __ln FROM __f GROUP BY 1, 2), " +
+        "__lt AS (SELECT source, n_langs, lang AS top_lang FROM (" +
+        "SELECT source, lang, count(*) OVER (PARTITION BY source) AS n_langs, " +
+        "row_number() OVER (PARTITION BY source ORDER BY __ln DESC, lang) AS __rk FROM __lc) WHERE __rk = 1), " +
+        "__m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(q_milli) // count(*) AS BIGINT) AS mean_quality_milli, " +
+        "CAST(count(DISTINCT fp) AS BIGINT) AS __ufp FROM __f GROUP BY source) " +
+        "SELECT __m.source, n_docs, n_tokens, p50_tokens, mean_quality_milli, n_langs, top_lang, " +
+        "CAST((1000 * (n_docs - __ufp)) // n_docs AS BIGINT) AS dup_rate_milli " +
+        "FROM __m JOIN __p ON __m.source = __p.source JOIN __lt ON __m.source = __lt.source " +
+        "ORDER BY __m.source"),
 
     "pipe_mixture_sample" ->
       (s"SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
