@@ -953,6 +953,24 @@ object SparkEntry {
         .orderBy("user_id", "event_id", "incident_id")
     }),
 
+    // Numeric band join (the theta-join face of the grid trick):
+    // supplier↔customer account-balance twins within $10 in the same
+    // nation — a (key, cell) equi-join with one-sided cell fanout,
+    // never a nation-join with a range residual.
+    "o_band_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey").as("nkey"),
+        expr("cast(floor(s_acctbal * 100) as bigint)").as("s_cents"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").as("nkey"),
+        expr("cast(floor(c_acctbal * 100) as bigint)").as("c_cents"))
+      Relational.bandJoin(sup, cust, "nkey", "s_cents", "c_cents", eps = 1000L)
+        .withColumn("diff_cents", abs(col("s_cents") - col("c_cents")))
+        .select("nkey", "s_suppkey", "c_custkey", "s_cents", "c_cents",
+          "diff_cents")
+        .orderBy("nkey", "s_suppkey", "c_custkey")
+    }),
+
     // Snapshot CDC: the delta between two keyed table versions
     // (insert/delete/update via one full-outer key join, null-safe
     // value compares) — v2 is derived deterministically from the
@@ -3710,6 +3728,15 @@ object SparkEntry {
         "FROM c JOIN i ON c.user_id = i.user_id " +
         "AND c.ts >= i.win_start AND c.ts <= i.win_end " +
         "ORDER BY c.user_id, c.event_id, i.incident_id"),
+
+    "o_band_join" ->
+      ("SELECT s.s_nationkey AS nkey, s.s_suppkey, c.c_custkey, " +
+        "CAST(floor(s.s_acctbal * 100) AS BIGINT) AS s_cents, " +
+        "CAST(floor(c.c_acctbal * 100) AS BIGINT) AS c_cents, " +
+        "abs(CAST(floor(s.s_acctbal * 100) AS BIGINT) - CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS diff_cents " +
+        "FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey " +
+        "AND abs(CAST(floor(s.s_acctbal * 100) AS BIGINT) - CAST(floor(c.c_acctbal * 100) AS BIGINT)) <= 1000 " +
+        "ORDER BY nkey, s.s_suppkey, c.c_custkey"),
 
     "j_cdc" ->
       ("WITH v1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer), " +

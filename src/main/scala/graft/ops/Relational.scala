@@ -408,6 +408,32 @@ object Relational {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Numeric band (theta) join: match rows whose INTEGER-unit values
+    * differ by at most `eps` under the same key (`|l − r| ≤ eps`,
+    * inclusive) — the [[rangeJoin]] grid trick on a numeric axis
+    * instead of time, for price-band matching, tolerance joins,
+    * measurement reconciliation. The left side registers its single
+    * eps-cell (floor division via `pmod`, correct for NEGATIVE values
+    * where `div` truncation would misplace a cell); the right side
+    * registers (cell−1, cell, cell+1), so every qualifying pair meets
+    * in exactly the left row's cell — a pure (key, cell) equi-join
+    * with the exact band as a post-filter, never a key-join with a
+    * range residual. Value columns must be pre-quantized to integer
+    * units (e.g. cents) by the caller. */
+  def bandJoin(left: DataFrame, right: DataFrame, key: String,
+      lValCol: String, rValCol: String, eps: Long): DataFrame = {
+    require(eps >= 1, s"eps must be >= 1 integer unit, got $eps")
+    def cellOf(c: String) = expr(s"($c - pmod($c, $eps)) / $eps").cast("long")
+    val l = left.withColumn("__cell", cellOf(lValCol))
+    val r = right.withColumn("__rc", cellOf(rValCol))
+      .withColumn("__cell",
+        explode(array(col("__rc") - 1, col("__rc"), col("__rc") + 1)))
+      .drop("__rc")
+    l.join(r, Seq(key, "__cell"))
+      .filter(abs(col(lValCol) - col(rValCol)) <= eps)
+      .drop("__cell")
+  }
+
   /** Snapshot diff (CDC between two keyed table versions): one full
     * outer join on the key, classified into insert / delete / update /
     * unchanged by null-side and value comparison over the tracked

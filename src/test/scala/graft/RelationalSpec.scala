@@ -122,6 +122,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bandJoin matches brute force across negative values and cell boundaries") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(31)
+    // values straddle zero deliberately: a truncating cell division
+    // would collapse (-eps, eps) into one cell and both miss and
+    // double-count boundary pairs
+    val l = (1 to 120).map(i => (rnd.nextInt(3), rnd.nextInt(4001) - 2000L, i))
+    val r = (1 to 120).map(i => (rnd.nextInt(3), rnd.nextInt(4001) - 2000L, 1000 + i))
+    val eps = 150L
+    val want = (for {
+      (lk, lv, lid) <- l; (rk, rv, rid) <- r
+      if lk == rk && math.abs(lv - rv) <= eps
+    } yield (lid, rid)).sorted
+    val got = Relational.bandJoin(
+      l.toDF("k", "lv", "lid"), r.toDF("k", "rv", "rid"),
+      "k", "lv", "rv", eps)
+      .select("lid", "rid").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+    assert(got === want)
+    // exactly-once: no pair appears twice
+    assert(got.distinct.size === got.size)
+  }
+
   test("dedupFirst keeps exactly one row per key, deterministically") {
     val sess = spark
     import sess.implicits._
