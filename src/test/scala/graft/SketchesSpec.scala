@@ -213,6 +213,41 @@ class SketchesSpec extends SparkSpec {
     assert(est() === direct, "replayed batch changed the merged sketch")
   }
 
+  test("streaming dataset card: installments merge to the single-shot card; replay idempotent") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val inc = java.nio.file.Files.createTempDirectory("graft_card_inc").toString
+    val one = java.nio.file.Files.createTempDirectory("graft_card_one").toString
+    Seq(0, 1, 2).foreach { i =>
+      graft.streaming.StreamingStats.cardBatchStep(spark, inc)(
+        docs.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    graft.streaming.StreamingStats.cardBatchStep(spark, one)(docs, 0L)
+    def rows(d: String) = graft.streaming.StreamingStats
+      .cardCurrent(spark, d).collect().map(_.toSeq).toSeq
+    val merged = rows(inc)
+    // every component merges to exactly the single-shot card: additive
+    // sums trivially, the fixed-grid median bin and union-keep-k KMV by
+    // construction — the whole point of the component choices
+    assert(merged === rows(one), "merged installments diverge from single-shot")
+    // sanity against the batch oracle query's exact fields
+    val card = SparkEntry.queries("pipe_dataset_card")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    merged.foreach { r =>
+      val b = card(r.head.asInstanceOf[String])
+      assert(r(1) === b.getAs[Long]("n_docs"))
+      assert(r(2) === b.getAs[Long]("n_tokens"))
+      assert(r(3) === b.getAs[Long]("mean_quality_milli"))
+      assert(r(4) === b.getAs[Long]("n_langs"))
+      assert(r(5) === b.getAs[String]("top_lang"))
+    }
+    // replay an installment: all four component partitions rewrite
+    // identically, the merged card cannot move
+    graft.streaming.StreamingStats.cardBatchStep(spark, inc)(
+      docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(rows(inc) === merged, "replayed batch changed the card")
+  }
+
   test("streaming KMV: empty registry honors a non-string group type") {
     val empty = java.nio.file.Files
       .createTempDirectory("graft_kmv_empty").toString
