@@ -2155,8 +2155,11 @@ object SparkEntry {
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
+      // maxDeg is THE cost lever: wedge volume is Σ min(deg, cap)², and
+      // on this co-purchase graph cap 128 (vs 256) cuts the wedge join
+      // ~4× while still admitting every meaningfully-connectable center
       graft.graph.GraphOps.linkPrediction(edges, "src", "dst",
-        maxDeg = 256, k = 50)
+        maxDeg = 128, k = 50)
     }),
 
     "w4_funnel" -> ((s, d) => {
@@ -4414,7 +4417,7 @@ object SparkEntry {
       graft.graph.GraphOps.linkPredictionSql(
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
-        maxDeg = 256, k = 50),
+        maxDeg = 128, k = 50),
 
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
