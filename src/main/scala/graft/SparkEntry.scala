@@ -1866,6 +1866,41 @@ object SparkEntry {
     // interpolation arithmetic exists to diverge between engines.
     // Bounds are catalog-sized (one row per attribute) and broadcast
     // back; the clamp is a pure projection.
+    // Robust anomaly counts per series via MAD (median absolute
+    // deviation — the robust twin of ts_zscore's mean/stddev, immune
+    // to the outliers it hunts): micro-quantized values, median and
+    // MAD both at EXACT integer ranks (two thin rank windows per
+    // series), anomaly gate dev > 3·MAD in pure integers.
+    "ts_mad_anomaly" -> ((s, d) => {
+      val pts = archiveDim(s, d).filter(col("value").isNotNull)
+        .groupBy("attribute_id", "timestamp")
+        .agg(min(col("value")).as("value"))
+        .withColumn("vq", expr("cast(floor(value * 1000000) as bigint)"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy("attribute_id")
+      val w1 = wp.orderBy(col("vq"), col("timestamp"))
+      val med = pts.withColumn("__r", row_number().over(w1))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .groupBy("attribute_id")
+        .agg(min(when(col("__r") === expr("(50 * __n) div 100 + 1"),
+          col("vq"))).as("med_micro"))
+      val dev = pts.join(broadcast(med), Seq("attribute_id"))
+        .withColumn("__dev", abs(col("vq") - col("med_micro")))
+      val w2 = wp.orderBy(col("__dev"), col("timestamp"))
+      val mad = dev.withColumn("__r", row_number().over(w2))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .groupBy("attribute_id")
+        .agg(min(when(col("__r") === expr("(50 * __n) div 100 + 1"),
+          col("__dev"))).as("mad_micro"))
+      dev.join(broadcast(mad), Seq("attribute_id"))
+        .groupBy("attribute_id")
+        .agg(count(lit(1)).as("n_points"),
+          min(col("med_micro")).as("median_micro"),
+          min(col("mad_micro")).as("mad_micro"),
+          sum(when(col("__dev") > lit(3L) * col("mad_micro"), lit(1L))
+            .otherwise(lit(0L))).as("n_anomalies"))
+        .orderBy("attribute_id")
+    }),
+
     "ts_winsorize" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("attribute_id").orderBy(col("value"), col("timestamp"))
@@ -4215,6 +4250,28 @@ object SparkEntry {
         "SELECT attribute_id, timestamp, value, " +
         "(value - pv) * 1000000.0 / CAST(epoch_us(timestamp) - epoch_us(pt) AS DOUBLE) AS rate_per_sec " +
         "FROM __l WHERE pv IS NOT NULL ORDER BY attribute_id, timestamp"),
+
+    "ts_mad_anomaly" ->
+      (s"WITH $archiveSqlCte, __pts AS (" +
+        "SELECT attribute_id, timestamp, CAST(floor(min(value) * 1000000) AS BIGINT) AS vq " +
+        "FROM archive WHERE value IS NOT NULL GROUP BY attribute_id, timestamp), " +
+        "__rk AS (SELECT attribute_id, timestamp, vq, " +
+        "row_number() OVER (PARTITION BY attribute_id ORDER BY vq, timestamp) AS r, " +
+        "CAST(count(*) OVER (PARTITION BY attribute_id) AS BIGINT) AS n FROM __pts), " +
+        "__med AS (SELECT attribute_id, min(CASE WHEN r = (50 * n) // 100 + 1 THEN vq END) AS med " +
+        "FROM __rk GROUP BY attribute_id), " +
+        "__dev AS (SELECT p.attribute_id, p.timestamp, m.med, abs(p.vq - m.med) AS dev " +
+        "FROM __pts p JOIN __med m ON p.attribute_id = m.attribute_id), " +
+        "__dr AS (SELECT attribute_id, med, dev, " +
+        "row_number() OVER (PARTITION BY attribute_id ORDER BY dev, timestamp) AS r, " +
+        "CAST(count(*) OVER (PARTITION BY attribute_id) AS BIGINT) AS n FROM __dev), " +
+        "__mad AS (SELECT attribute_id, min(CASE WHEN r = (50 * n) // 100 + 1 THEN dev END) AS mad " +
+        "FROM __dr GROUP BY attribute_id) " +
+        "SELECT d.attribute_id, CAST(count(*) AS BIGINT) AS n_points, " +
+        "min(d.med) AS median_micro, min(a.mad) AS mad_micro, " +
+        "CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies " +
+        "FROM __dev d JOIN __mad a ON d.attribute_id = a.attribute_id " +
+        "GROUP BY d.attribute_id ORDER BY d.attribute_id"),
 
     "ts_winsorize" ->
       (s"WITH $archiveSqlCte, __pts AS (" +
