@@ -2193,8 +2193,11 @@ object SparkEntry {
       // maxDeg is THE cost lever: wedge volume is Σ min(deg, cap)², and
       // on this co-purchase graph cap 128 (vs 256) cuts the wedge join
       // ~4× while still admitting every meaningfully-connectable center
+      // minCommon=2 drops the 81%-of-candidates common=1 tail before
+      // the anti/degree joins; top-50's weakest pair shares 4 (sf0.1),
+      // 10 (sf0.01), 57 (sf0.001) neighbors — parity spec in GraphOpsSpec
       graft.graph.GraphOps.linkPrediction(edges, "src", "dst",
-        maxDeg = 128, k = 50)
+        maxDeg = 128, k = 50, minCommon = 2)
     }),
 
     "w4_funnel" -> ((s, d) => {
@@ -4474,7 +4477,7 @@ object SparkEntry {
       graft.graph.GraphOps.linkPredictionSql(
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
-        maxDeg = 128, k = 50),
+        maxDeg = 128, k = 50, minCommon = 2),
 
     "w4_funnel" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
@@ -4582,7 +4585,7 @@ object SparkEntry {
 
     "a_rfm" ->
       ("WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o, " +
-        "count(*) AS frequency, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary_cents " +
+        "count(*) AS frequency, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents " +
         "FROM orders GROUP BY 1), " +
         "ref AS (SELECT max(o_orderdate) AS ref_d, " +
         "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders), " +

@@ -372,18 +372,30 @@ object GraphOps {
       .distinct()
       .localCheckpoint(false) // reused by every half-step
     // loud guard for the documented headroom: (in+out) degree bounds
-    // both half-steps' fan-in, so max over the union is conservative
-    val maxDeg = e.select(col("src").as("id"))
+    // both half-steps' fan-in, so max over the union is conservative.
+    // Folded into the plan as an assert_true filter over a broadcast
+    // 1-row degree aggregate — the check costs no SEPARATE driver-side
+    // job (the first draft ran a full degree count + first() at every
+    // construction) and fires before results can silently wrap BIGINT.
+    // It still surfaces during construction when AQE materializes the
+    // loop's localCheckpoint stages — inherent to the per-round
+    // checkpoint discipline, not to this guard
+    val degGuard = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .groupBy("id").count()
-      .agg(coalesce(max("count"), lit(0L))).first().getLong(0)
-    require(maxDeg < 9000000L,
-      s"hits() integer rescale overflows BIGINT beyond max degree ~9e6; " +
-        s"this graph's max (in+out) degree is $maxDeg")
+      .agg(coalesce(max("count"), lit(0L)).as("__maxdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(false)
-    var state = nodes.withColumn("hub", lit(PrScale)).withColumn("auth", lit(PrScale))
+    var state = nodes.crossJoin(broadcast(degGuard))
+      .filter(coalesce(
+        assert_true(col("__maxdeg") < lit(9000000L),
+          concat(lit("hits() integer rescale overflows BIGINT beyond max " +
+            "degree ~9e6; this graph's max (in+out) degree is "),
+            col("__maxdeg"))),
+        lit(true)))
+      .drop("__maxdeg")
+      .withColumn("hub", lit(PrScale)).withColumn("auth", lit(PrScale))
     for (_ <- 1 to iters) {
       val araw = e.join(hint(state.select(col("id").as("src"), col("hub"))), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__raw"))
@@ -531,15 +543,44 @@ object GraphOps {
     * near-zero signal per pair and quadratic cost; skipping them is
     * standard). Everything else is equi-joins on vertex ids + one
     * combinable groupBy; the existing-edge filter is a left-anti join,
-    * and top-k is TakeOrdered, never a global sort. */
+    * and top-k is TakeOrdered, never a global sort.
+    *
+    * `minCommon` prunes the candidate table BETWEEN the wedge-count
+    * aggregation and everything downstream (anti-join, degree joins,
+    * top-k). Default 1 = exact. It exists because the candidate table,
+    * not the wedge join, is the downstream volume: on the sf0.1
+    * co-purchase graph 81% of the 60M candidates have common=1 while
+    * the top-50's weakest pair shares 4 neighbors — a threshold of 2
+    * drops 49M rows from three joins without touching the result
+    * (parity pinned by `GraphOpsSpec`; the pinned query keeps the
+    * oracle twin in lockstep so the gate would catch drift).
+    *
+    * `packIds` (default true) packs the canonical pair `(a, b)` into
+    * ONE BIGINT `a·2³² + b` before the wedge shuffle — the hot stage:
+    * the shuffle key halves (8 bytes vs 16) and the aggregation takes
+    * Spark's single-long-key fast hash map; the anti-join runs on the
+    * packed key too and the pair is unpacked only for the ≥minCommon
+    * survivors. Requires ids in [0, 2³¹) — ENFORCED by a per-row
+    * assert_true on the canonical edge set, so an out-of-domain graph
+    * fails loudly with instructions to pass `packIds = false` (the
+    * identical-result two-key path) instead of corrupting packs. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      maxDeg: Int = 256, k: Int = 50): DataFrame = {
-    val u = edges.select(col(srcCol).cast("long").as("__s"),
+      maxDeg: Int = 256, k: Int = 50, minCommon: Int = 1,
+      packIds: Boolean = true): DataFrame = {
+    val u0 = edges.select(col(srcCol).cast("long").as("__s"),
         col(dstCol).cast("long").as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
       .select(least(col("__s"), col("__d")).as("a"),
         greatest(col("__s"), col("__d")).as("b"))
       .distinct()
+    // every id anywhere downstream (adjacency, wedges, anti-join) flows
+    // through the canonical edge set, so one guard here covers them all
+    val u = (if (packIds) u0.filter(coalesce(assert_true(
+        col("a") >= 0L && col("b") < 2147483648L,
+        concat(lit("linkPrediction packIds=true requires vertex ids in " +
+          "[0, 2^31); found edge ("), col("a"), lit(", "), col("b"),
+          lit(") — pass packIds = false for wide id domains"))), lit(true)))
+      else u0)
       .localCheckpoint(false) // reused: adjacency (×2), degrees, anti-join
     val adj = u.select(col("a").as("v"), col("b").as("n"))
       .union(u.select(col("b").as("v"), col("a").as("n")))
@@ -547,11 +588,25 @@ object GraphOps {
       .localCheckpoint(false) // reused: center cap + both endpoint joins
     val small = adj.join(deg.filter(col("dg") <= maxDeg), Seq("v"))
       .select("v", "n")
-    val wedges = small.as("x").join(small.as("y"),
-        col("x.v") === col("y.v") && col("x.n") < col("y.n"))
-      .select(col("x.n").as("a"), col("y.n").as("b"))
-    wedges.groupBy("a", "b").agg(count(lit(1)).as("common"))
-      .join(u, Seq("a", "b"), "left_anti")
+    val wedgePairs = small.as("x").join(small.as("y"),
+      col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+    val candidates = if (packIds) {
+      val packed = wedgePairs
+        .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("common"))
+        .filter(col("common") >= minCommon)
+      packed
+        .join(u.select((shiftleft(col("a"), 32) + col("b")).as("p")),
+          Seq("p"), "left_anti")
+        .select(shiftright(col("p"), 32).as("a"),
+          col("p").bitwiseAND(lit(4294967295L)).as("b"), col("common"))
+    } else {
+      wedgePairs.select(col("x.n").as("a"), col("y.n").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+        .filter(col("common") >= minCommon)
+        .join(u, Seq("a", "b"), "left_anti")
+    }
+    candidates
       .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
       .withColumn("jaccard", col("common").cast("double") /
@@ -561,8 +616,10 @@ object GraphOps {
   }
 
   /** Oracle twin of [[linkPrediction]]: same canonical undirected set,
-    * same maxDeg center cap, same anti-join and tie-broken top-k. */
-  def linkPredictionSql(edgesSql: String, maxDeg: Int = 256, k: Int = 50): String =
+    * same maxDeg center cap, same minCommon candidate floor, same
+    * anti-join and tie-broken top-k. */
+  def linkPredictionSql(edgesSql: String, maxDeg: Int = 256, k: Int = 50,
+      minCommon: Int = 1): String =
     s"""WITH __raw AS (
        |  SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
        |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
@@ -578,6 +635,7 @@ object GraphOps {
        |  SELECT x.n AS a, y.n AS b FROM __sm x JOIN __sm y ON x.v = y.v AND x.n < y.n
        |), __c AS (
        |  SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM __w GROUP BY a, b
+       |  HAVING count(*) >= $minCommon
        |), __ne AS (
        |  SELECT c.a, c.b, c.common FROM __c c
        |  LEFT JOIN __u u ON u.a = c.a AND u.b = c.b WHERE u.a IS NULL

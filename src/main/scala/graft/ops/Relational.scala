@@ -423,7 +423,10 @@ object Relational {
   def bandJoin(left: DataFrame, right: DataFrame, key: String,
       lValCol: String, rValCol: String, eps: Long): DataFrame = {
     require(eps >= 1, s"eps must be >= 1 integer unit, got $eps")
-    def cellOf(c: String) = expr(s"($c - pmod($c, $eps)) / $eps").cast("long")
+    // (c - pmod(c, eps)) is exactly divisible by eps, so integer `div`
+    // is exact and negative-safe; SQL '/' would be DOUBLE division,
+    // inexact past 2^53 — breaking the all-integer contract
+    def cellOf(c: String) = expr(s"($c - pmod($c, $eps)) div $eps")
     val l = left.withColumn("__cell", cellOf(lValCol))
     val r = right.withColumn("__rc", cellOf(rValCol))
       .withColumn("__cell",

@@ -112,25 +112,23 @@ object StreamingAttribution {
     * replay would see its own clicks through the base (the same
     * frontier caveat as the dedup registries). The fold is staged in a
     * dot-prefixed directory (invisible to partition discovery) and
-    * swapped in only after the folded partitions are removed, so a
-    * concurrent reader never sees a user twice. */
+    * installed via the loss-safe [[RegistryFs.swapBase]] order — park
+    * the old base, rename the fold in (results checked), only then
+    * prune the folded partitions. A crash mid-swap leaves at worst
+    * transient DUPLICATE claims, which the latest-per-user fold absorbs
+    * and a re-compaction removes; the first draft's prune-then-rename
+    * order instead had a window that lost the whole folded history. */
   def compactRegistry(spark: SparkSession, registryDir: String,
       upToBatchId: Long): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(registryDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryFs.recover(fs, dirPath)
     val latest = latestPerUser(
       readRegistry(spark, registryDir).filter(col("batch_id") < upToBatchId)
         .select("user_id", "ts", "event_id", "k"))
-    val staging = new org.apache.hadoop.fs.Path(dirPath, ".compact-staging")
-    latest.write.mode("overwrite").parquet(staging.toString)
-    fs.listStatus(dirPath).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("batch_id=") &&
-          n.stripPrefix("batch_id=").toLong < upToBatchId)
-        fs.delete(st.getPath, true)
-    }
-    fs.rename(staging, new org.apache.hadoop.fs.Path(dirPath, "batch_id=-1"))
-    ()
+    latest.write.mode("overwrite")
+      .parquet(RegistryFs.staging(dirPath).toString)
+    RegistryFs.swapBase(fs, dirPath, upToBatchId)
   }
 
   /** Continuous form: foreachBatch over the registry table. */

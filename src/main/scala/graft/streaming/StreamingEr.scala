@@ -103,21 +103,38 @@ object StreamingEr {
   /** Table maintenance, IN PLACE (the [[StreamingAttribution]]
     * compaction discipline): fold every `batch_id < upToBatchId`
     * registry partition into ONE base partition `batch_id=-1` whose
-    * entity labels are already RESOLVED through the merge log, and
-    * delete the folded registry and merge partitions — the fold IS the
-    * prune, and post-compaction the merge log is empty for the folded
-    * range because the base carries final labels. Subsequent
-    * [[batchStep]]s read the base through the existing strictly-earlier
-    * scan with no extra wiring; resolution semantics are unchanged
-    * because a component's resolved label is its min record id, exactly
-    * what a fresh arrival would have produced. `upToBatchId` must be at
-    * or below the checkpoint frontier (a replayable batch must keep its
+    * entity labels are already RESOLVED through the folded range of the
+    * merge log, and prune the folded registry and merge partitions.
+    * Resolution semantics are unchanged because a component's resolved
+    * label is its min record id, exactly what a fresh arrival would
+    * have produced.
+    *
+    * The folded merge information is NOT destroyed: the fold's closure
+    * mapping (old label → final label) is written as the merge log's
+    * own `batch_id=-1` base partition. This is what keeps a compaction
+    * at `upToBatchId` BELOW the latest batch sound — registry
+    * partitions and merge rows at or past the frontier still reference
+    * pre-frontier arrival-time labels (e.g. a batch-2 merge `20 → 5`
+    * written when record 20 carried arrival label 20), and only the
+    * retained mapping reconnects them to the rewritten base (the first
+    * draft deleted the folded merges outright, splitting exactly such
+    * entities). On re-compaction both bases are inside the
+    * `batch_id < upToBatchId` read, so the mapping composes.
+    *
+    * Crash-safety: both folds are staged fully before any destructive
+    * step, then installed via [[RegistryFs.swapBase]] (park → rename →
+    * prune, rename results checked); [[RegistryFs.recover]] repairs a
+    * previously interrupted run first. `upToBatchId` must be at or
+    * below the checkpoint frontier (a replayable batch must keep its
     * own partitions). */
   def compactRegistry(spark: SparkSession, registryDir: String,
       mergeDir: String, idCol: String, upToBatchId: Long): Unit = {
     val regPath = new org.apache.hadoop.fs.Path(registryDir)
     val mrgPath = new org.apache.hadoop.fs.Path(mergeDir)
     val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(mrgPath)
+    RegistryFs.recover(fs, regPath)
+    RegistryFs.recover(fs, mrgPath)
     val reg = spark.read.option("basePath", registryDir).parquet(registryDir)
       .filter(col("batch_id") < upToBatchId).drop("batch_id")
     val merges = readMerges(spark, mergeDir)
@@ -130,19 +147,14 @@ object StreamingEr {
     val resolved = reg.join(broadcast(closed), Seq("entity"), "left")
       .withColumn("entity", coalesce(col("__final"), col("entity")))
       .drop("__final")
-    val staging = new org.apache.hadoop.fs.Path(regPath, ".compact-staging")
-    resolved.write.mode("overwrite").parquet(staging.toString)
-    def prune(dir: org.apache.hadoop.fs.Path): Unit =
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLong < upToBatchId)
-          fs.delete(st.getPath, true)
-      }
-    prune(regPath)
-    prune(mrgPath)
-    fs.rename(staging, new org.apache.hadoop.fs.Path(regPath, "batch_id=-1"))
-    ()
+    resolved.write.mode("overwrite")
+      .parquet(RegistryFs.staging(regPath).toString)
+    // the retained closure: old label → final label, merge-log-sized
+    closed.filter(col("entity") =!= col("__final"))
+      .select(col("entity"), col("__final").as("into"))
+      .write.mode("overwrite").parquet(RegistryFs.staging(mrgPath).toString)
+    RegistryFs.swapBase(fs, regPath, upToBatchId)
+    RegistryFs.swapBase(fs, mrgPath, upToBatchId)
   }
 
   /** Current (id, entity) for everything seen so far: arrival-time

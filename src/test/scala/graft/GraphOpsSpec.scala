@@ -158,6 +158,49 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("linkPrediction: minCommon=2 is a pure pre-filter — top-k parity with exact on the co-purchase graph") {
+    // the pinned g_linkpred lever: the common=1 tail (81% of sf0.1
+    // candidates) can never reach the top-50 on this graph (weakest
+    // top-50 pair shares 57 neighbors at sf0.001, 10 at sf0.01, 4 at
+    // sf0.1) — assert exact-result identity at the spec scale so any
+    // future data/graph drift that makes the floor lossy fails HERE,
+    // not silently in a changed ranking
+    import graft.model.Tables
+    val li = Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+    val copurchase = li.select(col("ok"), col("l_partkey").as("src"))
+      .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    def run(mc: Int, pack: Boolean = true) =
+      GraphOps.linkPrediction(copurchase, "src", "dst",
+        maxDeg = 128, k = 50, minCommon = mc, packIds = pack)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(2) === run(1),
+      "minCommon=2 changed the exact top-50 — the pinned floor is lossy on this graph")
+    // the packed single-BIGINT pair key is a pure impl detail: identical
+    // results to the two-key path
+    assert(run(2) === run(2, pack = false),
+      "packIds=true diverged from the two-key path")
+    // and a deliberately lossy floor on a tiny crafted graph DOES differ
+    // (the spec has teeth): star 1-{2,3} plus chain — pair (2,3) has
+    // common=1 and is the only candidate
+    val tiny = edges(Seq((1L, 2L), (1L, 3L)))
+    assert(GraphOps.linkPrediction(tiny, "src", "dst").count() === 1L)
+    assert(GraphOps.linkPrediction(tiny, "src", "dst", minCommon = 2).isEmpty)
+    // an id outside [0, 2^31) must fail LOUDLY under packing (silently
+    // corrupt packs would mis-join), and work under packIds=false
+    val wide = edges(Seq((1L, 5000000000L), (2L, 5000000000L)))
+    val ex = intercept[Exception] {
+      GraphOps.linkPrediction(wide, "src", "dst").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("packIds")), s"guard lost: ${msgs(ex)}")
+    assert(GraphOps.linkPrediction(wide, "src", "dst", packIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
   test("pageRank: duplicate and null edges are ignored; determinism under repartition") {
     val base = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 1L), (1L, 3L))), "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -396,13 +396,21 @@ class RobustnessSpec extends SparkSpec {
   test("hits: a graph past the integer-rescale degree headroom fails loudly") {
     // 9,000,001 in-edges on one node: past the documented ~9e6 bound the
     // rescale would wrap BIGINT under non-ANSI arithmetic and silently
-    // corrupt rankings — the guard must reject it instead
+    // corrupt rankings — the guard must reject it instead. The guard is
+    // an assert_true folded into the PLAN (the advisor's lazy form): it
+    // costs no separate driver-side degree job; it surfaces wherever
+    // the plan's stages first materialize (AQE materializes the loop's
+    // localCheckpoint stages during construction), always carrying the
+    // diagnostic bound
     val star = spark.range(1L, 9000002L)
       .select(col("id").as("src"), lit(0L).as("dst"))
-    val ex = intercept[IllegalArgumentException] {
-      graft.graph.GraphOps.hits(star, "src", "dst", iters = 1)
+    val ex = intercept[Exception] {
+      graft.graph.GraphOps.hits(star, "src", "dst", iters = 1).collect()
     }
-    assert(ex.getMessage.contains("max degree"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("max (in+out) degree")),
+      s"overflow guard message lost: ${msgs(ex).mkString(" | ")}")
   }
 
   test("round-7 operators: degenerate inputs degrade to empty/null, never fail") {
