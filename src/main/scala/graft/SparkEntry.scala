@@ -2105,6 +2105,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // WEIGHTED PageRank on the same co-purchase graph: each raw pair
+    // row carries w=1 and parallel edges fold to their multiplicity,
+    // so score flows proportionally to co-purchase COUNT — ranking by
+    // strength, not presence. Same superstep shape as g_pagerank.
+    "g_pagerank_w" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w", lit(1L))
+      graft.graph.GraphOps.pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+        .orderBy(col("score").desc, col("id")).limit(50)
+    }),
+
+    // Weighted label propagation (2 rounds): communities by
+    // co-purchase strength — a node adopts the label with the largest
+    // incident multiplicity sum, (max weight, min label) tie-break.
+    "g_lpa_w" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w", lit(1L))
+      graft.graph.GraphOps.labelPropagationWeighted(edges, "src", "dst", "w",
+        iters = 2).orderBy("id")
+    }),
+
     // Exact triangle census of the same graph: degree-oriented wedge
     // join (out-degree capped at O(√m) — hub-proof) + a closure
     // semi-join; (edges, wedges, triangles) as exact BIGINTs.
@@ -2196,8 +2225,11 @@ object SparkEntry {
       // minCommon=2 drops the 81%-of-candidates common=1 tail before
       // the anti/degree joins; top-50's weakest pair shares 4 (sf0.1),
       // 10 (sf0.01), 57 (sf0.001) neighbors — parity spec in GraphOpsSpec
+      // broadcastGraph: the packed edge set here is ~1M 8-byte keys —
+      // catalog-sized next to the wedge stream, so the anti/degree
+      // joins ship it instead of shuffling every candidate pair
       graft.graph.GraphOps.linkPrediction(edges, "src", "dst",
-        maxDeg = 128, k = 50, minCommon = 2)
+        maxDeg = 128, k = 50, minCommon = 2, broadcastGraph = true)
     }),
 
     "w4_funnel" -> ((s, d) => {
@@ -4433,6 +4465,18 @@ object SparkEntry {
     "g_lpa" ->
       (s"SELECT * FROM (${graft.graph.GraphOps.labelPropagationSql(
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        iters = 2)}) ORDER BY id"),
+
+    "g_pagerank_w" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.pageRankWeightedSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, 1 AS w FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        iters = 3)}) ORDER BY score DESC, id LIMIT 50"),
+
+    "g_lpa_w" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.labelPropagationWeightedSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, 1 AS w FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         iters = 2)}) ORDER BY id"),
 

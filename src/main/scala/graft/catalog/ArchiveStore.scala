@@ -1,7 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,7 +22,21 @@ object ArchiveStore {
     * partition column). */
   val cols: Seq[String] = Seq("attribute_id", "timestamp", "value")
 
-  def exists(path: String): Boolean = Files.exists(Paths.get(path, "_SUCCESS"))
+  /** Hadoop FileSystem for `path`, so every probe and directory sweep in
+    * this store works identically on local disk, HDFS, or an object
+    * store (same discipline as [[graft.api.GraftApi.cleanupExports]]). */
+  private def hadoopFs(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = hadoopFs(path)
+    fs.exists(new HPath(p, "_SUCCESS"))
+  }
 
   /** Logical-schema read (partition column dropped); empty frame with the
     * batch's own types when nothing has been written yet. */
@@ -57,11 +70,12 @@ object ArchiveStore {
     val toCompact: Seq[String] =
       if (dates.nonEmpty) dates
       else {
-        val root = new java.io.File(path)
-        root.listFiles().toSeq
-          .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
-          .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerDate)
-          .map(_.getName.stripPrefix("p_date="))
+        val (fs, root) = hadoopFs(path)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_date="))
+          .filter(st => fs.listStatus(st.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerDate)
+          .map(_.getPath.getName.stripPrefix("p_date="))
       }
     if (toCompact.isEmpty) return
     val rows = spark.read.parquet(path)

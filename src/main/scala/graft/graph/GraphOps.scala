@@ -341,6 +341,162 @@ object GraphOps {
        |SELECT id, outdeg, score FROM __s$iters""".stripMargin
   }
 
+  /** WEIGHTED PageRank: [[pageRank]] with an integer edge-weight
+    * column — each node distributes its score proportionally to edge
+    * weight, `(score · w) div wsum` per out-edge, the first ask of a
+    * user ranking co-purchase STRENGTH rather than presence. Parallel
+    * edges fold into their weight sum (so a raw co-occurrence pair
+    * list with w=1 ranks by multiplicity); rows with NULL or
+    * non-positive weight are dropped; dangling = no positive
+    * out-weight. All arithmetic stays exact BIGINT: the per-edge
+    * product needs `score · max(w) < 2^63`, comfortable for micro-unit
+    * scores (≤ ~10^6·|V|) and weights below ~10^6 — keep weights in
+    * counts or micro-units, not raw cents of a 100 TB ledger.
+    *
+    * Scale shape: identical to [[pageRank]] — the weighted edge table
+    * (one row per distinct pair after the fold) is checkpointed once;
+    * each superstep joins it with the broadcast (id, score, wsum)
+    * state and lands one combinable sum on dst. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 3,
+      broadcastState: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint(false) // reused by every superstep
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outw = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
+    val base = nodes.join(hint(outw), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outw"), lit(0L)).as("outw"))
+      .localCheckpoint(false)
+    var state = base.withColumn("score", lit(PrScale))
+    for (_ <- 1 to iters) {
+      // weighted contribution is per-EDGE ((score·w) div wsum), so the
+      // state carries (score, outw) into the join instead of a
+      // precomputed per-node quotient — still |V|-thin, still broadcast
+      val insum = e.join(
+        hint(state.filter(col("outw") > 0)
+          .select(col("id").as("src"), col("score"), col("outw"))),
+        Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("(score * w) div outw")).as("__insum"))
+      state = base.join(hint(insum), Seq("id"), "left")
+        .select(col("id"), col("outw"),
+          (lit(PrScale * 3 / 20) +
+            expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("score"))
+        .localCheckpoint(false) // the per-round O(iters²) guard
+    }
+    state.select("id", "outw", "score")
+  }
+
+  /** Oracle twin of [[pageRankWeighted]]: identical supersteps as
+    * chained CTEs — same weight fold, same `(score·w) // wsum`
+    * flooring, same dangling handling. `edgesSql` must yield
+    * (src, dst, w). */
+  def pageRankWeightedSql(edgesSql: String, iters: Int = 3): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__s$i AS (
+         |  SELECT d.id, d.outw,
+         |         CAST(${PrScale * 3 / 20} AS BIGINT) + (17 * coalesce(t.insum, CAST(0 AS BIGINT))) // 20 AS score
+         |  FROM __d d LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum((s.score * e.w) // s.outw) AS BIGINT) AS insum
+         |    FROM __e e JOIN __s${i - 1} s ON e.src = s.id AND s.outw > 0
+         |    GROUP BY e.dst) t ON d.id = t.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __e AS (
+       |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       |         CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS w
+       |  FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
+       |  GROUP BY 1, 2
+       |), __n AS (
+       |  SELECT src AS id FROM __e UNION SELECT dst FROM __e
+       |), __d AS (
+       |  SELECT n.id, coalesce(o.c, CAST(0 AS BIGINT)) AS outw
+       |  FROM __n n LEFT JOIN (
+       |    SELECT src, CAST(sum(w) AS BIGINT) AS c FROM __e GROUP BY src) o
+       |  ON n.id = o.src
+       |), __s0 AS (
+       |  SELECT id, outw, CAST($PrScale AS BIGINT) AS score FROM __d
+       |), $steps
+       |SELECT id, outw, score FROM __s$iters""".stripMargin
+  }
+
+  /** WEIGHTED label propagation: [[labelPropagation]] where a node
+    * adopts the label with the greatest incident WEIGHT sum (ties →
+    * smallest label) — communities by interaction strength, not edge
+    * presence. Edges symmetrize and parallel edges fold into their
+    * weight sum; NULL/non-positive weights drop. Same per-round shape:
+    * one thin equi-join, two combinable aggregates, no window sort. */
+  def labelPropagationWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int = 2,
+      broadcastState: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val sym = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v") && col("w") > 0)
+    val e = sym.select(col("u"), col("v"), col("w"))
+      .union(sym.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("u").as("id")).distinct()
+      .localCheckpoint(false)
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      val best = e.join(hint(labels.select(col("id").as("v"), col("label"))), Seq("v"))
+        .groupBy(col("u").as("id"), col("label")).agg(sum("w").as("__n"))
+        .groupBy("id")
+        .agg(min(struct((-col("__n")).as("negn"), col("label").as("l"))).as("__b"))
+        .select(col("id"), col("__b.l").as("label"))
+      labels = nodes.join(hint(best), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** Oracle twin of [[labelPropagationWeighted]]. `edgesSql` must
+    * yield (src, dst, w). */
+  def labelPropagationWeightedSql(edgesSql: String, iters: Int = 2): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__l$i AS (
+         |  SELECT n.id, coalesce(b.label, n.id) AS label
+         |  FROM __nodes n LEFT JOIN (
+         |    SELECT id, (min(struct_pack(negn := -n, l := label))).l AS label FROM (
+         |      SELECT e.u AS id, s.label, CAST(sum(e.w) AS BIGINT) AS n
+         |      FROM __e e JOIN __l${i - 1} s ON e.v = s.id
+         |      GROUP BY e.u, s.label
+         |    ) GROUP BY id) b ON n.id = b.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __sym AS (
+       |  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v,
+       |         CAST(w AS BIGINT) AS w
+       |  FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst AND w > 0
+       |), __e AS (
+       |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT u, v, w FROM __sym UNION ALL SELECT v, u, w FROM __sym)
+       |  GROUP BY 1, 2
+       |), __nodes AS (
+       |  SELECT DISTINCT u AS id FROM __e
+       |), __l0 AS (
+       |  SELECT id, id AS label FROM __nodes
+       |), $steps
+       |SELECT id, label FROM __l$iters""".stripMargin
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999), `iters` rounds
     * unrolled over a DIRECTED edge list, in integer micro-units with
     * max-normalization after each half-step: auth ← Σ hub over
@@ -566,7 +722,15 @@ object GraphOps {
     * identical-result two-key path) instead of corrupting packs. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
       maxDeg: Int = 256, k: Int = 50, minCommon: Int = 1,
-      packIds: Boolean = true): DataFrame = {
+      packIds: Boolean = true, broadcastGraph: Boolean = false): DataFrame = {
+    // broadcastGraph: ship the packed edge set into the anti-join and
+    // the degree table into the endpoint joins instead of shuffling the
+    // candidate stream — right whenever the EDGE LIST fits a broadcast
+    // (thin 8-byte packed keys; ~8 MB per million edges), which is the
+    // same catalog-size contract as [[pageRank]]'s broadcastState. On a
+    // billion-edge graph leave it false: candidates then shuffle on the
+    // packed key they are already aggregated by.
+    def ghint(df: DataFrame): DataFrame = if (broadcastGraph) broadcast(df) else df
     val u0 = edges.select(col(srcCol).cast("long").as("__s"),
         col(dstCol).cast("long").as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
@@ -596,7 +760,7 @@ object GraphOps {
         .groupBy("p").agg(count(lit(1)).as("common"))
         .filter(col("common") >= minCommon)
       packed
-        .join(u.select((shiftleft(col("a"), 32) + col("b")).as("p")),
+        .join(ghint(u.select((shiftleft(col("a"), 32) + col("b")).as("p"))),
           Seq("p"), "left_anti")
         .select(shiftright(col("p"), 32).as("a"),
           col("p").bitwiseAND(lit(4294967295L)).as("b"), col("common"))
@@ -604,11 +768,11 @@ object GraphOps {
       wedgePairs.select(col("x.n").as("a"), col("y.n").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("common"))
         .filter(col("common") >= minCommon)
-        .join(u, Seq("a", "b"), "left_anti")
+        .join(ghint(u), Seq("a", "b"), "left_anti")
     }
     candidates
-      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+      .join(ghint(deg.select(col("v").as("a"), col("dg").as("da"))), Seq("a"))
+      .join(ghint(deg.select(col("v").as("b"), col("dg").as("db"))), Seq("b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("da") + col("db") - col("common")).cast("double"))
       .select("a", "b", "common", "da", "db", "jaccard")

@@ -216,6 +216,29 @@ class CatalogApiSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compact discovery runs through the Hadoop FileSystem: URI paths work") {
+    val (_, cat) = freshApi()
+    val sess = spark
+    import sess.implicits._
+    for (v <- 1 to 3)
+      cat.appendArchive(Seq((v, ts(s"2024-03-01 0$v:00:00"), v.toDouble))
+        .toDF("attribute_id", "timestamp", "value"))
+    val root = new java.io.File(new java.net.URI(cat.archive.inputFiles.head))
+      .getParentFile.getParentFile
+    def partFiles(date: String): Set[String] =
+      new java.io.File(root, s"p_date=$date").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(partFiles("2024-03-01").size === 3)
+    val before = cat.archive.orderBy("timestamp", "attribute_id").collect().toSeq
+    // a scheme-qualified URI is what HDFS/S3 deployments pass; the old
+    // java.io.File discovery silently found zero partitions for these
+    graft.catalog.ArchiveStore.compact(spark,
+      "file:" + root.getAbsolutePath, maxFilesPerDate = 2)
+    assert(partFiles("2024-03-01").size === 1)
+    val after = cat.archive.orderBy("timestamp", "attribute_id").collect().toSeq
+    assert(after === before)
+  }
+
   test("api: lookup exact vs wildcard, generic table export filters") {
     val (api, cat) = freshApi()
     cat.insertElement("Boiler")

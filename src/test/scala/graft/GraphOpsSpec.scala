@@ -31,6 +31,66 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(3L) === ((1L, 150000L)))
   }
 
+  private def wedges(rows: Seq[(Long, Long, Long)]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  test("pageRankWeighted: uniform weights on distinct edges reproduce the unweighted scores") {
+    val rows = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (4L, 2L))
+    val unw = GraphOps.pageRank(edges(rows), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // any uniform positive weight: contributions (score·w) div (deg·w)
+    // still floor to score div deg edge-for-edge only when w divides...
+    // it does NOT in general — but w=1 is exactly the unweighted update
+    val w1 = GraphOps.pageRankWeighted(wedges(rows.map { case (s, d) => (s, d, 1L) }),
+      "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w1 === unw)
+  }
+
+  test("pageRankWeighted: weight folds parallel edges and shifts mass to the heavy edge") {
+    // 1 sends to 2 (w=3, two parallel rows folded) and 3 (w=1):
+    // outw=4, score 1e6 → 2 receives (1e6·3) div 4 = 750000, 3 gets
+    // 250000; one iteration lands 150000 + (17·in) div 20
+    val out = GraphOps.pageRankWeighted(
+      wedges(Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L))), "src", "dst", "w",
+      iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(2L) === ((0L, 150000L + 17L * 750000L / 20L)))
+    assert(out(3L) === ((0L, 150000L + 17L * 250000L / 20L)))
+    assert(out(1L) === ((4L, 150000L))) // nothing points at 1
+  }
+
+  test("pageRankWeighted: null and non-positive weights drop; all-dropped graph is empty") {
+    val out = GraphOps.pageRankWeighted(
+      wedges(Seq((1L, 2L, 5L), (2L, 3L, 0L), (3L, 1L, -4L))), "src", "dst", "w",
+      iters = 1).collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L)) // only the w=5 edge survives
+  }
+
+  test("labelPropagationWeighted: uniform weights reproduce unweighted; a heavy edge overrides count") {
+    val rows = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L))
+    val unw = GraphOps.labelPropagation(edges(rows), "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = GraphOps.labelPropagationWeighted(
+      wedges(rows.map { case (u, v) => (u, v, 1L) }), "src", "dst", "w", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === unw)
+    // node 5 has TWO unit edges into the {1,2} side and ONE w=10 edge
+    // to 9: weighted LPA must pull 5 toward 9's label after round 1
+    val heavy = GraphOps.labelPropagationWeighted(
+      wedges(Seq((5L, 1L, 1L), (5L, 2L, 1L), (5L, 9L, 10L))), "src", "dst", "w",
+      iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(heavy(5L) === 9L)
+    val counted = GraphOps.labelPropagation(
+      edges(Seq((5L, 1L), (5L, 2L), (5L, 9L))), "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counted(5L) === 1L) // unweighted: two unit neighbors win
+  }
+
   test("triangleCount: K3 has one triangle, C4 none, K4 has four; duplicates/direction ignored") {
     def counts(rows: Seq[(Long, Long)]): (Long, Long, Long) = {
       val r = GraphOps.triangleCount(edges(rows), "src", "dst").head
