@@ -66,6 +66,34 @@ object DevSpot {
           val model = Similarity.ivfPqIndex(emb, 64)
           model.index.agg(sum(element_at(col("__pos"), 1)))
             .collect()(0).getLong(0)
+        case Array("bandfact") =>
+          // fact-scale probe for bandJoin: o_band_join's SparkEntry form
+          // reads fixed dims (flat at 100× by fixture design), so the
+          // honest scale point is the same operator over the events fact
+          // table — purchases vs clicks banded within a user, ±1 unit of
+          // quantized value. Fan-out is bounded per user.
+          val ev = Tables.events(spark, sfDir)
+            .select(col("user_id"), col("event_type"),
+              expr("cast(floor(value * 100) as bigint)").as("cents"))
+          val l = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("cents").as("l_cents"))
+          val r = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("cents").as("r_cents"))
+          graft.ops.Relational.bandJoin(l, r, "user_id",
+            "l_cents", "r_cents", eps = 100L).count()
+        case Array("cdcfact") =>
+          // fact-scale probe for snapshotDiff: j_cdc's form diffs the
+          // fixed customer dim; here the same operator diffs two derived
+          // versions of the events fact (drop ~1%, relabel ~8%) — one
+          // full-outer key join at fact cardinality.
+          val v1 = Tables.events(spark, sfDir)
+            .select(col("event_id"), col("event_type"), col("value"))
+          val v2 = v1.filter(col("event_id") % 97 =!= 0)
+            .withColumn("event_type",
+              when(col("event_id") % 13 === 0, lit("MOVED"))
+                .otherwise(col("event_type")))
+          graft.ops.Relational.snapshotDiff(v1, v2, Seq("event_id"),
+            Seq("event_type", "value")).count()
         case other => sys.error(s"unknown spec ${other.mkString(":")}")
       }
       println(f"SPOT $spec rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")

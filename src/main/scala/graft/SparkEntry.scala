@@ -2134,6 +2134,25 @@ object SparkEntry {
         iters = 2).orderBy("id")
     }),
 
+    // Personalized PageRank on the co-purchase graph: teleport mass
+    // lands only on Brand#11's parts, so scores rank every part by
+    // proximity to that brand's co-purchase neighborhood — the
+    // related-items primitive. Top-50 by score (seeds excluded to
+    // surface the EXPANSION, not the seeds themselves).
+    "g_ppr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("id"))
+      graft.graph.GraphOps.personalizedPageRank(edges, "src", "dst",
+          seeds, "id", iters = 3)
+        .filter(col("is_seed") === 0 && col("score") > 0)
+        .orderBy(col("score").desc, col("id")).limit(50)
+    }),
+
     // Exact triangle census of the same graph: degree-oriented wedge
     // join (out-degree capped at O(√m) — hub-proof) + a closure
     // semi-join; (edges, wedges, triangles) as exact BIGINTs.
@@ -4479,6 +4498,14 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst, 1 AS w FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         iters = 2)}) ORDER BY id"),
+
+    "g_ppr" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.personalizedPageRankSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        "SELECT p_partkey AS id FROM part WHERE p_brand = 'Brand#11'",
+        iters = 3)}) WHERE is_seed = 0 AND score > 0 " +
+        "ORDER BY score DESC, id LIMIT 50"),
 
     "g_triangles" ->
       graft.graph.GraphOps.triangleCountSql(

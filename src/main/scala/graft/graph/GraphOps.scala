@@ -341,6 +341,96 @@ object GraphOps {
        |SELECT id, outdeg, score FROM __s$iters""".stripMargin
   }
 
+  /** PERSONALIZED PageRank: [[pageRank]] where the teleport mass lands
+    * only on a SEED set — "rank relative to these nodes", the primitive
+    * behind related-item panels, seed-expanded audiences and
+    * topic-conditioned crawl frontiers. Each seed receives the same
+    * fixed teleport `0.15·scale` per round that [[pageRank]] gives
+    * every node; non-seeds receive 0. This is the UNNORMALIZED form:
+    * dividing teleport by |seeds| (the textbook normalization) scales
+    * every score by the same constant because the recursion is linear,
+    * so ranks — the output that matters — are identical, and the
+    * unnormalized form keeps the plan free of an eager |seeds| count.
+    * State starts at `scale` on seeds / 0 elsewhere; dangling mass
+    * drops as in [[pageRank]].
+    *
+    * Scale shape: identical to [[pageRank]] — seeds join the node frame
+    * once (broadcast; a seed list is catalog-sized by definition), then
+    * iters × (edge⋈state + one combinable sum). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3,
+      broadcastState: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // reused by every superstep
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("__seed", lit(1))
+    val base = nodes.join(hint(outdeg), Seq("id"), "left")
+      .join(hint(seedIds), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("__seed"), lit(0)).as("__seed"))
+      .localCheckpoint(false)
+    var state = base.withColumn("score", col("__seed") * lit(PrScale))
+    for (_ <- 1 to iters) {
+      val insum = e.join(
+        hint(state.filter(col("outdeg") > 0 && col("score") > 0)
+          .select(col("id").as("src"), expr("score div outdeg").as("__c"))),
+        Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__insum"))
+      state = base.join(hint(insum), Seq("id"), "left")
+        .select(col("id"), col("outdeg"), col("__seed"),
+          (col("__seed") * lit(PrScale * 3 / 20) +
+            expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("score"))
+        .localCheckpoint(false)
+    }
+    state.select(col("id"), col("outdeg"),
+      col("__seed").cast("int").as("is_seed"), col("score"))
+  }
+
+  /** Oracle twin of [[personalizedPageRank]]: identical supersteps as
+    * chained CTEs. `seedsSql` must yield one column `id`. */
+  def personalizedPageRankSql(edgesSql: String, seedsSql: String,
+      iters: Int = 3): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__s$i AS (
+         |  SELECT d.id, d.outdeg, d.seed,
+         |         d.seed * CAST(${PrScale * 3 / 20} AS BIGINT) + (17 * coalesce(t.insum, CAST(0 AS BIGINT))) // 20 AS score
+         |  FROM __d d LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(s.score // s.outdeg) AS BIGINT) AS insum
+         |    FROM __e e JOIN __s${i - 1} s ON e.src = s.id AND s.outdeg > 0 AND s.score > 0
+         |    GROUP BY e.dst) t ON d.id = t.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __e AS (
+       |  SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |  FROM ($edgesSql) WHERE src IS NOT NULL AND dst IS NOT NULL
+       |), __n AS (
+       |  SELECT src AS id FROM __e UNION SELECT dst FROM __e
+       |), __seeds AS (
+       |  SELECT DISTINCT CAST(id AS BIGINT) AS id FROM ($seedsSql)
+       |  WHERE id IS NOT NULL
+       |), __d AS (
+       |  SELECT n.id, coalesce(o.c, CAST(0 AS BIGINT)) AS outdeg,
+       |         CASE WHEN s.id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS seed
+       |  FROM __n n
+       |  LEFT JOIN (SELECT src, CAST(count(*) AS BIGINT) AS c FROM __e GROUP BY src) o
+       |    ON n.id = o.src
+       |  LEFT JOIN __seeds s ON n.id = s.id
+       |), __s0 AS (
+       |  SELECT id, outdeg, seed, seed * CAST($PrScale AS BIGINT) AS score FROM __d
+       |), $steps
+       |SELECT id, outdeg, CAST(seed AS INTEGER) AS is_seed, score FROM __s$iters""".stripMargin
+  }
+
   /** WEIGHTED PageRank: [[pageRank]] with an integer edge-weight
     * column — each node distributes its score proportionally to edge
     * weight, `(score · w) div wsum` per out-edge, the first ask of a

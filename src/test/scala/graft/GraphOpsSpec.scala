@@ -261,6 +261,34 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("personalizedPageRank: all-nodes seed set reproduces pageRank; teleport stays near seeds") {
+    val sess = spark
+    import sess.implicits._
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+    val allIds = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // seeds = every node → the update is exactly pageRank's
+    val ppr = GraphOps.personalizedPageRank(edges(g), "src", "dst", allIds, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val pr = GraphOps.pageRank(edges(g), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ppr === pr, "uniform seeding must reduce to pageRank")
+    // seed only node 1: everything the seed touches (itself and its
+    // out-neighborhood {2,3}) outranks node 4, which sees only
+    // second-hand mass through 3
+    val one = GraphOps.personalizedPageRank(edges(g), "src", "dst",
+        Seq(1L).toDF("id"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(Seq(1L, 2L, 3L).forall(n => one(n) > one(4L)),
+      s"mass should decay with distance from the seed: $one")
+    assert(one.values.sum < 4L * GraphOps.PrScale,
+      "single-seed teleport must inject less total mass than uniform seeding")
+    // empty seed set → nothing to teleport to, every score decays to 0
+    val none = GraphOps.personalizedPageRank(edges(g), "src", "dst",
+        Seq.empty[Long].toDF("id"), "id")
+      .collect().map(_.getLong(3)).toSet
+    assert(none === Set(0L), "no seeds must mean no mass")
+  }
+
   test("pageRank: duplicate and null edges are ignored; determinism under repartition") {
     val base = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 1L), (1L, 3L))), "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
