@@ -25,6 +25,16 @@ object SparkEntry {
     * EAV `archive` on the harness `events` table (alphabetical, 1-based). */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** The er_score Fellegi–Sunter model, shared by the query and its
+    * oracle twin: name carries the discriminating evidence (fuzzy level
+    * at ≤3 edits), the categorical fields corroborate. Milli-unit
+    * log-likelihood weights — plausible log2(m/u) magnitudes, pinned as
+    * constants because m/u estimation is an offline modeling step. */
+  private[graft] val ErScoreFields = Seq(
+    graft.er.EntityResolution.FsField("p_name", agreeW = 4000L,
+      disagreeW = -3000L, fuzzyDist = 3, fuzzyW = 2500L),
+    graft.er.EntityResolution.FsField("p_size", agreeW = 1800L, disagreeW = -1200L))
+
   /** Target keep-percentages per source for the mixture-sampling query
     * (sources not listed keep 100%). */
   private val MixtureRates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 25)
@@ -1442,6 +1452,17 @@ object SparkEntry {
     "er_match" -> ((s, d) =>
       graft.er.EntityResolution.matchPairs(Tables.part(s, d),
           "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Entity resolution, Fellegi–Sunter scoring: blocked pairs scored
+    // as the exact BIGINT sum of per-field comparison-level weights
+    // (agree / fuzzy / disagree in milli-units), gated and classified
+    // into match vs clerical-review 'possible' — the Splink/Dedupe
+    // scoring core as pure column arithmetic.
+    "er_score" -> ((s, d) =>
+      graft.er.EntityResolution.fsScore(Tables.part(s, d), "p_partkey",
+          SparkEntry.ErScoreFields, Seq("p_brand", "p_type"),
+          minScore = 0L, matchScore = 5000L)
         .orderBy("id_a", "id_b")),
 
     // Entity resolution, stage 2 — matched records collapse to
@@ -4127,6 +4148,12 @@ object SparkEntry {
     "er_match" ->
       (s"SELECT * FROM (${graft.er.EntityResolution.matchPairsSql(
         "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)}) " +
+        "ORDER BY id_a, id_b"),
+
+    "er_score" ->
+      (s"SELECT * FROM (${graft.er.EntityResolution.fsScoreSql(
+        "part", "p_partkey", SparkEntry.ErScoreFields,
+        Seq("p_brand", "p_type"), minScore = 0L, matchScore = 5000L)}) " +
         "ORDER BY id_a, id_b"),
 
     "er_entities" ->

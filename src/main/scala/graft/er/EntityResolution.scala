@@ -98,7 +98,88 @@ object EntityResolution {
     Dedup.clusters(records.select(idCol), matches, idCol)
       .withColumnRenamed("cluster", "entity")
 
+  /** One field's comparison levels in a Fellegi–Sunter model: agree /
+    * (optional) fuzzy-agree within `fuzzyDist` edits / disagree, each
+    * carrying an integer log-likelihood weight in MILLI-units
+    * (1000 = one bit of evidence if the weights are log2(m/u) — the
+    * m/u estimation is a modeling step done offline, exactly as in
+    * Splink/Dedupe; the engine's job is the exact weighted sum). A
+    * NULL on either side contributes 0 (absence is not evidence).
+    * `fuzzyDist = 0` disables the fuzzy level (right for non-string
+    * fields). */
+  final case class FsField(field: String, agreeW: Long, disagreeW: Long,
+      fuzzyDist: Int = 0, fuzzyW: Long = 0)
+
+  /** Fellegi–Sunter pairwise match scoring (Fellegi & Sunter, JASA
+    * 1969; the Splink/Dedupe scoring core): blocked candidate pairs
+    * scored as the SUM of per-field comparison-level weights, then
+    * gated at `minScore` and classified at `matchScore` —
+    * `decision = 'match'` at or above it, `'possible'` below (the
+    * clerical-review band). All arithmetic is exact BIGINT milli-units;
+    * the only string op is codegen'd `levenshtein` on fields that
+    * declare a fuzzy level.
+    *
+    * Scale shape: [[candidatePairs]]' blocked equi-join bounds pair
+    * volume (Σ block²/2, `maxBlock`-capped); field values ride the
+    * pair stream through two thin id joins; scoring is pure
+    * column arithmetic, no UDF, no shuffle beyond the joins. */
+  def fsScore(records: DataFrame, idCol: String, fields: Seq[FsField],
+      blockCols: Seq[String], minScore: Long, matchScore: Long,
+      maxBlock: Option[Int] = None): DataFrame = {
+    require(fields.nonEmpty, "need at least one scored field")
+    val cols = fields.map(_.field).distinct
+    val sides = records.select(col(idCol).as("__id") +: cols.map(col): _*)
+    val a = sides.select(col("__id").as("id_a") +:
+      cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = sides.select(col("__id").as("id_b") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val weighted = candidatePairs(records, idCol, blockCols, maxBlock)
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val fieldW: Seq[Column] = fields.map { f =>
+      val (av, bv) = (col(s"a_${f.field}"), col(s"b_${f.field}"))
+      val base = when(av.isNull || bv.isNull, lit(0L))
+        .when(av === bv, lit(f.agreeW))
+      val levelled =
+        if (f.fuzzyDist > 0)
+          base.when(levenshtein(av, bv) <= f.fuzzyDist, lit(f.fuzzyW))
+        else base
+      levelled.otherwise(lit(f.disagreeW))
+    }
+    weighted
+      .withColumn("score", fieldW.reduce(_ + _))
+      .filter(col("score") >= minScore)
+      .withColumn("decision",
+        when(col("score") >= matchScore, lit("match")).otherwise(lit("possible")))
+      .select("id_a", "id_b", "score", "decision")
+  }
+
   // ---- oracle twins -------------------------------------------------------
+
+  /** SQL twin of [[fsScore]] (no block cap, same as [[matchPairsSql]]).
+    * CASE evaluates levels in the same order as the Column chain. */
+  def fsScoreSql(table: String, idCol: String, fields: Seq[FsField],
+      blockCols: Seq[String], minScore: Long, matchScore: Long): String = {
+    val cols = fields.map(_.field).distinct
+    val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    val notNull = blockCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val terms = fields.map { f =>
+      val (av, bv) = (s"a.${f.field}", s"b.${f.field}")
+      val fuzzy =
+        if (f.fuzzyDist > 0)
+          s" WHEN levenshtein($av, $bv) <= ${f.fuzzyDist} THEN CAST(${f.fuzzyW} AS BIGINT)"
+        else ""
+      s"""CASE WHEN $av IS NULL OR $bv IS NULL THEN CAST(0 AS BIGINT)
+         |     WHEN $av = $bv THEN CAST(${f.agreeW} AS BIGINT)$fuzzy
+         |     ELSE CAST(${f.disagreeW} AS BIGINT) END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH __r AS (SELECT $idCol AS id, ${(cols ++ blockCols).distinct.mkString(", ")}
+       |             FROM $table WHERE $notNull),
+       |__s AS (SELECT a.id AS id_a, b.id AS id_b, $terms AS score
+       |        FROM __r a JOIN __r b ON $blockEq AND a.id < b.id)
+       |SELECT id_a, id_b, score,
+       |       CASE WHEN score >= $matchScore THEN 'match' ELSE 'possible' END AS decision
+       |FROM __s WHERE score >= $minScore""".stripMargin
+  }
 
   /** SQL twin of [[matchPairs]] (no block cap — the cap is a scale
     * lever, exercised by spec, not semantics). */

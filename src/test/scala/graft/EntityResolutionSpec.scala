@@ -62,6 +62,36 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) === Set((1L, 2L), (5L, 6L)))
   }
 
+  test("fsScore: comparison levels, null evidence, thresholds, block cap") {
+    val sess = spark
+    import sess.implicits._
+    val fields = Seq(
+      EntityResolution.FsField("name", agreeW = 4000L, disagreeW = -3000L,
+        fuzzyDist = 2, fuzzyW = 2500L),
+      EntityResolution.FsField("size", agreeW = 1000L, disagreeW = -500L))
+    val rows = Seq(
+      (1L, "acme corp", Some(5), "b1"),
+      (2L, "acme corp", Some(5), "b1"),   // agree+agree = 5000
+      (3L, "acme corp.", Some(5), "b1"),  // fuzzy(1)+agree = 3500 vs 1/2
+      (4L, "unrelated co", Some(5), "b1"),// disagree+agree = -2000: gated out
+      (5L, "acme corp", None, "b1")       // agree+NULL = 4000 vs 1/2
+    ).toDF("id", "name", "size", "blk")
+    val got = EntityResolution.fsScore(rows, "id", fields, Seq("blk"),
+        minScore = 0L, matchScore = 5000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      (1L, 2L) -> ((5000L, "match")),
+      (1L, 3L) -> ((3500L, "possible")),
+      (2L, 3L) -> ((3500L, "possible")),
+      (1L, 5L) -> ((4000L, "possible")),
+      (2L, 5L) -> ((4000L, "possible")),
+      (3L, 5L) -> ((2500L, "possible"))),
+      s"level weights or gating drifted: $got")
+    // the block cap composes: cap below the block size → no pairs at all
+    assert(EntityResolution.fsScore(rows, "id", fields, Seq("blk"),
+      minScore = 0L, matchScore = 5000L, maxBlock = Some(2)).isEmpty)
+  }
+
   test("maxBlock drops oversized blocks, leaves the rest untouched") {
     // block (b1,t1) has 4 records, (b2,t1) has 2
     val capped = EntityResolution.candidatePairs(recs, "id",
