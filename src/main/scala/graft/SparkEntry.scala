@@ -1568,6 +1568,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // Leakage-safe grouped k-fold: the fold hashes the USER, not the
+    // event, so all of a user's events share a fold by construction
+    // (sklearn GroupKFold as one column expression). The audit output
+    // proves it: per-fold user and event counts, plus a global check
+    // that no user straddles folds (n_users summed over folds equals
+    // distinct users).
+    "pipe_kfold" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("fold", TextOps.groupKFold(col("user_id"), k = 5))
+      ev.groupBy("fold")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          min(col("user_id")).as("first_user"))
+        .orderBy("fold")
+    }),
+
     // T5 span corruption: deterministic 15% token masking, consecutive
     // runs collapse to one sentinel, (inputs, targets) seq2seq pair —
     // pure projection, reproducible from (doc_id, position).
@@ -4171,6 +4187,12 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "pipe_kfold" ->
+      (s"SELECT ${TextOps.groupKFoldSql("user_id", 5)} AS fold, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "count(*) AS n_events, min(user_id) AS first_user " +
+        "FROM events GROUP BY fold ORDER BY fold"),
 
     "pipe_span_corrupt" ->
       (s"SELECT * FROM (${TextOps.spanCorruptSql("documents", "doc_id", "text")}) " +

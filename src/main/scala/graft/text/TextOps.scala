@@ -278,6 +278,23 @@ object TextOps {
       s"WHEN $h < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
   }
 
+  /** GROUP-level k-fold assignment for cross-validation over training
+    * data: the fold is a salted hash of the GROUP key (user, source,
+    * session — whatever unit leaks), so every record of a group lands
+    * in the same fold BY CONSTRUCTION — the leakage-safe split
+    * (sklearn's GroupKFold, as one pure column expression instead of a
+    * stateful assigner). Deterministic under resharding/re-runs like
+    * [[hashSplit]]; the salt keeps folds independent of the other
+    * hash-bucket families. Fold ∈ [0, k). */
+  def groupKFold(groupCol: Column, k: Int, salt: String = "kfold:"): Column = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    graft.functions.NativeExprs.polyHash(
+      concat(lit(salt), groupCol.cast("string")), CharMul, P) % k
+  }
+
+  def groupKFoldSql(group: String, k: Int, salt: String = "kfold:"): String =
+    s"(${charFoldSql(s"'$salt' || CAST($group AS VARCHAR)")} % $k)"
+
   /** Deterministic corpus sharding for training dataloaders: every doc
     * gets (shard, pos) — shard = salted hash mod nShards, pos = the
     * doc's rank within its shard under a SECOND independent salted hash

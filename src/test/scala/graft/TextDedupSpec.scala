@@ -1340,4 +1340,31 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("groupKFold: leakage-safe (one fold per group), covers [0,k), repartition-stable") {
+    val sess = spark
+    import sess.implicits._
+    // 400 records across 80 users, 5 records each
+    val rows = (0L until 400L).map(i => (i, i % 80L)).toDF("rec_id", "user")
+    val assigned = rows.withColumn("fold",
+      graft.text.TextOps.groupKFold(col("user"), k = 5))
+    val perUser = assigned.groupBy("user")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("fold")).as("nf"))
+      .collect().map(_.getLong(1))
+    assert(perUser.forall(_ === 1L), "a group straddled folds — leakage")
+    val folds = assigned.select("fold").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(folds.subsetOf((0L until 5L).toSet) && folds.size >= 4,
+      s"folds should fill [0,5) on 80 groups: $folds")
+    // deterministic under hostile repartitioning
+    val again = rows.repartition(17, col("rec_id"))
+      .withColumn("fold", graft.text.TextOps.groupKFold(col("user"), k = 5))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val first = assigned.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(again === first)
+    // k must be a real split
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.groupKFold(col("user"), k = 1)
+    }
+  }
 }
