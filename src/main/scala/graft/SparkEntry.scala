@@ -2190,6 +2190,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id")).limit(50)
     }),
 
+    // Deterministic random walks (DeepWalk positive-sample corpus) on
+    // the co-purchase graph: one 4-hop walk per seed part, each hop a
+    // salted-hash pick over the neighbor-id-ordered adjacency — a pure
+    // function of (seed, step), reproducible with no RNG state.
+    "g_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("id"))
+      graft.graph.GraphOps.randomWalks(edges, "src", "dst", seeds, "id",
+          steps = 4)
+        .orderBy("walk_id", "step")
+    }),
+
     // Exact triangle census of the same graph: degree-oriented wedge
     // join (out-degree capped at O(√m) — hub-proof) + a closure
     // semi-join; (edges, wedges, triangles) as exact BIGINTs.
@@ -4555,6 +4572,13 @@ object SparkEntry {
         "SELECT p_partkey AS id FROM part WHERE p_brand = 'Brand#11'",
         iters = 3)}) WHERE is_seed = 0 AND score > 0 " +
         "ORDER BY score DESC, id LIMIT 50"),
+
+    "g_walks" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.randomWalksSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        "SELECT p_partkey AS id FROM part WHERE p_partkey % 50 = 0",
+        steps = 4)}) ORDER BY walk_id, step"),
 
     "g_triangles" ->
       graft.graph.GraphOps.triangleCountSql(

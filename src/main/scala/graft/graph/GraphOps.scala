@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the scatter-gather
@@ -898,4 +899,98 @@ object GraphOps {
        |       CAST(ne.common AS DOUBLE) / CAST(da.dg + db.dg - ne.common AS DOUBLE) AS jaccard
        |FROM __ne ne JOIN __deg da ON da.v = ne.a JOIN __deg db ON db.v = ne.b
        |ORDER BY jaccard DESC, ne.a, ne.b LIMIT $k""".stripMargin
+
+  /** DETERMINISTIC random walks over the symmetrized graph — the
+    * positive-sample corpus for skip-gram node embeddings (DeepWalk,
+    * Perozzi et al. 2014; node2vec with p=q=1). One walk per seed,
+    * `steps` hops unrolled; hop i from node u goes to u's
+    * `H(salt·walk·i) mod deg(u)`-th neighbor in neighbor-id order,
+    * where H is the salted polynomial char-fold both engines compute
+    * identically — so the "random" walk is a pure function of
+    * (seed, step), reproducible across runs, engines and partitionings,
+    * with no RNG state to checkpoint. A seed absent from the graph (or
+    * isolated) terminates at step 0 — emitted, so corpus accounting
+    * sees it.
+    *
+    * Scale shape: the neighbor index is built once — one row_number
+    * window partitioned BY NODE (parallel, bounded by max degree, the
+    * only sort anywhere) — then each hop is state⋈deg + state⋈index
+    * equi-joins, with the walk state thin (seeds × 3 longs). Walk count
+    * scales with seeds, not edges; at a billion nodes you seed the
+    * subset you embed. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int = 4,
+      salt: String = "walk:", broadcastState: Boolean = true): DataFrame = {
+    require(steps >= 1 && steps <= 10, s"unrolled steps must be in [1,10], got $steps")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    import graft.text.TextOps.{CharMul, P}
+    val sym = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val idx = e.withColumn("__i",
+        row_number().over(Window.partitionBy("u").orderBy("v")) - 1)
+      .localCheckpoint(false) // reused by every hop
+    val deg = idx.groupBy("u").agg(count(lit(1)).as("__dg"))
+      .localCheckpoint(false)
+    var state = seeds.select(col(seedCol).cast("long").as("walk"))
+      .filter(col("walk").isNotNull).distinct()
+      .withColumn("node", col("walk"))
+    var acc = state.withColumn("step", lit(0))
+    for (i <- 1 to steps) {
+      val pick = graft.functions.NativeExprs.polyHash(
+        concat(lit(salt), col("walk").cast("string"), lit(s":$i")), CharMul, P)
+      // re-alias the shared index/degree frames each hop: the walk
+      // state's `node` lineage traces back to `idx.v`, so un-aliased
+      // re-joins would be ambiguous self-joins
+      val hopDeg = deg.select(col("u").as("__du"), col("__dg").as("__ddg"))
+      val hopIdx = idx.select(col("u").as("__iu"), col("__i").as("__ii"),
+        col("v").as("__iv"))
+      state = hint(state).join(hopDeg, col("node") === col("__du"))
+        .select(col("walk"), col("node"), (pick % col("__ddg")).as("__pick"))
+        .join(hopIdx, col("__iu") === col("node") && col("__ii") === col("__pick"))
+        .select(col("walk"), col("__iv").as("node"))
+      acc = acc.unionByName(state.withColumn("step", lit(i)))
+    }
+    acc.select(col("walk").as("walk_id"), col("step"), col("node"))
+  }
+
+  /** Oracle twin of [[randomWalks]]: the identical hops as chained
+    * CTEs — same symmetrized index, same neighbor-id ordering, same
+    * salted char-fold pick. `seedsSql` must yield one column `id`. */
+  def randomWalksSql(edgesSql: String, seedsSql: String, steps: Int = 4,
+      salt: String = "walk:"): String = {
+    require(steps >= 1 && steps <= 10)
+    def pick(i: Int) = graft.text.TextOps.tokenHashSql(
+      s"'$salt' || CAST(s.walk AS VARCHAR) || ':$i'")
+    val hops = (1 to steps).map { i =>
+      s"""__w$i AS (
+         |  SELECT s.walk, x.v AS node
+         |  FROM __w${i - 1} s
+         |  JOIN __deg d ON s.node = d.u
+         |  JOIN __idx x ON x.u = s.node AND x.i = (${pick(i)}) % d.dg
+         |)""".stripMargin
+    }.mkString(", ")
+    val emits = (0 to steps)
+      .map(i => s"SELECT walk AS walk_id, $i AS step, node FROM __w$i")
+      .mkString(" UNION ALL ")
+    s"""WITH __sym AS (
+       |  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v
+       |  FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __e AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM __sym UNION ALL SELECT v, u FROM __sym)
+       |), __idx AS (
+       |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS i
+       |  FROM __e
+       |), __deg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS dg FROM __e GROUP BY u
+       |), __w0 AS (
+       |  SELECT DISTINCT CAST(id AS BIGINT) AS walk, CAST(id AS BIGINT) AS node
+       |  FROM ($seedsSql) WHERE id IS NOT NULL
+       |), $hops
+       |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM ($emits)""".stripMargin
+  }
 }

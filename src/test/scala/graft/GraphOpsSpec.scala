@@ -289,6 +289,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(none === Set(0L), "no seeds must mean no mass")
   }
 
+  test("randomWalks: every hop follows an edge, isolated seeds stop at step 0, deterministic") {
+    val sess = spark
+    import sess.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)) // triangle + spur
+    val adj: Map[Long, Set[Long]] = (g ++ g.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = Seq(1L, 3L, 9L).toDF("id") // 9 is not in the graph
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.randomWalks(df, "src", "dst", seeds, "id", steps = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val walks = run(edges(g))
+    // the isolated seed emits exactly its step-0 row
+    assert(walks.filter(_._1 == 9L) === Seq((9L, 0, 9L)))
+    // connected seeds complete all hops, starting at the seed, and
+    // every consecutive (node, next) is a real edge
+    Seq(1L, 3L).foreach { s =>
+      val w = walks.filter(_._1 == s)
+      assert(w.map(_._2) === (0 to 4) && w.head._3 === s, s"walk $s: $w")
+      w.sliding(2).foreach { case Seq((_, _, a), (_, _, b)) =>
+        assert(adj(a).contains(b), s"hop $a->$b is not an edge")
+      }
+    }
+    // pure function of (seed, step): stable across runs and layouts
+    assert(run(edges(g).repartition(7)) === walks)
+  }
+
   test("pageRank: duplicate and null edges are ignored; determinism under repartition") {
     val base = GraphOps.pageRank(edges(Seq((1L, 2L), (2L, 1L), (1L, 3L))), "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
