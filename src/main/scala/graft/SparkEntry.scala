@@ -1149,6 +1149,17 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 10, dim = 64)
         .orderBy("query_id", "rank")),
 
+    // MMR diversity selection: greedy top-5 from query 0's 20-candidate
+    // relevance pool, each step trading relevance against max similarity
+    // to what's already picked (λ=0.5) — the anti-redundancy re-ranker
+    // for retrieval slates. k steps unrolled over pool-bounded frames.
+    "s_mmr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0),
+          k = 5, dim = 64, poolSize = 20)
+        .orderBy("rank")
+    }),
+
     // Reciprocal-rank fusion as a reusable OPERATOR (generalizing
     // s_hybrid_rrf's inline single-query fuse): N retriever tiers ×
     // many queries, integer micro-unit RRF scores, per-query
@@ -3999,6 +4010,15 @@ object SparkEntry {
     "s_pca_power" ->
       (graft.sim.Similarity.pcaTopComponentSql("embeddings", dim = 64, iters = 3) +
         " ORDER BY dim_idx"),
+
+    "s_mmr" ->
+      (s"SELECT * FROM (${Similarity.mmrSelectSql(
+        "SELECT e.vec_id AS id, " +
+          s"${Similarity.cosineSql("q.q_vec", "e.embedding", 64)} AS rel, " +
+          "e.embedding AS vec FROM embeddings e, " +
+          "(SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q " +
+          "WHERE e.vec_id <> 0 ORDER BY rel DESC, id LIMIT 20",
+        k = 5, dim = 64)}) ORDER BY rank"),
 
     "s_rrf_fusion" ->
       (s"WITH __b AS ($BruteKnnSql), " +

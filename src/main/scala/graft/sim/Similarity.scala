@@ -2009,6 +2009,94 @@ object Similarity {
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity re-ranker for retrieval/context
+    * assembly: from a relevance-ranked candidate pool, greedily pick k
+    * results maximizing `λ·rel − (1−λ)·max-sim-to-already-picked`, so
+    * near-duplicate results can't crowd the slate. The greedy argmax is
+    * inherently sequential in k, so k steps are UNROLLED (the graph-op
+    * discipline): each step is a bounded anti-join + a
+    * poolSize×(step−1) pair-scoring cross join + one argmax window —
+    * every frame involved is ≤ poolSize rows by construction, which is
+    * what makes the cross join and the unpartitioned window safe at any
+    * corpus scale. The corpus-sized work is exactly ONE
+    * [[bruteForceTopK]] pool scan (swap in an IVF/LSH pool for the
+    * sub-linear deployment). λ is a percent so both engines see the
+    * same decimal literal; all pair scores are the shared bit-stable
+    * cosine fold.
+    *
+    * Output: (rank 1..k, neighbor_id, rel) — rel is the candidate's
+    * relevance to the query, rank its MMR selection order. */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, k: Int, dim: Int,
+      poolSize: Int = 20, lambdaPct: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 20, s"unrolled k must be in [1,20], got $k")
+    require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
+    require(lambdaPct >= 0 && lambdaPct <= 100)
+    val lam = lambdaPct / 100.0
+    val pool = bruteForceTopK(corpus, query, poolSize, dim, idCol, vecCol)
+      .select(col("neighbor_id").as("id"), col("cos").as("rel"))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .localCheckpoint(false) // every step re-reads the pool
+    var sel = pool
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("rel").desc, col("id"))))
+      .filter(col("__r") === 1)
+      .select(lit(1).as("rank"), col("id"), col("rel"))
+      .localCheckpoint(false)
+    for (i <- 2 to k) {
+      val selVec = sel.select(col("id"))
+        .join(pool.select(col("id"), col("vec").as("s_vec")), Seq("id"))
+        .select(col("s_vec"))
+      // bounded cross join: ≤ poolSize candidates × ≤ k−1 picked
+      val scored = pool.join(sel.select(col("id")), Seq("id"), "left_anti")
+        .crossJoin(broadcast(selVec))
+        .select(col("id"), col("rel"), cosine("vec", "s_vec", dim).as("__s"))
+        .groupBy("id", "rel").agg(max(col("__s")).as("__ms"))
+        .withColumn("__score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("__ms"))
+      val pick = scored
+        .withColumn("__r", row_number().over(
+          Window.orderBy(col("__score").desc, col("id"))))
+        .filter(col("__r") === 1)
+        .select(lit(i).as("rank"), col("id"), col("rel"))
+      sel = sel.unionByName(pick).localCheckpoint(false)
+    }
+    sel.select(col("rank"), col("id").as("neighbor_id"), col("rel"))
+  }
+
+  /** Oracle twin of [[mmrSelect]]: the greedy steps as chained CTEs —
+    * same pool, same pairwise cosine fold, same λ literal, same
+    * tie-breaks. `poolSql` must yield (id, rel, vec) — the relevance-
+    * ranked pool with vectors. */
+  def mmrSelectSql(poolSql: String, k: Int, dim: Int,
+      lambdaPct: Int = 50): String = {
+    require(k >= 1 && k <= 20)
+    val lam = lambdaPct / 100.0
+    val steps = (2 to k).map { i =>
+      s"""__sim$i AS (
+         |  SELECT c.id, c.rel, max(${cosineSql("c.vec", "s.vec", dim)}) AS ms
+         |  FROM __pool c, __pool s
+         |  WHERE s.id IN (SELECT id FROM __sel${i - 1})
+         |    AND c.id NOT IN (SELECT id FROM __sel${i - 1})
+         |  GROUP BY c.id, c.rel
+         |), __pick$i AS (
+         |  SELECT CAST($i AS INTEGER) AS rank, id, rel FROM __sim$i
+         |  ORDER BY $lam * rel - ${1.0 - lam} * ms DESC, id LIMIT 1
+         |), __sel$i AS (
+         |  SELECT rank, id, rel FROM __sel${i - 1}
+         |  UNION ALL SELECT rank, id, rel FROM __pick$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val chain = if (k >= 2) s", $steps" else ""
+    s"""WITH __pool AS ($poolSql),
+       |__sel1 AS (
+       |  SELECT CAST(1 AS INTEGER) AS rank, id, rel FROM __pool
+       |  ORDER BY rel DESC, id LIMIT 1
+       |)$chain
+       |SELECT rank, id AS neighbor_id, rel FROM __sel$k""".stripMargin
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of several
     * retriever rankings — the standard multi-retriever combiner (dense
     * + sparse + ANN tiers) for RAG pipelines: each list contributes

@@ -563,4 +563,34 @@ class SimilaritySpec extends SparkSpec {
     // rescale invariant: the canonical entry sits at exactly 10^6
     assert(comp.map(math.abs).max === 1000000L)
   }
+
+  test("mmrSelect: diversity displaces a near-duplicate; λ=100 reduces to relevance order") {
+    val sess = spark
+    import sess.implicits._
+    def vec(xs: Float*) = xs.toArray
+    val corpus = Seq(
+      (0L, vec(1f, 0f, 0f, 0f)),      // the query itself (excluded by pool)
+      (1L, vec(0.99f, 0.14f, 0f, 0f)), // rel #1
+      (2L, vec(0.98f, 0.17f, 0f, 0f)), // rel #2, near-dup of 1
+      (3L, vec(0.7f, 0f, 0.7f, 0f)),   // diverse, rel #3
+      (4L, vec(0f, 0f, 0f, 1f))        // orthogonal filler
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0)
+    def picks(lambdaPct: Int) =
+      Similarity.mmrSelect(corpus, q, k = 3, dim = 4, poolSize = 4,
+          lambdaPct = lambdaPct)
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    // pure relevance (λ=100) keeps the near-dup pair up top
+    assert(picks(100) === Seq(1L, 2L, 3L))
+    // balanced MMR: the near-dup of pick #1 scores NEGATIVE
+    // (0.5·rel − 0.5·~1) and drops out of the slate entirely — the
+    // diverse doc and even the orthogonal filler (score 0) outrank it
+    assert(picks(50) === Seq(1L, 3L, 4L))
+    // rank-1 is always the most relevant; output is exactly k rows
+    assert(Similarity.mmrSelect(corpus, q, k = 2, dim = 4, poolSize = 4)
+      .count() === 2L)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(corpus, q, k = 5, dim = 4, poolSize = 3)
+    }
+  }
 }
