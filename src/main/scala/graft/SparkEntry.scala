@@ -625,6 +625,21 @@ object SparkEntry {
       Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", 8)
         .orderBy("doc_id")),
 
+    // Content-defined chunking dedup: boundaries re-synchronize on
+    // shared content regardless of offset (unlike fixed-size grids), so
+    // a passage pasted into many documents yields the SAME chunk hash
+    // everywhere — this is the shared-chunk registry (chunks seen in
+    // >= 2 docs), the partial-overlap detector between doc-level
+    // MinHash and token-level ExactSubstr.
+    "d_cdc_shared" -> ((s, d) =>
+      Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          window = 3, divisor = 16)
+        .groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("chunk_hash"))),
+
     "d_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id")),
@@ -3697,6 +3712,13 @@ object SparkEntry {
     "d_substring" ->
       (s"SELECT * FROM (${Dedup.substringDedupSql("documents", "doc_id", "text", 8)}) " +
         "ORDER BY doc_id"),
+
+    "d_cdc_shared" ->
+      (s"SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "count(*) AS n_occ, min(doc_id) AS first_doc " +
+        s"FROM (${Dedup.cdcChunksSql("documents", "doc_id", "text", 3, 16)}) " +
+        "GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2 " +
+        "ORDER BY n_docs DESC, chunk_hash"),
 
     "d_minhash_sig" ->
       (s"SELECT * FROM (${Dedup.minhashSignaturesSql("documents", "doc_id", "text", 3)}) ORDER BY doc_id"),

@@ -801,6 +801,99 @@ object Dedup {
        |FROM $table d LEFT JOIN __a a ON a.id = d.$idCol""".stripMargin
   }
 
+  // ---- content-defined chunking -----------------------------------------
+
+  /** Content-defined chunking (the FastCDC/rolling-hash boundary idea,
+    * Xia et al. ATC'16, in its position-independent form): a chunk
+    * boundary falls AFTER token j+window−1 wherever the char-fold hash
+    * of the `window`-gram ending there ≡ 0 (mod `divisor`) — so
+    * boundaries are a pure function of local CONTENT, and a shared
+    * passage chunks identically in every document regardless of offset
+    * (fixed-size [[graft.text.TextOps.chunkTokens]] grids shift with
+    * insertions; CDC re-synchronizes — that is the whole point). The
+    * final token never cuts (no empty tail); expected chunk length ≈
+    * `divisor` tokens. Output: one row per chunk — (id, chunk_id,
+    * n_toks, chunk_hash, chunk) — the chunk-level registry feed for
+    * long-document/partial-overlap dedup, where doc-level MinHash
+    * misses and token-level ExactSubstr ([[substringDedup]]) is the
+    * heavier tool.
+    *
+    * Scale shape: pure per-document array expressions (tokenize,
+    * shingle, one filter/transform pass, one slice per chunk) + one
+    * posexplode — linear in tokens, shuffle-free until whatever
+    * consumes the chunks; dedup downstream is an equi-join on 8-byte
+    * chunk hashes. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val w1 = window - 1
+    val base = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__sh", TextOps.shinglesFromTokens(col("__toks"), window))
+    // cut list = 0 ++ content-defined cuts ++ n; sequence is guarded to
+    // stay ascending when the doc is shorter than the window
+    val cuts = concat(
+      array(lit(0)),
+      transform(
+        filter(sequence(lit(1), greatest(lit(1), col("__n") - w1)),
+          j => (j <= col("__n") - w1) &&
+            (graft.functions.NativeExprs.polyHash(
+              element_at(col("__sh"), j), TextOps.CharMul, TextOps.P)
+              % divisor === 0) &&
+            (j + w1 < col("__n"))),
+        j => j + w1),
+      array(col("__n")))
+    base.withColumn("__cuts", cuts)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, size(__cuts) - 1), k -> " +
+          "slice(__toks, element_at(__cuts, k) + 1, " +
+          "element_at(__cuts, k + 1) - element_at(__cuts, k)))")))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        size(col("col")).as("n_toks"),
+        graft.functions.NativeExprs.polyHash(
+          array_join(col("col"), " "), TextOps.CharMul, TextOps.P)
+          .as("chunk_hash"),
+        array_join(col("col"), " ").as("chunk"))
+  }
+
+  /** Oracle twin of [[cdcChunks]]: identical tokenize/shingle/cut/slice
+    * arithmetic — DuckDB `range` is empty when the doc is shorter than
+    * the window, matching the guarded Spark sequence; `list_slice` is
+    * 1-based inclusive like Spark's `slice(start, length)` form. */
+  def cdcChunksSql(table: String, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16): String = {
+    val w1 = window - 1
+    val hash = TextOps.tokenHashSql("__sh[j]")
+    s"""WITH __b AS (
+       |  SELECT $idCol AS id, ${TextOps.tokensSql(textCol)} AS __toks
+       |  FROM $table WHERE len(${TextOps.tokensSql(textCol)}) > 0
+       |), __s AS (
+       |  SELECT id, __toks, len(__toks) AS n,
+       |         ${TextOps.shinglesFromTokensSql("__toks", window)} AS __sh
+       |  FROM __b
+       |), __c AS (
+       |  SELECT id, __toks, n,
+       |         list_concat(list_concat([0],
+       |           list_transform(list_filter(range(1, greatest(1, n - $w1) + 1),
+       |             j -> j <= n - $w1 AND ($hash) % $divisor = 0 AND j + $w1 < n),
+       |             j -> j + $w1)), [n]) AS cuts
+       |  FROM __s
+       |), __k AS (
+       |  SELECT id, __toks, cuts, unnest(range(1, len(cuts))) AS k FROM __c
+       |), __ch AS (
+       |  SELECT id, CAST(k - 1 AS INTEGER) AS chunk_id,
+       |         list_slice(__toks, cuts[k] + 1, cuts[k + 1]) AS __c
+       |  FROM __k
+       |)
+       |SELECT id AS $idCol, chunk_id, CAST(len(__c) AS INTEGER) AS n_toks,
+       |       ${TextOps.tokenHashSql("array_to_string(__c, ' ')")} AS chunk_hash,
+       |       array_to_string(__c, ' ') AS chunk
+       |FROM __ch""".stripMargin
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** K permutation-hash parameters (a, b): h_i(x) = (a_i*x + b_i) mod P.

@@ -874,11 +874,17 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array())
 
-  def shinglesSql(text: String, n: Int): String = {
-    val toks = tokensSql(text)
-    val parts = (0 until n).map(k => s"($toks)[i + $k]").mkString(" || ' ' || ")
+  def shinglesSql(text: String, n: Int): String =
+    shinglesFromTokensSql(tokensSql(text), n)
+
+  /** [[shinglesSql]] over an already-bound token-LIST expression (a
+    * column reference avoids DuckDB re-evaluating the tokenizer per
+    * element, the same O(tokens²) trap [[shinglesFromTokens]]
+    * documents on the Spark side). */
+  def shinglesFromTokensSql(toks: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"($toks)[__si + $k]").mkString(" || ' ' || ")
     s"CASE WHEN len($toks) >= $n THEN " +
-      s"list_transform(range(1, len($toks) - ${n - 1} + 1), i -> $parts) " +
+      s"list_transform(range(1, len($toks) - ${n - 1} + 1), __si -> $parts) " +
       s"ELSE [] END"
   }
 

@@ -1341,6 +1341,43 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("cdcChunks: chunks partition the tokens; boundaries re-synchronize across offsets") {
+    val sess = spark
+    import sess.implicits._
+    import graft.dedup.Dedup
+    // a 200-token passage, and the same passage behind a 7-token prefix
+    val passage = (0 until 200).map(i => s"w${i * 13 % 97}").mkString(" ")
+    val prefix = (0 until 7).map(i => s"pre$i").mkString(" ")
+    val docs = Seq((1L, passage), (2L, s"$prefix $passage"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs, "doc_id", "text", window = 3, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4)))
+    // empty docs chunk to nothing
+    assert(!out.exists(_._1 == 3L))
+    // chunks PARTITION each doc: reassembly in chunk order is the doc
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(_._5).mkString(" ") === passage)
+    assert(byDoc(2L).sortBy(_._2).map(_._5).mkString(" ") === s"$prefix $passage")
+    // content-defined re-sync: boundaries inside the shared passage
+    // depend only on local 3-grams, so after the first in-passage cut
+    // doc 2's chunks hash identically to doc 1's — everything but each
+    // doc's first chunk is shared (both docs END with the passage)
+    val h1 = byDoc(1L).map(_._4).toSet
+    val h2 = byDoc(2L).map(_._4).toSet
+    val shared = h1.intersect(h2)
+    assert(byDoc(1L).length >= 5, s"fixture too short: ${byDoc(1L).length} chunks")
+    // distinct hashes, not chunk counts: the cycling passage makes
+    // later chunks repeat earlier ones
+    assert(shared.size >= h1.size - 1,
+      s"CDC failed to re-synchronize: ${shared.size} of ${h1.size} distinct shared")
+    // ...whereas a FIXED grid at the same granularity shares nothing
+    // under a 7-token shift (the motivating failure)
+    val fixed = graft.text.TextOps.chunkTokens(docs, "doc_id", "text", 16, 0)
+      .collect().map(r => (r.getLong(0), r.getString(3))).groupBy(_._1)
+    assert(fixed(1L).map(_._2).toSet.intersect(fixed(2L).map(_._2).toSet).isEmpty)
+  }
+
   test("groupKFold: leakage-safe (one fold per group), covers [0,k), repartition-stable") {
     val sess = spark
     import sess.implicits._
