@@ -1594,6 +1594,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // Deterministic negative sampling: every (customer, purchased part)
+    // draws 2 hash-picked catalog negatives, collided draws dropped by
+    // the anti-join — the reproducible (user, pos, neg) triplet corpus
+    // for contrastive/recsys training, no RNG state anywhere.
+    "pipe_negatives" -> ((s, d) => {
+      val interactions = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          "o_orderkey")
+      TextOps.negativeSample(interactions, "o_custkey", "l_partkey",
+          Tables.part(s, d), "p_partkey", m = 2)
+        .orderBy("user_id", "pos_item", "j")
+    }),
+
     // Leakage-safe grouped k-fold: the fold hashes the USER, not the
     // event, so all of a user's events share a fold by construction
     // (sklearn GroupKFold as one column expression). The audit output
@@ -4246,6 +4261,12 @@ object SparkEntry {
       (s"SELECT source, ${TextOps.hashSplitSql("doc_id")} AS split, " +
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
+
+    "pipe_negatives" ->
+      (s"SELECT * FROM (${TextOps.negativeSampleSql(
+        "SELECT o.o_custkey AS user_id, l.l_partkey AS pos_item " +
+          "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+        "part", "p_partkey", m = 2)}) ORDER BY user_id, pos_item, j"),
 
     "pipe_kfold" ->
       (s"SELECT ${TextOps.groupKFoldSql("user_id", 5)} AS fold, " +

@@ -521,6 +521,86 @@ object TextOps {
        |SELECT id AS $id, w AS weight, CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
        |FROM __c CROSS JOIN __t WHERE cum // step - (cum - w) // step >= 1""".stripMargin
 
+  /** Deterministic negative sampling for contrastive / recsys training:
+    * every (user, positive-item) interaction draws `m` candidate
+    * negatives — candidate j is the catalog item at index
+    * `H(salt·user·pos·j) mod |catalog|` — and candidates the user has
+    * actually interacted with are anti-joined away (a collided draw is
+    * DROPPED, not re-drawn: rejection re-draws are sequential, and at
+    * catalog ≫ per-user-history density the loss is a few percent the
+    * training loop never notices; the kept set is still a pure function
+    * of (user, pos, j)). No RNG state, stable under resharding — the
+    * triplet corpus is reproducible and auditable like [[hashSplit]].
+    *
+    * Scale shape: the catalog gets a dense index via ONE dim-sized
+    * row_number window and broadcasts into the pick join; interactions
+    * explode ×m and anti-join on (user, item) — linear in
+    * interactions·m, no shuffle wider than the interaction table. */
+  def negativeSample(interactions: org.apache.spark.sql.DataFrame,
+      userCol: String, itemCol: String,
+      catalog: org.apache.spark.sql.DataFrame, catalogItemCol: String,
+      m: Int, salt: String = "neg:"): org.apache.spark.sql.DataFrame = {
+    require(m >= 1 && m <= 100, s"m must be in [1,100], got $m")
+    val idx = catalog.select(col(catalogItemCol).cast("long").as("__item"))
+      .filter(col("__item").isNotNull).distinct()
+      .withColumn("__idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__item")))
+      .localCheckpoint(false) // dim-sized; reused by the size agg + pick join
+    val n = idx.agg(max(col("__idx")).cast("long").as("__n"))
+    val inter = interactions
+      .select(col(userCol).cast("long").as("user_id"),
+        col(itemCol).cast("long").as("pos_item"))
+      .filter(col("user_id").isNotNull && col("pos_item").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // read by the draw AND the anti-join
+    val pick = graft.functions.NativeExprs.polyHash(
+      concat(lit(salt), col("user_id").cast("string"), lit(":"),
+        col("pos_item").cast("string"), lit(":"), col("j").cast("string")),
+      CharMul, P) % col("__n") + 1
+    inter.crossJoin(broadcast(n)) // 1-row scalar, never collected
+      .withColumn("j", explode(sequence(lit(1), lit(m))))
+      .withColumn("__pick", pick)
+      .join(broadcast(idx), col("__pick") === col("__idx"))
+      .select(col("user_id"), col("pos_item"), col("j"),
+        col("__item").as("neg_item"))
+      .join(inter.select(col("user_id"), col("pos_item").as("neg_item")),
+        Seq("user_id", "neg_item"), "left_anti")
+      // the USING anti-join pulls its keys to the front; restore the
+      // (user, pos, draw, neg) triplet order readers expect
+      .select("user_id", "pos_item", "j", "neg_item")
+  }
+
+  /** Oracle twin of [[negativeSample]] — same dense index, same salted
+    * draw, same drop-on-collision anti-join. */
+  def negativeSampleSql(interactionsSql: String, catalogTable: String,
+      catalogItemCol: String, m: Int, salt: String = "neg:"): String = {
+    val h = tokenHashSql(
+      s"'$salt' || CAST(user_id AS VARCHAR) || ':' || CAST(pos_item AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    s"""WITH __cat AS (
+       |  SELECT DISTINCT CAST($catalogItemCol AS BIGINT) AS item
+       |  FROM $catalogTable WHERE $catalogItemCol IS NOT NULL
+       |), __idx AS (
+       |  SELECT item, row_number() OVER (ORDER BY item) AS idx FROM __cat
+       |), __n AS (SELECT CAST(max(idx) AS BIGINT) AS n FROM __idx),
+       |__i AS (
+       |  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+       |         CAST(pos_item AS BIGINT) AS pos_item
+       |  FROM ($interactionsSql)
+       |  WHERE user_id IS NOT NULL AND pos_item IS NOT NULL
+       |), __d AS (
+       |  SELECT i.user_id, i.pos_item, CAST(t.j AS INTEGER) AS j,
+       |         ($h) % __n.n + 1 AS pick
+       |  FROM __i i CROSS JOIN __n CROSS JOIN range(1, ${m + 1}) t(j)
+       |), __cand AS (
+       |  SELECT d.user_id, d.pos_item, d.j, x.item AS neg_item
+       |  FROM __d d JOIN __idx x ON d.pick = x.idx
+       |)
+       |SELECT c.user_id, c.pos_item, c.j, c.neg_item
+       |FROM __cand c LEFT JOIN __i e
+       |  ON c.user_id = e.user_id AND c.neg_item = e.pos_item
+       |WHERE e.user_id IS NULL""".stripMargin
+  }
+
   /** Temperature-based corpus rebalancing (the XLM-R / mT5 multilingual
     * sampling scheme, Conneau et al. 2020 §3.1): group g is sampled in
     * proportion to n_g^alpha, flattening the head and lifting the tail.

@@ -1341,6 +1341,33 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("negativeSample: negatives avoid the user's history, bounded by m, repartition-stable") {
+    val sess = spark
+    import sess.implicits._
+    import graft.text.TextOps
+    val catalog = (1L to 40L).map(i => Tuple1(i)).toDF("item")
+    // user 1 touched 3 items; user 2 touched the WHOLE catalog
+    val inter = ((1L to 3L).map(i => (1L, i)) ++ (1L to 40L).map(i => (2L, i)))
+      .toDF("user", "item")
+    val out = TextOps.negativeSample(inter, "user", "item", catalog, "item", m = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val history = Map(1L -> (1L to 3L).toSet, 2L -> (1L to 40L).toSet)
+    out.foreach { case (u, _, j, neg) =>
+      assert(!history(u).contains(neg), s"negative $neg is in user $u's history")
+      assert(j >= 1 && j <= 3 && neg >= 1 && neg <= 40)
+    }
+    // the all-catalog user can never receive a negative (every draw collides)
+    assert(!out.exists(_._1 == 2L))
+    // user 1: 3 interactions x 3 draws, minus collisions — most survive
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.length >= 6 && u1.length <= 9, s"got ${u1.length} triplets")
+    // pure function of (user, pos, j): stable under hostile layouts
+    val again = TextOps.negativeSample(inter.repartition(11, col("item")),
+        "user", "item", catalog.repartition(3), "item", m = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+  }
+
   test("cdcChunks: chunks partition the tokens; boundaries re-synchronize across offsets") {
     val sess = spark
     import sess.implicits._
