@@ -2231,6 +2231,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id")).limit(50)
     }),
 
+    // k-truss of the urgent-order co-purchase subgraph: 2 synchronous
+    // peel rounds deleting edges in < k-2 triangles — the
+    // triangle-cohesion community core that k-core's hub-tolerance
+    // washes out. Surviving edges with their in-subgraph support.
+    "g_ktruss" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("ok"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).join(urgent, "ok")
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.graph.GraphOps.kTruss(edges, "src", "dst", k = 4, rounds = 2)
+        .orderBy("a", "b")
+    }),
+
     // Deterministic random walks (DeepWalk positive-sample corpus) on
     // the co-purchase graph: one 4-hop walk per seed part, each hop a
     // salted-hash pick over the neighbor-id-ordered adjacency — a pure
@@ -4635,6 +4652,15 @@ object SparkEntry {
         "SELECT p_partkey AS id FROM part WHERE p_brand = 'Brand#11'",
         iters = 3)}) WHERE is_seed = 0 AND score > 0 " +
         "ORDER BY score DESC, id LIMIT 50"),
+
+    "g_ktruss" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.kTrussSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+          "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+          "AND a.l_partkey <> b.l_partkey " +
+          "JOIN orders o ON o.o_orderkey = a.l_orderkey " +
+          "AND o.o_orderpriority = '1-URGENT'",
+        k = 4, rounds = 2)}) ORDER BY a, b"),
 
     "g_walks" ->
       (s"SELECT * FROM (${graft.graph.GraphOps.randomWalksSql(

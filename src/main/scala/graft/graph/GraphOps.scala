@@ -206,6 +206,118 @@ object GraphOps {
     u.agg(count(lit(1)).as("n_edges")).crossJoin(counted)
   }
 
+  /** Per-edge triangle support over a CANONICAL (a<b, distinct)
+    * undirected edge frame: enumerate triangles with the
+    * [[triangleCount]] degree-oriented wedge+closure join, then credit
+    * each triangle to its three edges — one combinable count per
+    * canonical edge. Edges in no triangle are absent (join back with a
+    * coalesce-0 where that matters). */
+  private def edgeSupport(u: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val deg = u.select(col("a").as("id")).union(u.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val o = u
+      .join(hint(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+      .join(hint(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .localCheckpoint(false) // wedge sides + closure probe
+    val tri = o.select(col("src").as("wa"), col("dst").as("wb"))
+      .join(hint(o.select(col("src").as("wb"), col("dst").as("wc"))), Seq("wb"))
+      .join(hint(o.select(col("src").as("wa"), col("dst").as("wc"))),
+        Seq("wa", "wc"), "left_semi")
+    tri.select(explode(array(
+        struct(least(col("wa"), col("wb")).as("a"), greatest(col("wa"), col("wb")).as("b")),
+        struct(least(col("wb"), col("wc")).as("a"), greatest(col("wb"), col("wc")).as("b")),
+        struct(least(col("wa"), col("wc")).as("a"), greatest(col("wa"), col("wc")).as("b"))))
+        .as("__e"))
+      .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss via fixed-round synchronous peeling (Cohen 2008; the
+    * [[kCore]] discipline one level up — cohesion measured in shared
+    * TRIANGLES, not bare degree, so a k-truss is the standard
+    * community-core extractor that k-core's hub-tolerance washes out):
+    * each round recomputes per-edge triangle support over the CURRENT
+    * edge set and deletes edges with support < k−2; `rounds` rounds are
+    * unrolled (a fixed point for most graphs in 2–3 — more rounds peel
+    * deeper cascades, same plan shape). Output: surviving canonical
+    * edges with their support inside the surviving subgraph.
+    *
+    * Scale shape per round: one triangle enumeration (degree-oriented
+    * wedge join + closure semi-join, O(m^1.5) worst case, hub-proof) +
+    * one combinable per-edge count + one semi-join — no all-pairs, no
+    * window sort; per-round localCheckpoint keeps the unrolled plan
+    * linear. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 2, broadcastEdges: Boolean = true): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1 && rounds <= 6, s"unrolled rounds must be in [1,6], got $rounds")
+    def hint(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
+    var u = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = edgeSupport(u, hint).filter(col("support") >= k - 2)
+      u = u.join(hint(keep.select("a", "b")), Seq("a", "b"), "left_semi")
+        .localCheckpoint(false)
+    }
+    u.join(hint(edgeSupport(u, hint)), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Oracle twin of [[kTruss]]: the identical rounds as chained CTEs —
+    * same canonical set, same degree orientation, same triangle credit
+    * to all three edges, same `support >= k-2` gate. */
+  def kTrussSql(edgesSql: String, k: Int, rounds: Int = 2): String = {
+    require(k >= 3 && rounds >= 1 && rounds <= 6)
+    // per-round support over edge set __uN: CTEs __oN (orientation),
+    // __tN (triangles), __sN (per-edge support)
+    def supportCtes(n: Int): String =
+      s"""__deg$n AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS id FROM __u$n UNION ALL SELECT b FROM __u$n)
+         |  GROUP BY id
+         |), __o$n AS MATERIALIZED (
+         |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS src,
+         |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS dst
+         |  FROM __u$n u JOIN __deg$n da ON u.a = da.id JOIN __deg$n db ON u.b = db.id
+         |), __t$n AS MATERIALIZED (
+         |  SELECT x.src AS wa, x.dst AS wb, y.dst AS wc
+         |  FROM __o$n x JOIN __o$n y ON x.dst = y.src
+         |  WHERE EXISTS (SELECT 1 FROM __o$n z WHERE z.src = x.src AND z.dst = y.dst)
+         |), __s$n AS MATERIALIZED (
+         |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT least(wa, wb) AS a, greatest(wa, wb) AS b FROM __t$n
+         |    UNION ALL SELECT least(wb, wc), greatest(wb, wc) FROM __t$n
+         |    UNION ALL SELECT least(wa, wc), greatest(wa, wc) FROM __t$n) e
+         |  GROUP BY e.a, e.b
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${supportCtes(r - 1)}, __u$r AS MATERIALIZED (
+         |  SELECT u.a, u.b FROM __u${r - 1} u
+         |  JOIN __s${r - 1} s ON u.a = s.a AND u.b = s.b AND s.support >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __u0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS a,
+       |         greatest(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS b
+       |  FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), $roundCtes, ${supportCtes(rounds)}
+       |SELECT u.a, u.b, coalesce(s.support, CAST(0 AS BIGINT)) AS support
+       |FROM __u$rounds u LEFT JOIN __s$rounds s ON u.a = s.a AND u.b = s.b""".stripMargin
+  }
+
   /** Oracle twin of [[triangleCount]]: same canonical undirected set,
     * same (degree, id) orientation, same wedge + closure equi-joins. */
   def triangleCountSql(edgesSql: String): String =

@@ -289,6 +289,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(none === Set(0L), "no seeds must mean no mass")
   }
 
+  test("kTruss: K4 is a 4-truss; weakly-shared triangles cascade away over rounds") {
+    def run(rows: Seq[(Long, Long)], k: Int, rounds: Int) =
+      GraphOps.kTruss(edges(rows), "src", "dst", k, rounds)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // K4: every edge sits in exactly 2 triangles — the whole graph is
+    // the 4-truss, supports intact
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = run(k4, k = 4, rounds = 2)
+    assert(out.keySet === k4.toSet && out.values.forall(_ === 2L))
+    // two triangles sharing edge (2,3): at k=4 the outer edges (support
+    // 1) peel in round 1, which starves (2,3) — round 2 removes it.
+    // ONE round is not enough: the cascade is what multi-round peeling
+    // is for
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(bowtie, k = 4, rounds = 2).isEmpty)
+    assert(run(bowtie, k = 4, rounds = 1).keySet === Set((2L, 3L)))
+    // at k=3 (support >= 1) both triangles stand
+    assert(run(bowtie, k = 3, rounds = 2).keySet === bowtie.toSet)
+    // duplicates/direction fold into the canonical set
+    assert(run(k4 ++ k4.map(_.swap), k = 4, rounds = 2) === out)
+  }
+
   test("randomWalks: every hop follows an edge, isolated seeds stop at step 0, deterministic") {
     val sess = spark
     import sess.implicits._
