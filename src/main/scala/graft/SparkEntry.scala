@@ -640,6 +640,15 @@ object SparkEntry {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("chunk_hash"))),
 
+    // The chunk-level dedup POLICY over d_cdc_shared's registry: docs
+    // whose shared-passage token coverage reaches 50% are partial
+    // duplicates; one representative (the earliest shared chunk's
+    // owner) keeps — passage-overlap dedup with zero pairwise work.
+    "pipe_dedup_cdc" -> ((s, d) =>
+      Dedup.cdcDedup(Tables.documents(s, d), "doc_id", "text",
+          window = 3, divisor = 16, minSharedPct = 50)
+        .orderBy("doc_id")),
+
     "d_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id")),
@@ -3751,6 +3760,10 @@ object SparkEntry {
         s"FROM (${Dedup.cdcChunksSql("documents", "doc_id", "text", 3, 16)}) " +
         "GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2 " +
         "ORDER BY n_docs DESC, chunk_hash"),
+
+    "pipe_dedup_cdc" ->
+      (s"SELECT * FROM (${Dedup.cdcDedupSql("documents", "doc_id", "text",
+        3, 16, 50)}) ORDER BY doc_id"),
 
     "d_minhash_sig" ->
       (s"SELECT * FROM (${Dedup.minhashSignaturesSql("documents", "doc_id", "text", 3)}) ORDER BY doc_id"),

@@ -894,6 +894,72 @@ object Dedup {
        |FROM __ch""".stripMargin
   }
 
+  /** Chunk-level dedup POLICY over [[cdcChunks]]: a document whose
+    * shared-chunk token coverage reaches `minSharedPct` percent is a
+    * partial duplicate — kept only if it is the FIRST (min doc id)
+    * among the docs containing its earliest shared chunk, the
+    * keep-one-representative rule of doc-level dedup applied to
+    * passage overlap. Coverage is exact integer arithmetic
+    * (100·shared_tokens ≥ pct·total_tokens). Output: one row per doc —
+    * (id, n_toks, shared_toks, shared_pct, is_dup, keep).
+    *
+    * Scale shape: [[cdcChunks]] (linear) + one combinable count per
+    * chunk hash + two thin joins back on the 8-byte hash — the
+    * RefinedWeb-style "near-dup by shared passages" gate without any
+    * pairwise work at all. */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16,
+      minSharedPct: Int = 50): DataFrame = {
+    require(minSharedPct >= 1 && minSharedPct <= 100)
+    val chunks = cdcChunks(df, idCol, textCol, window, divisor)
+      .localCheckpoint(false) // registry + coverage + owner passes
+    val shared = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(col(idCol)).as("__owner"))
+      .filter(col("__nd") >= 2)
+    chunks
+      .join(shared.select(col("chunk_hash"), col("__owner")),
+        Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_toks")).as("n_toks"),
+        coalesce(sum(when(col("__owner").isNotNull, col("n_toks"))), lit(0L))
+          .as("shared_toks"),
+        // the earliest shared chunk's owner decides who represents the
+        // overlap group: min over (chunk_id, owner) pins "earliest"
+        min(when(col("__owner").isNotNull,
+          struct(col("chunk_id"), col("__owner")))).as("__first"))
+      .withColumn("shared_pct",
+        expr("(100 * shared_toks) div greatest(n_toks, 1)"))
+      .withColumn("is_dup", col("shared_pct") >= minSharedPct)
+      .withColumn("keep",
+        !col("is_dup") || col("__first.__owner") === col(idCol))
+      .select(col(idCol), col("n_toks"), col("shared_toks"),
+        col("shared_pct"), col("is_dup"), col("keep"))
+  }
+
+  /** Oracle twin of [[cdcDedup]]. */
+  def cdcDedupSql(table: String, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16, minSharedPct: Int = 50): String =
+    s"""WITH __ch AS MATERIALIZED (${cdcChunksSql(table, idCol, textCol, window, divisor)}),
+       |__sh AS (
+       |  SELECT chunk_hash, min($idCol) AS owner FROM __ch
+       |  GROUP BY chunk_hash HAVING count(DISTINCT $idCol) >= 2
+       |), __cov AS (
+       |  SELECT c.$idCol,
+       |         CAST(sum(c.n_toks) AS BIGINT) AS n_toks,
+       |         CAST(coalesce(sum(c.n_toks) FILTER (WHERE s.owner IS NOT NULL), 0) AS BIGINT) AS shared_toks,
+       |         min(CASE WHEN s.owner IS NOT NULL
+       |             THEN struct_pack(chunk_id := c.chunk_id, owner := s.owner) END) AS first_sh
+       |  FROM __ch c LEFT JOIN __sh s ON c.chunk_hash = s.chunk_hash
+       |  GROUP BY c.$idCol
+       |)
+       |SELECT $idCol, n_toks, shared_toks,
+       |       (100 * shared_toks) // greatest(n_toks, 1) AS shared_pct,
+       |       (100 * shared_toks) // greatest(n_toks, 1) >= $minSharedPct AS is_dup,
+       |       NOT ((100 * shared_toks) // greatest(n_toks, 1) >= $minSharedPct)
+       |         OR (first_sh).owner = $idCol AS keep
+       |FROM __cov""".stripMargin
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** K permutation-hash parameters (a, b): h_i(x) = (a_i*x + b_i) mod P.

@@ -1405,6 +1405,30 @@ class TextDedupSpec extends SparkSpec {
     assert(fixed(1L).map(_._2).toSet.intersect(fixed(2L).map(_._2).toSet).isEmpty)
   }
 
+  test("cdcDedup: high-overlap docs flag as dups, one representative keeps, unique docs pass") {
+    val sess = spark
+    import sess.implicits._
+    import graft.dedup.Dedup
+    val passage = (0 until 200).map(i => s"w${i * 13 % 97}").mkString(" ")
+    val unique = (0 until 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),                    // all tokens shared with doc 2
+      (2L, s"pre0 pre1 pre2 $passage"), // ~97% shared
+      (3L, unique)                      // nothing shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcDedup(docs, "doc_id", "text", minSharedPct = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    // both overlapping docs are dups; the unique doc is clean and kept
+    assert(out(1L)._3 && out(2L)._3 && !out(3L)._3 && out(3L)._4)
+    // exactly one representative of the overlap group survives, and it
+    // is the min-id owner of the earliest shared chunk (doc 1)
+    assert(out(1L)._4 && !out(2L)._4)
+    // coverage accounting: both overlap docs are nearly fully shared
+    // (each doc's FIRST chunk is its own — doc 2's absorbs the prefix)
+    assert(out(1L)._2 >= 90L && out(2L)._2 >= 90L && out(3L)._1 === 0L)
+  }
+
   test("groupKFold: leakage-safe (one fold per group), covers [0,k), repartition-stable") {
     val sess = spark
     import sess.implicits._
