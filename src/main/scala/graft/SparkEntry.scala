@@ -2257,6 +2257,25 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Modularity score of the LPA communities on the urgent-order
+    // subgraph — exact integer numerator/denominator over 4m², the
+    // partition-quality number that tells you whether the communities
+    // mean anything; one float division at the very end.
+    "g_modularity" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("ok"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).join(urgent, "ok")
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint(false) // LPA + census read the same edge set
+      val labels = graft.graph.GraphOps.labelPropagation(edges, "src", "dst",
+        iters = 2)
+      graft.graph.GraphOps.modularity(edges, "src", "dst", labels)
+    }),
+
     // Deterministic random walks (DeepWalk positive-sample corpus) on
     // the co-purchase graph: one 4-hop walk per seed part, each hop a
     // salted-hash pick over the neighbor-id-ordered adjacency — a pure
@@ -4665,6 +4684,16 @@ object SparkEntry {
         "SELECT p_partkey AS id FROM part WHERE p_brand = 'Brand#11'",
         iters = 3)}) WHERE is_seed = 0 AND score > 0 " +
         "ORDER BY score DESC, id LIMIT 50"),
+
+    "g_modularity" -> {
+      val urgentEdges = "SELECT a.l_partkey AS src, b.l_partkey AS dst " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey <> b.l_partkey " +
+        "JOIN orders o ON o.o_orderkey = a.l_orderkey " +
+        "AND o.o_orderpriority = '1-URGENT'"
+      graft.graph.GraphOps.modularitySql(urgentEdges,
+        graft.graph.GraphOps.labelPropagationSql(urgentEdges, iters = 2))
+    },
 
     "g_ktruss" ->
       (s"SELECT * FROM (${graft.graph.GraphOps.kTrussSql(

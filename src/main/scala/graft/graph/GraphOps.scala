@@ -206,6 +206,93 @@ object GraphOps {
     u.agg(count(lit(1)).as("n_edges")).crossJoin(counted)
   }
 
+  /** Newman modularity of a node partition (Newman & Girvan 2004) in
+    * EXACT integers: Q = Σ_c [e_c/m − (K_c/2m)²] rewritten over the
+    * common denominator 4m² — q_num = Σ_c (4m·e_c − K_c²),
+    * q_den = 4m² — so the only float is one final division and the
+    * score is engine-reproducible bit-for-bit. `labels` is any
+    * (id, label) frame ([[labelPropagation]] output composes
+    * directly); nodes missing a label keep their own id (singleton
+    * community), matching LPA's isolated-node rule. Headroom:
+    * 4m² < 2^63 holds to m ≈ 1.5·10⁹ undirected edges — past that,
+    * scale m down before scoring (document the quantization), don't
+    * switch to floats.
+    *
+    * Output: ONE row — (n_communities, m_edges, q_num, q_den,
+    * modularity). Scale shape: the edge census is two broadcast label
+    * joins + combinable per-label counts; m is a broadcast 1-row
+    * scalar, never collected. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, broadcastState: Boolean = true): DataFrame = {
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val u = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // census + degrees
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    val nodes = u.select(col("a").as("id")).union(u.select(col("b").as("id")))
+      .distinct()
+      .join(hint(lab), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint(false)
+    val m = u.agg(count(lit(1)).as("__m"))
+    val intra = u
+      .join(hint(nodes.select(col("id").as("a"), col("label").as("__la"))), Seq("a"))
+      .join(hint(nodes.select(col("id").as("b"), col("label").as("__lb"))), Seq("b"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__ec"))
+    val degSum = u.select(col("a").as("id")).union(u.select(col("b").as("id")))
+      .join(hint(nodes), Seq("id"))
+      .groupBy("label").agg(count(lit(1)).as("__kc"))
+    degSum.join(hint(intra), Seq("label"), "left")
+      .select(col("label"), coalesce(col("__ec"), lit(0L)).as("__ec"), col("__kc"))
+      .crossJoin(hint(m)) // 1-row scalar
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("__m")).as("m_edges"),
+        sum(lit(4L) * col("__m") * col("__ec") - col("__kc") * col("__kc"))
+          .as("q_num"),
+        first(lit(4L) * col("__m") * col("__m")).as("q_den"))
+      .withColumn("modularity",
+        col("q_num").cast("double") / col("q_den").cast("double"))
+  }
+
+  /** Oracle twin of [[modularity]]. `labelsSql` must yield
+    * (id, label). */
+  def modularitySql(edgesSql: String, labelsSql: String): String =
+    s"""WITH __u AS MATERIALIZED (
+       |  SELECT DISTINCT least(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS a,
+       |         greatest(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS b
+       |  FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), __lab AS MATERIALIZED (
+       |  SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+       |  FROM ($labelsSql)
+       |), __nodes AS MATERIALIZED (
+       |  SELECT n.id, coalesce(l.label, n.id) AS label FROM (
+       |    SELECT DISTINCT a AS id FROM __u UNION SELECT DISTINCT b FROM __u) n
+       |  LEFT JOIN __lab l ON n.id = l.id
+       |), __m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM __u),
+       |__intra AS (
+       |  SELECT la.label, CAST(count(*) AS BIGINT) AS ec
+       |  FROM __u u JOIN __nodes la ON u.a = la.id JOIN __nodes lb ON u.b = lb.id
+       |  WHERE la.label = lb.label GROUP BY la.label
+       |), __kc AS (
+       |  SELECT n.label, CAST(count(*) AS BIGINT) AS kc FROM (
+       |    SELECT a AS id FROM __u UNION ALL SELECT b FROM __u) e
+       |  JOIN __nodes n ON e.id = n.id GROUP BY n.label
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |       CAST(first(__m.m) AS BIGINT) AS m_edges,
+       |       CAST(sum(4 * __m.m * coalesce(i.ec, 0) - k.kc * k.kc) AS BIGINT) AS q_num,
+       |       CAST(first(4 * __m.m * __m.m) AS BIGINT) AS q_den,
+       |       CAST(sum(4 * __m.m * coalesce(i.ec, 0) - k.kc * k.kc) AS DOUBLE)
+       |         / CAST(first(4 * __m.m * __m.m) AS DOUBLE) AS modularity
+       |FROM __kc k LEFT JOIN __intra i ON k.label = i.label CROSS JOIN __m""".stripMargin
+
   /** Per-edge triangle support over a CANONICAL (a<b, distinct)
     * undirected edge frame: enumerate triangles with the
     * [[triangleCount]] degree-oriented wedge+closure join, then credit

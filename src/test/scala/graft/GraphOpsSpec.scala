@@ -311,6 +311,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(k4 ++ k4.map(_.swap), k = 4, rounds = 2) === out)
   }
 
+  test("modularity: exact Q on two cliques — per-clique 1/2, merged 0, singletons -1/6") {
+    val sess = spark
+    import sess.implicits._
+    val twoK3 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    def q(labels: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+      val r = GraphOps.modularity(edges(twoK3), "src", "dst",
+        labels.toDF("id", "label")).collect()(0)
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    // the true partition: Q = 2·(4·6·3 − 6²) / (4·6²) = 72/144 = 1/2
+    val perClique = q(Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(perClique === ((2L, 72L, 144L, 0.5)))
+    // everything in one community: Q = (4·6·6 − 12²)/144 = 0
+    assert(q((1L to 6L).map(_ -> 1L))._4 === 0.0)
+    // every node alone: Q = 6·(0 − 2²)/144 = −1/6
+    val single = q((1L to 6L).map(i => i -> i))
+    assert(single._1 === 6L && single._2 === -24L && single._4 === -24.0 / 144.0)
+    // unlabeled nodes default to singleton communities (LPA's isolate rule)
+    assert(q(Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))._1 === 4L)
+  }
+
   test("randomWalks: every hop follows an edge, isolated seeds stop at step 0, deterministic") {
     val sess = spark
     import sess.implicits._
