@@ -32,6 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // dozens of codegen'd stages per run: the 240m default code cache
-  // fills and flips hot paths back to the interpreter mid-benchmark
-  "-XX:ReservedCodeCacheSize=512m",
+  // fills and flips hot paths back to the interpreter mid-benchmark.
+  // Re-raised 512m -> 768m at 244 queries: the A/B showed the
+  // mid-suite graph family (peak churn) losing 2-3s per cell to cache
+  // pressure at 512m (BENCH_SCALE.md round-8 addendum).
+  "-XX:ReservedCodeCacheSize=768m",
 )

@@ -28,10 +28,11 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
 # an EMPTY SPARK_GRAFT_BENCH_ONLY would filter out every query — only
 # export the subset var when one was actually requested
 if [ -n "$ONLY" ]; then export SPARK_GRAFT_BENCH_ONLY="$ONLY"; fi
-# 512m code cache is load-bearing: the default 240m exhausts under the
-# sweep's codegen churn and flips hot stages to the interpreter
+# The enlarged code cache is load-bearing: the default 240m exhausts under
+# the sweep's codegen churn and flips hot stages to the interpreter; at 244
+# queries even 512m pressured the mid-suite graph family (round-8 A/B)
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_BENCH_RUNS="$RUNS" \
 exec java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  -Xmx48g -XX:ReservedCodeCacheSize=512m -Dspark.sql.session.timeZone=UTC \
+  -Xmx48g -XX:ReservedCodeCacheSize=768m -Dspark.sql.session.timeZone=UTC \
   ${BENCH_JVM_EXTRA:-} $OPENS graft.Bench
