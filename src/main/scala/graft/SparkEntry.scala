@@ -704,6 +704,22 @@ object SparkEntry {
       cleaned.orderBy("doc_id")
     }),
 
+    // Streaming chunk-level dedup, batch kernel: even doc_ids play the
+    // prior batches (their distinct chunk hashes = the claim registry),
+    // odd doc_ids the arriving micro-batch — each odd doc's shared
+    // coverage scores against the registry plus the within-batch owner
+    // rule, the per-micro-batch unit of StreamingDedup.cdcBatchStep.
+    "d_stream_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reg = Dedup.cdcChunks(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 3, 16)
+        .select(col("chunk_hash").as("h")).distinct()
+      val (decisions, _) = Dedup.cdcSuppress(
+        docs.filter(col("doc_id") % 2 === 1), reg, "doc_id", "text",
+        window = 3, divisor = 16, minSharedPct = 50)
+      decisions.orderBy("doc_id")
+    }),
+
     // Streaming canonical dedup, batch kernel: even originals play the
     // claim registry, the batch is noisy twins of every doc (+100000,
     // upper/padded/suffixed) plus a SECOND twin of the odd docs
@@ -3803,6 +3819,11 @@ object SparkEntry {
       (s"SELECT * FROM (${Dedup.substringSuppressSql("documents",
         "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", 8)}) " +
         "ORDER BY doc_id"),
+
+    "d_stream_cdc" ->
+      (s"SELECT * FROM (${Dedup.cdcSuppressSql("documents",
+        "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text",
+        3, 16, 50)}) ORDER BY doc_id"),
 
     "d_stream_novelty" ->
       (s"SELECT * FROM (${Dedup.noveltySuppressSql("documents",

@@ -960,6 +960,77 @@ object Dedup {
        |         OR (first_sh).owner = $idCol AS keep
        |FROM __cov""".stripMargin
 
+  /** Batch kernel of STREAMING chunk-level dedup (the [[cdcDedup]]
+    * policy for a corpus that arrives as a feed; wrapped by
+    * [[graft.streaming.StreamingDedup.cdcBatchStep]]): a chunk in this
+    * batch is SHARED iff its hash was claimed by any earlier batch
+    * (registry probe, one `h` column — the gram-claim registry shape,
+    * so [[graft.streaming.RegistryMaintenance.GramClaims]] folds it)
+    * or belongs to an earlier doc (min id) within this batch. A doc
+    * whose shared coverage reaches `minSharedPct` drops; the
+    * representative survives automatically because ITS chunks were
+    * unclaimed when it arrived — so with batches in id order the kept
+    * set equals the batch operator's `keep` set exactly (spec-pinned).
+    * Returns (per-doc decisions, new claims). */
+  def cdcSuppress(batch: DataFrame, registry: DataFrame, idCol: String,
+      textCol: String, window: Int = 3, divisor: Int = 16,
+      minSharedPct: Int = 50): (DataFrame, DataFrame) = {
+    require(minSharedPct >= 1 && minSharedPct <= 100)
+    val reg = registry.select("h").distinct().withColumn("__seen", lit(1))
+    val chunks = cdcChunks(batch, idCol, textCol, window, divisor)
+      .localCheckpoint(false) // decisions + claims both read it
+    val ownerInBatch = chunks.groupBy("chunk_hash")
+      .agg(min(col(idCol)).as("__owner"))
+    val decisions = chunks
+      .join(reg.withColumnRenamed("h", "chunk_hash"), Seq("chunk_hash"), "left")
+      .join(ownerInBatch, Seq("chunk_hash"))
+      .withColumn("__shared",
+        col("__seen").isNotNull || col("__owner") < col(idCol))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_toks")).as("n_toks"),
+        coalesce(sum(when(col("__shared"), col("n_toks"))), lit(0L))
+          .as("shared_toks"))
+      .withColumn("shared_pct",
+        expr("(100 * shared_toks) div greatest(n_toks, 1)"))
+      .withColumn("is_dup", col("shared_pct") >= minSharedPct)
+      .withColumn("keep", !col("is_dup"))
+    val claims = chunks.select(col("chunk_hash").as("h")).distinct()
+      .join(registry.select("h"), Seq("h"), "left_anti")
+    (decisions, claims)
+  }
+
+  /** Oracle twin for [[cdcSuppress]] as a one-shot statement: docs
+    * matching `registryPred` play the prior batches (only their
+    * DISTINCT chunk hashes matter), docs matching `batchPred` are the
+    * incoming batch. */
+  def cdcSuppressSql(table: String, registryPred: String, batchPred: String,
+      idCol: String, textCol: String, window: Int = 3, divisor: Int = 16,
+      minSharedPct: Int = 50): String =
+    s"""WITH __bc AS MATERIALIZED (
+       |  SELECT * FROM (${cdcChunksSql(s"(SELECT * FROM $table WHERE $batchPred)",
+            idCol, textCol, window, divisor)})
+       |), __reg AS MATERIALIZED (
+       |  SELECT DISTINCT chunk_hash AS h
+       |  FROM (${cdcChunksSql(s"(SELECT * FROM $table WHERE $registryPred)",
+            idCol, textCol, window, divisor)})
+       |), __own AS (
+       |  SELECT chunk_hash, min($idCol) AS owner FROM __bc GROUP BY chunk_hash
+       |), __cov AS (
+       |  SELECT c.$idCol,
+       |         CAST(sum(c.n_toks) AS BIGINT) AS n_toks,
+       |         CAST(coalesce(sum(c.n_toks) FILTER (
+       |           WHERE r.h IS NOT NULL OR o.owner < c.$idCol), 0) AS BIGINT) AS shared_toks
+       |  FROM __bc c
+       |  LEFT JOIN __reg r ON c.chunk_hash = r.h
+       |  JOIN __own o ON c.chunk_hash = o.chunk_hash
+       |  GROUP BY c.$idCol
+       |)
+       |SELECT $idCol, n_toks, shared_toks,
+       |       (100 * shared_toks) // greatest(n_toks, 1) AS shared_pct,
+       |       (100 * shared_toks) // greatest(n_toks, 1) >= $minSharedPct AS is_dup,
+       |       NOT ((100 * shared_toks) // greatest(n_toks, 1) >= $minSharedPct) AS keep
+       |FROM __cov""".stripMargin
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** K permutation-hash parameters (a, b): h_i(x) = (a_i*x + b_i) mod P.

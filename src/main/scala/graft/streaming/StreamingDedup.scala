@@ -208,6 +208,52 @@ object StreamingDedup {
       .start()
   }
 
+  /** One idempotent micro-batch step of STREAMING chunk-level dedup
+    * ([[graft.dedup.Dedup.cdcSuppress]] — the content-defined-chunking
+    * coverage policy for a corpus that arrives as a feed): the batch's
+    * docs score their shared-chunk coverage against every earlier
+    * batch's chunk claims (plus the within-batch min-id owner rule),
+    * decisions land under `decisionsDir/batch_id=*`, first-seen chunk
+    * hashes append to `registryDir/batch_id=*`. Shares the substring
+    * registry's (h, batch_id) schema, so [[readSubstringRegistry]] /
+    * [[compactSubstringRegistry]] / `RegistryMaintenance.GramClaims`
+    * apply unchanged. Same exactly-once discipline: per-batch-partition
+    * overwrites + current-batch exclusion ⇒ replays rewrite both
+    * partitions byte-identically (monotone claim set). */
+  def cdcBatchStep(spark: SparkSession, registryDir: String,
+      decisionsDir: String, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16, minSharedPct: Int = 50)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val registry = readSubstringRegistry(spark, registryDir)
+      .filter(col("batch_id") =!= batchId)
+      .select("h")
+    val (decisions, claims) = Dedup.cdcSuppress(batch, registry, idCol,
+      textCol, window, divisor, minSharedPct)
+    decisions.write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
+    claims.write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
+  }
+
+  /** Wire a streaming document source through the chunk-level dedup:
+    * per-doc decisions under `decisionsDir/batch_id=*`, chunk-hash
+    * claims under `registryDir/batch_id=*`. */
+  def startCdc(docs: DataFrame, registryDir: String, decisionsDir: String,
+      checkpointPath: String, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 3, divisor: Int = 16,
+      minSharedPct: Int = 50,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          cdcBatchStep(spark, registryDir, decisionsDir, idCol, textCol,
+            window, divisor, minSharedPct)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** One micro-batch of streaming novelty scoring
     * ([[graft.dedup.Dedup.noveltySuppress]]): the batch scores against
     * every EARLIER batch's gram claims, its first-seen grams append to

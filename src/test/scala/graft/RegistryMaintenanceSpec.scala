@@ -84,6 +84,8 @@ class RegistryMaintenanceSpec extends SparkSpec {
         s"$root/ss_clean", "doc_id", "text", 8)(batches(i), id)
       StreamingDedup.noveltyBatchStep(spark, s"$root/nv_reg",
         s"$root/nv_scored", "doc_id", "text", 3)(batches(i), id)
+      StreamingDedup.cdcBatchStep(spark, s"$root/cdc_reg",
+        s"$root/cdc_dec", "doc_id", "text")(batches(i), id)
       StreamingDedup.driftBatchStep(spark, s"$root/dr_reg",
         s"$root/dr_out", "text")(batches(i), id)
       StreamingSketch.kmvBatchStep(spark, s"$root/kmv_reg",
@@ -106,6 +108,7 @@ class RegistryMaintenanceSpec extends SparkSpec {
       NearDupClaims(s"$swept/nd_reg"),
       GramClaims(s"$swept/ss_reg"),
       GramClaims(s"$swept/nv_reg"),
+      GramClaims(s"$swept/cdc_reg"),
       TokenCounts(s"$swept/dr_reg"),
       KmvSketches(s"$swept/kmv_reg", "source", 16),
       ErRegistry(s"$swept/er_reg", s"$swept/er_merge", "id"),
@@ -117,13 +120,13 @@ class RegistryMaintenanceSpec extends SparkSpec {
     for (root <- trees.values) runBatch(root, 3)
 
     // next-batch output parity, stream by stream
-    for (out <- Seq("nd_kept", "ss_clean", "nv_scored", "dr_out", "at_out"))
+    for (out <- Seq("nd_kept", "ss_clean", "nv_scored", "cdc_dec", "dr_out", "at_out"))
       assert(
         rowSet(spark.read.parquet(s"$swept/$out/batch_id=3")) ===
         rowSet(spark.read.parquet(s"$plain/$out/batch_id=3")),
         s"$out diverged after the sweep")
     // ... and cumulative outputs are unchanged too
-    for (out <- Seq("nd_kept", "ss_clean", "nv_scored", "dr_out", "at_out"))
+    for (out <- Seq("nd_kept", "ss_clean", "nv_scored", "cdc_dec", "dr_out", "at_out"))
       assert(rowSet(readAll(s"$swept/$out")) === rowSet(readAll(s"$plain/$out")))
 
     // current-state parity for the stateful reads

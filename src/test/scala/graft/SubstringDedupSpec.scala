@@ -416,4 +416,54 @@ class SubstringDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after === before)
   }
+
+  test("streaming cdc dedup: kept set equals the batch policy on id-ordered installments; replay idempotent") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val dir = Files.createTempDirectory("graft_cdcstream").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mid = docs(docs.length / 2)._1
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = StreamingDedup.startCdc(stream, s"$dir/registry",
+        s"$dir/decisions", s"$dir/ckpt")
+      q.awaitTermination(120000)
+    }
+    val (b0, b1) = docs.partition(_._1 < mid)
+    mem.addData(b0); run()
+    mem.addData(b1); run()
+
+    // the streaming KEPT set is exactly the batch operator's keep set:
+    // the batch op keeps one representative per overlap group (the
+    // earliest shared chunk's owner) — in arrival = id order that is
+    // precisely the doc whose chunks were unclaimed when it arrived
+    val streamedKept = spark.read.option("basePath", s"$dir/decisions")
+      .parquet(s"$dir/decisions").filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchKept = Dedup.cdcDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text").filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedKept === batchKept)
+
+    // chunk claims across batches are disjoint and cover the corpus
+    val claims = spark.read.option("basePath", s"$dir/registry")
+      .parquet(s"$dir/registry")
+    val allChunks = Dedup.cdcChunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text").select("chunk_hash").distinct()
+    assert(claims.count() === claims.select("h").distinct().count())
+    assert(claims.count() === allChunks.count())
+
+    // replay batch 0 (crash between the writes): byte-stable decisions
+    def dec(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    val before = dec(s"$dir/decisions/batch_id=0")
+    StreamingDedup.cdcBatchStep(spark, s"$dir/registry",
+      s"$dir/decisions", "doc_id", "text")(b0.toDF("doc_id", "text"), 0L)
+    assert(dec(s"$dir/decisions/batch_id=0") === before)
+  }
 }
