@@ -563,6 +563,97 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k ranking sorts globally instead of TakeOrdered:\n$p")
   }
 
+  /** The unrolled graph operators checkpoint every superstep, so the
+    * FINAL plan string shows only the post-checkpoint tail — the joins
+    * to audit execute eagerly during construction. Capture those real
+    * executed plans through a QueryExecutionListener (localCheckpoint
+    * goes through withAction, which notifies it). */
+  private def executedPlans(run: => Unit): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      run
+      // the listener dispatches on the shared bus thread: poll until
+      // the captured set stops growing
+      var last = -1
+      while (plans.size() != last) { last = plans.size(); Thread.sleep(300) }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("round-8 graph family: equi-join supersteps, no cartesian, broadcast state") {
+    for (q <- Seq("g_ppr", "g_pagerank_w", "g_lpa_w", "g_walks", "g_ktruss")) {
+      val ps = executedPlans {
+        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      }
+      assert(ps.nonEmpty, s"$q: no superstep plans captured")
+      ps.foreach { p =>
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q superstep degenerated to an all-pairs join:\n$p")
+      }
+      assert(ps.exists(_.contains("BroadcastHashJoin")),
+        s"$q lost its broadcast state/seed/index joins")
+    }
+    // modularity: the ONLY nested loop allowed is the broadcast 1-row
+    // edge-count scalar (the a3 pattern); everything else equi-joins
+    val pm = plan("g_modularity")
+    assert(!pm.contains("CartesianProduct"), s"g_modularity went cartesian:\n$pm")
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(pm).length
+    assert(bnlj <= 1, s"g_modularity has $bnlj nested loops (1 scalar allowed):\n$pm")
+  }
+
+  test("CDC chunking family: chunking is pure projection; dedup joins are hash-keyed") {
+    for (q <- Seq("d_cdc_shared", "pipe_dedup_cdc", "d_stream_cdc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n$p")
+      assert(!p.contains("SortMergeJoin") || q != "d_cdc_shared",
+        s"$q shuffled a sort-merge join where hash suffices:\n$p")
+    }
+  }
+
+  test("negative sampling: broadcast catalog pick + anti-join, never a nested loop over draws") {
+    val p = plan("pipe_negatives")
+    assert(!p.contains("CartesianProduct"), s"pipe_negatives went cartesian:\n$p")
+    // the broadcast 1-row |catalog| scalar is the only permitted BNLJ
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(bnlj <= 1, s"pipe_negatives has $bnlj nested loops (1 scalar allowed):\n$p")
+    assert(p.contains("LeftAnti"), s"history collision filter lost its anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"catalog pick join not broadcast:\n$p")
+  }
+
+  test("MMR and FS scoring: pool/block-bounded work only, no corpus-scale nested loops") {
+    // s_mmr checkpoints per greedy step: audit the executed plans. The
+    // per-step pair scoring is an intentionally bounded cross join
+    // (<= poolSize x k rows); the corpus-scale pool scan must stay a
+    // broadcast query join + rank window
+    val ps = executedPlans {
+      SparkEntry.queries("s_mmr")(spark, sfDir).queryExecution.executedPlan
+    }
+    assert(ps.exists(p => p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastExchange")),
+      "s_mmr pool scan lost its broadcast")
+    assert(ps.exists(_.contains("Window")), "s_mmr rank window missing")
+    val pe = plan("er_score")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"),
+      s"er_score blocking degenerated to all-pairs:\n$pe")
+  }
+
+  test("grouped k-fold and kept-set policies are single hash aggregates, no joins at all") {
+    val p = plan("pipe_kfold")
+    assert(!p.contains("Join"), s"pipe_kfold grew a join:\n$p")
+    assert(p.contains("HashAggregate"), s"pipe_kfold lost its hash aggregate:\n$p")
+  }
+
   test("KMV overlap: only the #groups-sized pair seed may nest-loop; corpus joins are equi") {
     val p = plan("k_kmv_jaccard")
     assert(!p.contains("CartesianProduct"), s"k_kmv_jaccard went cartesian:\n$p")
