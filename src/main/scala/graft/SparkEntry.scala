@@ -1619,6 +1619,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("source", "split")),
 
+    // Quantile binning of the quality score per source: equal-count
+    // deciles under a fully tie-broken order (score, doc_id) — the
+    // calibration/stratification table a mixed corpus samples from.
+    // NTILE's earlier-buckets-get-the-extra-row law is identical in
+    // both engines once the order is total.
+    "pipe_binning" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("score").asc_nulls_first, col("doc_id"))
+      TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"), col("score"))
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"), min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"), min(col("doc_id")).as("first_doc"))
+        .orderBy("source", "decile")
+    }),
+
     // Deterministic negative sampling: every (customer, purchased part)
     // draws 2 hash-picked catalog negatives, collided draws dropped by
     // the anti-join — the reproducible (user, pos, neg) triplet corpus
@@ -2606,6 +2623,30 @@ object SparkEntry {
         .groupBy(col("cohort_week"),
           (col("__week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Retention RATES over the w5 triangle: each (cohort, offset) cell
+    // normalized by its cohort's size — the curve a growth dashboard
+    // actually plots (counts alone aren't comparable across cohorts of
+    // different sizes). Cohort size = the offset-0 distinct count by
+    // construction (every user is active in their first week); rate is
+    // ONE double division of exact BIGINTs.
+    "w14_retention" -> ((s, d) => {
+      val wk = expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+      val e = Tables.events(s, d).select(col("user_id"), wk.as("__week"))
+      val cohort = e.groupBy("user_id").agg(min(col("__week")).as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("__week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("retention",
+          col("n_active").cast("double") / col("cohort_size").cast("double"))
+        .select("cohort_week", "week_offset", "n_active", "cohort_size",
+          "retention")
         .orderBy("cohort_week", "week_offset")
     }),
 
@@ -4332,6 +4373,14 @@ object SparkEntry {
         "count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM documents GROUP BY source, split ORDER BY source, split"),
 
+    "pipe_binning" ->
+      ("SELECT source, decile, count(*) AS n_docs, min(score) AS min_score, " +
+        "max(score) AS max_score, min(doc_id) AS first_doc FROM (" +
+        "SELECT doc_id, source, score, CAST(ntile(10) OVER (PARTITION BY source " +
+        "ORDER BY score ASC NULLS FIRST, doc_id) AS INTEGER) AS decile FROM (" +
+        s"SELECT doc_id, source, ${TextOps.qualityScoreSql("text")} AS score " +
+        "FROM documents)) GROUP BY source, decile ORDER BY source, decile"),
+
     "pipe_negatives" ->
       (s"SELECT * FROM (${TextOps.negativeSampleSql(
         "SELECT o.o_custkey AS user_id, l.l_partkey AS pos_item " +
@@ -4651,6 +4700,18 @@ object SparkEntry {
         "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
         "FROM e JOIN c USING (user_id) " +
         "GROUP BY c.cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+
+    "w14_retention" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events), " +
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id), " +
+        "s AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size " +
+        "FROM c GROUP BY cohort_week), " +
+        "t AS (SELECT c.cohort_week, e.week - c.cohort_week AS week_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active " +
+        "FROM e JOIN c USING (user_id) GROUP BY c.cohort_week, week_offset) " +
+        "SELECT t.cohort_week, t.week_offset, t.n_active, s.cohort_size, " +
+        "CAST(t.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention " +
+        "FROM t JOIN s USING (cohort_week) ORDER BY cohort_week, week_offset"),
 
     "w7_path" ->
       ("SELECT path, CAST(count(*) AS BIGINT) AS n FROM (" +
