@@ -105,6 +105,40 @@ class PlanAuditSpec extends SparkSpec {
       s"Q10 return-flag filter not pushed:\n$p10")
   }
 
+  test("TPC-H wave (r8): scan shapes — Q1 joinless wide aggregate, Q6 fully pushed filters") {
+    val p1 = plan("q1_pricing")
+    assert(!p1.contains("Join"), s"Q1 is a single-scan aggregate, found a join:\n$p1")
+    assert(p1.contains("HashAggregate"), s"Q1 lost hash aggregation:\n$p1")
+    assert(p1.contains("LessThanOrEqual(l_shipdate"), s"Q1 shipdate bound not pushed:\n$p1")
+    val p6 = plan("q6_forecast")
+    assert(!p6.contains("Join"), s"Q6 is scan+filter+fold, found a join:\n$p6")
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate") &&
+      p6.contains("LessThan(l_quantity"),
+      s"Q6 predicates not pushed to the scan:\n$p6")
+  }
+
+  test("TPC-H wave (r8): join shapes — broadcast dims, semi gates, no nested loops") {
+    for (q <- Seq("q7_volume", "q8_share", "q9_profit", "q14_promo",
+        "q15_top_supplier", "q16_parts_suppliers", "q19_brackets")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q has no broadcast dim join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop join:\n$p")
+    }
+    val p8 = plan("q8_share")
+    assert(p8.contains("LeftSemi"), s"Q8 region/promo gates are not semi joins:\n$p8")
+    val p17 = plan("q17_small_qty")
+    assert(p17.contains("LeftSemi"), s"Q17 brand gate is not a semi join:\n$p17")
+    assert(!p17.contains("CartesianProduct"), s"Q17 degenerated:\n$p17")
+    val p16 = plan("q16_parts_suppliers")
+    assert(p16.contains("LeftAnti"), s"Q16 exclusion list is not an anti join:\n$p16")
+    val p22 = plan("q22_idle_balance")
+    assert(p22.contains("LeftAnti"), s"Q22 recent-orders gate is not an anti join:\n$p22")
+    val p18 = plan("q18_big_orders")
+    assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"),
+      s"Q18 degenerated:\n$p18")
+  }
+
   test("interval overlap, phrase search, rolling actives: cell/shingle equi-joins, no nested loop") {
     for (q <- Seq("o_interval_overlap", "t_phrase_search", "w12_rolling_active")) {
       val p = plan(q)
