@@ -126,6 +126,39 @@ object SparkEntry {
       .orderBy("timestamp")
   }
 
+  /** One FK relation's two-directional integrity row for a_ref_integrity:
+    * orphan children (FK value with no parent — NULL keys count as
+    * orphans, they reference nothing) and unreferenced parents. Scale
+    * shape: child keys aggregate/distinct BEFORE the anti joins (the
+    * fact never crosses a join at full width), small dims broadcast. */
+  private def fkAudit(label: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String, smallParent: Boolean): DataFrame = {
+    val ckeys = child.select(col(ck).as("__k"))
+    val pkeys = parent.select(col(pk).as("__k"))
+    val pBuild = if (smallParent) broadcast(pkeys) else pkeys
+    ckeys.agg(count(lit(1)).as("n_child"))
+      .crossJoin(ckeys.join(pBuild, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans")))
+      .crossJoin(pkeys.agg(count(lit(1)).as("n_parents")))
+      .crossJoin(pkeys.join(ckeys.distinct(), Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_unreferenced")))
+      .select(lit(label).as("relation"), col("n_child"), col("n_orphans"),
+        col("n_parents"), col("n_unreferenced"))
+  }
+
+  /** DuckDB twin of [[fkAudit]]. */
+  private def fkAuditSql(label: String, childTable: String, ck: String,
+      parentTable: String, pk: String): String =
+    s"SELECT '$label' AS relation, o.n_child, o.n_orphans, u.n_parents, u.n_unreferenced FROM " +
+      s"(SELECT CAST(count(*) AS BIGINT) AS n_child, " +
+      s"CAST(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+      s"FROM (SELECT $ck AS __k FROM $childTable) c " +
+      s"LEFT JOIN (SELECT DISTINCT $pk AS __k FROM $parentTable) p USING (__k)) o " +
+      s"CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_parents, " +
+      s"CAST(sum(CASE WHEN c2.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unreferenced " +
+      s"FROM (SELECT $pk AS __k FROM $parentTable) p2 " +
+      s"LEFT JOIN (SELECT DISTINCT $ck AS __k FROM $childTable) c2 USING (__k)) u"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.2 projections / filters ------------------------------------
     "p1_projection" -> ((s, d) =>
@@ -1077,6 +1110,14 @@ object SparkEntry {
       TextOps.ppsSample(Tables.documents(s, d), "doc_id", "text", n = 150)
         .orderBy("doc_id")),
 
+    // Priority sampling (Duffield–Lund–Thorup): top-k by hash-drawn
+    // priority q = w·P div (h+1), τ = the (k+1)-th priority, and
+    // max(w, τ) per kept doc — the unbiased subset-sum estimator; the
+    // weighted sample rides TakeOrdered, never a global sort.
+    "pipe_priority_sample" -> ((s, d) =>
+      TextOps.prioritySample(Tables.documents(s, d), "doc_id", "text", k = 60)
+        .orderBy("doc_id")),
+
     // Per-SOURCE dataset card (complementing pipe_corpus_card's
     // corpus-global row — this is the breakdown a mixture designer
     // reads): doc/token counts, EXACT median tokens
@@ -1525,6 +1566,22 @@ object SparkEntry {
           graft.er.EntityResolution.matchPairs(p, "p_partkey", "p_name",
             Seq("p_brand", "p_type"), maxDist = 3))
         .orderBy("id")
+    }),
+
+    // Entity resolution, stage 3 — survivorship: ONE golden record per
+    // resolved entity (the MDM step): canonical name = the entity's
+    // mode with a deterministic (count DESC, name ASC) tie-break via a
+    // WindowGroupLimit rank; size/price survive as per-entity MAX.
+    "er_golden" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val rec = part.select(col("p_partkey"), col("p_name"), col("p_size"),
+        expr("cast(floor(p_retailprice * 100) as bigint)").as("retail_cents"))
+      graft.er.EntityResolution.goldenRecords(rec, "p_partkey",
+          graft.er.EntityResolution.entities(part, "p_partkey",
+            graft.er.EntityResolution.matchPairs(part, "p_partkey", "p_name",
+              Seq("p_brand", "p_type"), maxDist = 3)),
+          "p_name", Seq("p_size", "retail_cents"))
+        .orderBy("entity")
     }),
 
     // Cross-source exact-duplication matrix (provenance audit): which
@@ -2053,6 +2110,13 @@ object SparkEntry {
     // the end.
     "ts_ewma" -> ((s, d) =>
       graft.ops.TimeSeries.ewma(archiveDim(s, d))
+        .orderBy("attribute_id", "timestamp")),
+
+    // Brown's double exponential smoothing (α = 1/2): level + trend +
+    // one-step forecast from two truncated-EWMA BIGINT folds — the
+    // trend-aware forecaster; warm-up rows emit visible NULLs.
+    "ts_holt" -> ((s, d) =>
+      graft.ops.TimeSeries.doubleEwma(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
     // Two-window mean-shift score (changepoint candidates): after-mean
@@ -3275,6 +3339,31 @@ object SparkEntry {
         .orderBy("check_name")
     }),
 
+    // Referential-integrity matrix: EVERY foreign-key relation of the
+    // star schema audited in both directions — orphan children (FK with
+    // no parent) and unreferenced parents (dim rows no fact touches).
+    // Child keys aggregate/distinct before any anti join, so the facts
+    // never cross a join at full width; a clean warehouse proves 0
+    // orphans here, and the unreferenced column is the dim-pruning map.
+    "a_ref_integrity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      Seq(
+        fkAudit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", smallParent = true),
+        fkAudit("events.user_id->customer", Tables.events(s, d), "user_id", c, "c_custkey", smallParent = false),
+        fkAudit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", smallParent = false),
+        fkAudit("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, d), "p_partkey", smallParent = true),
+        fkAudit("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey", smallParent = true),
+        fkAudit("nation.n_regionkey->region", n, "n_regionkey", Tables.region(s, d), "r_regionkey", smallParent = true),
+        fkAudit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", smallParent = false),
+        fkAudit("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey", smallParent = true))
+        .reduce(_ unionByName _)
+        .orderBy("relation")
+    }),
+
     // RFM segmentation (recency / frequency / monetary): per-customer
     // metrics from ONE map-side-combinable groupBy over the fact table,
     // then quintile scores via row_number + integer div (ntile's exact
@@ -4364,6 +4453,10 @@ object SparkEntry {
       (TextOps.ppsSampleSql("documents", "doc_id", "text", 150) +
         " ORDER BY doc_id"),
 
+    "pipe_priority_sample" ->
+      (TextOps.prioritySampleSql("documents", "doc_id", "text", 60) +
+        " ORDER BY doc_id"),
+
     "pipe_dataset_card" ->
       (s"WITH __f AS (SELECT source, doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok, " +
         s"CAST(floor((${TextOps.qualityScoreSql("text")}) * 1000) AS BIGINT) AS q_milli, " +
@@ -4643,6 +4736,16 @@ object SparkEntry {
           "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)) +
         " ORDER BY id"),
 
+    "er_golden" ->
+      (graft.er.EntityResolution.goldenRecordsSql(
+        "SELECT p_partkey, p_name, p_size, " +
+          "CAST(floor(p_retailprice * 100) AS BIGINT) AS retail_cents FROM part",
+        "p_partkey",
+        graft.er.EntityResolution.entitiesSql("part", "p_partkey",
+          graft.er.EntityResolution.matchPairsSql(
+            "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)),
+        "p_name", Seq("p_size", "retail_cents")) + " ORDER BY entity"),
+
     "a_rollup" ->
       ("SELECT source, lang, count(*) AS n_docs, max(n_chars) AS max_chars " +
         "FROM documents GROUP BY ROLLUP(source, lang) " +
@@ -4893,6 +4996,11 @@ object SparkEntry {
     "ts_ewma" ->
       (s"WITH $archiveSqlCte SELECT * FROM (" +
         s"${graft.ops.TimeSeries.ewmaSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_holt" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.doubleEwmaSql("SELECT * FROM archive")}) " +
         "ORDER BY attribute_id, timestamp"),
 
     "ts_seasonal" ->
@@ -5219,6 +5327,18 @@ object SparkEntry {
         "UNION ALL SELECT 'referential:o_custkey_in_customer', n_orphans, n_orphans = 0 FROM m CROSS JOIN orph " +
         "UNION ALL SELECT 'nonempty:orders', n_rows, n_rows > 0 FROM m CROSS JOIN orph" +
         ") ORDER BY check_name"),
+
+    "a_ref_integrity" ->
+      (Seq(
+        fkAuditSql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        fkAuditSql("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        fkAuditSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fkAuditSql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        fkAuditSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fkAuditSql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        fkAuditSql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        fkAuditSql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") __fk ORDER BY relation")),
 
     "a_rfm" ->
       ("WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_o, " +

@@ -98,6 +98,38 @@ object EntityResolution {
     Dedup.clusters(records.select(idCol), matches, idCol)
       .withColumnRenamed("cluster", "entity")
 
+  /** Survivorship — one GOLDEN record per resolved entity (the MDM
+    * step after [[entities]]): the canonical name is the entity's MODE
+    * with a deterministic tie-break (highest count, then lexically
+    * smallest — never "whichever row arrived first"), and each
+    * `maxCols` field survives as its per-entity MAX (the
+    * highest-confidence-value rule for monotone fields like
+    * last-updated or price ceilings). Emits
+    * (entity, n_records, canonical_name, max_<col>...).
+    *
+    * Scale shape: the mode is a (entity, name) count + per-entity
+    * rank-1 — Spark plans the rank as WindowGroupLimit, so only each
+    * entity's leading candidate crosses the final shuffle; everything
+    * else is combinable aggregation. No collect, no pairwise work —
+    * cost is linear in records regardless of entity skew. */
+  def goldenRecords(records: DataFrame, idCol: String, entities: DataFrame,
+      nameCol: String, maxCols: Seq[String]): DataFrame = {
+    val joined = records.join(entities, records(idCol) === entities("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity").orderBy(col("__cnt").desc, col(nameCol).asc)
+    val canon = joined.groupBy(col("entity"), col(nameCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("entity"), col(nameCol).as("canonical_name"))
+    val aggs = count(lit(1)).as("n_records") +:
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    joined.groupBy("entity").agg(aggs.head, aggs.tail: _*)
+      .join(canon, Seq("entity"))
+      .select(col("entity") +: col("n_records") +: col("canonical_name") +:
+        maxCols.map(c => col(s"max_$c")): _*)
+  }
+
   /** One field's comparison levels in a Fellegi–Sunter model: agree /
     * (optional) fuzzy-agree within `fuzzyDist` edits / disagree, each
     * carrying an integer log-likelihood weight in MILLI-units
@@ -209,4 +241,24 @@ object EntityResolution {
        |  UNION
        |  SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src)
        |SELECT src AS id, min(dst) AS entity FROM __reach GROUP BY src""".stripMargin
+
+  /** SQL twin of [[goldenRecords]]: `entitiesSelect` is a full
+    * [[entitiesSql]] statement (nested as a derived table), the mode
+    * rank uses the same (count DESC, name ASC) total order. */
+  def goldenRecordsSql(recordsSql: String, idCol: String,
+      entitiesSelect: String, nameCol: String, maxCols: Seq[String]): String = {
+    val maxes = maxCols.map(c => s"max($c) AS max_$c").mkString(", ")
+    val outMax = maxCols.map(c => s"a.max_$c").mkString(", ")
+    s"""WITH __ent AS (SELECT * FROM ($entitiesSelect)),
+       |__rec AS ($recordsSql),
+       |__j AS (SELECT e.entity, r.* FROM __rec r JOIN __ent e ON r.$idCol = e.id),
+       |__nc AS (SELECT entity, $nameCol AS nm, count(*) AS cnt FROM __j GROUP BY 1, 2),
+       |__cn AS (SELECT entity, nm AS canonical_name FROM (
+       |  SELECT entity, nm, row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, nm) AS rn
+       |  FROM __nc) WHERE rn = 1),
+       |__agg AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_records, $maxes
+       |          FROM __j GROUP BY 1)
+       |SELECT entity, a.n_records, c.canonical_name, $outMax
+       |FROM __agg a JOIN __cn c USING (entity)""".stripMargin
+  }
 }

@@ -380,6 +380,83 @@ object TimeSeries {
        |         / (CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE) * $ZScoreQ) AS ewma
        |FROM __wd""".stripMargin
 
+  /** Brown's double exponential smoothing (α = 1/2, truncated at
+    * `window` terms like [[ewma]]): s1 = EWMA(x), s2 = EWMA(s1),
+    * level a = 2s1 − s2, trend b = (α/(1−α))(s1 − s2) = s1 − s2, and
+    * the one-step-ahead forecast a + b = 3s1 − 2s2 — the trend-aware
+    * smoother a flat EWMA can't express (it lags every ramp).
+    *
+    * Exactness: both smoothing passes are the [[ewma]] BIGINT fold.
+    * With a FULL first frame the denominator is the constant
+    * D = 2^window − 1, so s1 = n1/(D·Q), s2 = n2/(D²·Q) and
+    * forecast = (3·n1·D − 2·n2)/(D²·Q) — all-integer numerators, one
+    * engine-exact double division each. Rows whose second-pass frame
+    * would mix partial first-pass frames (row index < 2·window − 1)
+    * emit NULL — visible warm-up, not a silently-wrong smoothing.
+    *
+    * Integer headroom: |q|·2^(2·window) must stay inside BIGINT —
+    * window = 12 leaves q < 2^38, ~5 decades above the fixture's
+    * quantized range. Scale shape: one hash shuffle on attribute_id,
+    * two linear window passes, frames of `window` longs (bounded,
+    * never data-proportional). */
+  def doubleEwma(archive: DataFrame, window: Int = 12): DataFrame = {
+    require(window >= 2 && window <= 20,
+      "window must keep |q|*2^(2*window) in BIGINT headroom")
+    val frame = Window.partitionBy("attribute_id").orderBy("timestamp")
+      .rowsBetween(-(window - 1), 0)
+    val seq = Window.partitionBy("attribute_id").orderBy("timestamp")
+    val den = (1L << window) - 1
+    val qd = ZScoreQ.toDouble
+    archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+      .withColumn("__rn", row_number().over(seq))
+      .withColumn("__n1", aggregate(reverse(collect_list(col("__q")).over(frame)),
+        lit(0L), (a, x) => a * 2 + x))
+      .withColumn("__n2", aggregate(reverse(collect_list(col("__n1")).over(frame)),
+        lit(0L), (a, x) => a * 2 + x))
+      .withColumn("__full", col("__rn") >= 2 * window - 1)
+      .select(col("attribute_id"), col("timestamp"), col("value"),
+        when(col("__full"), col("__n1").cast("double") / (den * qd)).as("s1"),
+        when(col("__full"), col("__n2").cast("double") / (den.toDouble * den * qd)).as("s2"),
+        when(col("__full"), (lit(3L) * col("__n1") * den - lit(2L) * col("__n2"))
+          .cast("double") / (den.toDouble * den * qd)).as("forecast_next"))
+  }
+
+  /** Oracle twin of [[doubleEwma]]: same dedup, quantization, ordered
+    * frame folds, warm-up NULLs, and final divisions. */
+  def doubleEwmaSql(archiveSql: String, window: Int = 12): String = {
+    val den = (1L << window) - 1
+    val fold = (arr: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse($arr)), (a, x) -> a * 2 + x)"
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __w1 AS (
+       |  SELECT attribute_id, timestamp, value,
+       |         row_number() OVER (PARTITION BY attribute_id ORDER BY timestamp) AS rn,
+       |         ${fold(s"list(CAST(round(value * $ZScoreQ) AS BIGINT)) OVER " +
+             s"(PARTITION BY attribute_id ORDER BY timestamp " +
+             s"ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)")} AS n1
+       |  FROM __pts
+       |), __w2 AS (
+       |  SELECT attribute_id, timestamp, value, rn, n1,
+       |         ${fold(s"list(n1) OVER (PARTITION BY attribute_id ORDER BY timestamp " +
+             s"ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)")} AS n2
+       |  FROM __w1
+       |)
+       |SELECT attribute_id, timestamp, value,
+       |       CASE WHEN rn >= ${2 * window - 1}
+       |            THEN CAST(n1 AS DOUBLE) / (CAST($den AS DOUBLE) * $ZScoreQ) END AS s1,
+       |       CASE WHEN rn >= ${2 * window - 1}
+       |            THEN CAST(n2 AS DOUBLE) / (CAST($den AS DOUBLE) * $den * $ZScoreQ) END AS s2,
+       |       CASE WHEN rn >= ${2 * window - 1}
+       |            THEN CAST(3 * n1 * $den - 2 * n2 AS DOUBLE)
+       |                 / (CAST($den AS DOUBLE) * $den * $ZScoreQ) END AS forecast_next
+       |FROM __w2""".stripMargin
+  }
+
   /** Two-window mean-shift (changepoint candidate) score per series:
     * at each point, the mean of the `window` observations STARTLY
     * before it versus the mean of the window starting AT it — the

@@ -70,6 +70,11 @@ object TextOps {
     * packed as `h1 + (h2 << 31)` fill bits 0..61 with NO wrap-around
     * multiply: h2·2^31 < 2^62, so the sum is overflow-free under Spark
     * ANSI and DuckDB BIGINT alike. */
+  /** Knuth's multiplicative constant (⌊2^32/φ⌋) for remixing the
+    * char-fold hash where its MAGNITUDE (not just a small modulus of
+    * it) must be uniform — see [[prioritySample]]. */
+  val PrioMix = 2654435761L
+
   val CharMul2 = 37L
   def tokenHashWide(tokCol: String): Column =
     graft.functions.NativeExprs.polyHash(col(tokCol), CharMul, P) +
@@ -520,6 +525,65 @@ object TextOps {
        |__t AS (SELECT greatest(sum(w) // $n, 1) AS step FROM __b)
        |SELECT id AS $id, w AS weight, CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
        |FROM __c CROSS JOIN __t WHERE cum // step - (cum - w) // step >= 1""".stripMargin
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): each doc
+    * draws priority q = w / u with u uniform on (0,1], the k highest
+    * priorities are the sample, and with τ = the (k+1)-th priority,
+    * est = max(w, τ) per sampled doc is an UNBIASED estimator of any
+    * subset's total weight — the weighted-sampling dual of [[ppsSample]]
+    * (PPS is systematic/stratified; priority sampling composes under
+    * unions and supports per-subset estimates). u comes from the
+    * [[hashSplit]] hash family REMIXED multiplicatively (Knuth's
+    * 2^32/φ): the raw char-fold is fine for mod-100 bucket assignment
+    * but MAGNITUDE-biased for short keys (the fold of "prio:<id>"
+    * spans only ~[0.46, 0.85]·P — a u drawn from it is no uniform),
+    * and priority sampling consumes u's magnitude; (h·A) mod P
+    * decorrelates it (measured deciles 0.1/0.3/…/0.9 over the id
+    * range). The sample stays a pure function of the doc id: no RNG
+    * state, repartition-stable, engine-exact. Integer form:
+    * u = (h+1)/P with h ∈ [0,P) ⇒ q = (w·P) div (h+1) ≥ w, all BIGINT
+    * (w·P < 2^44 at w < 2^13).
+    *
+    * Scale shape: one scan computes (w, q); the top-(k+1) rows travel
+    * via TakeOrdered (never a global sort), and τ is derived on that
+    * (k+1)-row frame — the only single-partition work is k-sized. */
+  def prioritySample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, salt: String = "prio:"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+        wsTokenCount(col(textCol)).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__h", graft.functions.NativeExprs.polyHash(
+        concat(lit(salt), col("__id").cast("string")), CharMul, P))
+      .withColumn("__h", expr(s"(__h * ${PrioMix}L) % $P"))
+      .withColumn("__q", expr(s"(__w * $P) div (__h + 1)"))
+    val top = base.orderBy(col("__q").desc, col("__id")).limit(k + 1)
+      .withColumn("__rn", row_number().over(W.orderBy(col("__q").desc, col("__id"))))
+    val tau = top.agg(coalesce(max(when(col("__rn") === k + 1, col("__q"))),
+      lit(0L)).as("__tau"))
+    top.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("__id").as(idCol), col("__w").as("weight"),
+        col("__q").as("priority"),
+        greatest(col("__w"), col("__tau")).as("est_weight"))
+  }
+
+  /** DuckDB twin of [[prioritySample]]: same hash, same integer
+    * priority, same (q DESC, id) total order and τ rule. */
+  def prioritySampleSql(table: String, id: String, text: String, k: Int,
+      salt: String = "prio:"): String =
+    s"""WITH __b AS (
+       |  SELECT $id AS id, w, (w * $P) // (h + 1) AS q FROM (
+       |    SELECT $id, CAST(len(${tokensSql(text)}) AS BIGINT) AS w,
+       |           (${charFoldSql(s"('$salt' || CAST($id AS VARCHAR))")} * $PrioMix) % $P AS h
+       |    FROM $table) WHERE w > 0),
+       |__r AS (SELECT id, w, q, row_number() OVER (ORDER BY q DESC, id) AS rn FROM __b),
+       |__t AS (SELECT coalesce(max(CASE WHEN rn = ${k + 1} THEN q END), 0) AS tau
+       |        FROM __r WHERE rn <= ${k + 1})
+       |SELECT id AS $id, w AS weight, q AS priority,
+       |       greatest(w, tau) AS est_weight
+       |FROM __r CROSS JOIN __t WHERE rn <= $k""".stripMargin
 
   /** Deterministic negative sampling for contrastive / recsys training:
     * every (user, positive-item) interaction draws `m` candidate

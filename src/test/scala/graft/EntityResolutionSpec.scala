@@ -115,6 +115,39 @@ class EntityResolutionSpec extends SparkSpec {
     assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("goldenRecords: mode name with (count DESC, name ASC) tie-break, MAX survivorship") {
+    val sess = spark
+    import sess.implicits._
+    val rows = Seq(
+      // entity {1,2,3}: "acme corp" appears twice → mode wins over "acme korp"
+      (1L, "acme corp", "b", "t", 10, 100L),
+      (2L, "acme corp", "b", "t", 30, 50L),
+      (3L, "acme korp", "b", "t", 20, 900L),
+      // entity {5,6}: counts tie 1-1 → lexically smaller "beta co" wins
+      (5L, "beta co", "b2", "t", 7, 70L),
+      (6L, "beta cp", "b2", "t", 9, 60L),
+      // singleton: its own values survive untouched
+      (9L, "zzz solo", "b3", "t", 1, 11L))
+      .toDF("id", "name", "blk", "typ", "sz", "cents")
+    val ents = EntityResolution.entities(rows, "id",
+      EntityResolution.matchPairs(rows, "id", "name", Seq("blk", "typ"), 2))
+    val golden = EntityResolution.goldenRecords(
+      rows.select("id", "name", "sz", "cents"), "id", ents,
+      "name", Seq("sz", "cents"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(golden === Map(
+      1L -> ((3L, "acme corp", 30, 900L)),
+      5L -> ((2L, "beta co", 9, 70L)),
+      9L -> ((1L, "zzz solo", 1, 11L))))
+    // the mode rank must plan as WindowGroupLimit (only the leading
+    // candidate crosses the final shuffle)
+    val plan = EntityResolution.goldenRecords(
+      rows.select("id", "name", "sz", "cents"), "id", ents,
+      "name", Seq("sz")).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"mode rank not group-limited:\n$plan")
+  }
+
   test("incremental ER: crafted bridge merges entities through the merge log") {
     val sess = spark
     import sess.implicits._

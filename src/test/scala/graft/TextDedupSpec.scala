@@ -1341,6 +1341,47 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("prioritySample: exactly k kept, q >= w, unbiased max(w,tau) estimator, stable") {
+    val sess = spark
+    import sess.implicits._
+    val docs = (0L until 200L).map { i =>
+      val w = if (i == 7L) 150 else if (i == 99L) 0 else (i % 11).toInt + 1
+      (i, Seq.fill(w)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 25
+    val out = graft.text.TextOps.prioritySample(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === k)
+    // priority = (w*P) div (h+1) with h+1 <= P is always >= w
+    out.foreach { case (id, w, q, _) => assert(q >= w, s"doc $id: q=$q < w=$w") }
+    // zero-weight docs can never enter the sample
+    assert(!out.exists(_._1 == 99L))
+    // the very heavy doc has the largest expected priority mass: with
+    // w=150 vs max 11 its inclusion probability is ~min(1, 150/tau-ish);
+    // on this fixture it must be sampled (regression canary, deterministic)
+    assert(out.exists(_._1 == 7L), "w=150 spike missing from a k=25 sample")
+    // estimator: every kept doc reports max(w, tau) with ONE shared tau
+    val taus = out.map { case (_, w, _, est) => if (est > w) Some(est) else None }
+      .flatten.distinct
+    assert(taus.length <= 1, s"more than one tau surfaced: ${taus.toSeq}")
+    // est total is an unbiased estimate of total weight; on this fixture
+    // (deterministic hash) it must land within 35% — a drift canary
+    val estTotal = out.map(_._4).sum.toDouble
+    val trueTotal = (0L until 200L).map(i =>
+      if (i == 7L) 150L else if (i == 99L) 0L else (i % 11) + 1).sum.toDouble
+    assert(math.abs(estTotal - trueTotal) / trueTotal < 0.35,
+      s"estimate $estTotal vs true $trueTotal")
+    // repartition-stable: the sample is a pure function of doc ids
+    val shuffled = graft.text.TextOps.prioritySample(
+      docs.repartition(13, col("text")), "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // k >= n keeps everything with tau = 0: est_weight == weight
+    val all = graft.text.TextOps.prioritySample(docs, "doc_id", "text", 500)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(all.length === 199 && all.forall { case (w, est) => est === w })
+  }
+
   test("negativeSample: negatives avoid the user's history, bounded by m, repartition-stable") {
     val sess = spark
     import sess.implicits._

@@ -235,6 +235,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(s1(2) === 30.0)
   }
 
+  test("doubleEwma: constants are fixed points, ramps forecast ahead, warm-up is NULL") {
+    val w = 3
+    // attr 1: constant 8.0; attr 2: linear ramp 10,20,30,...
+    val rows = (0 until 10).map(i => (1, f"2024-01-01 $i%02d:00:00", Some(8.0))) ++
+      (0 until 10).map(i => (2, f"2024-01-01 $i%02d:00:00", Some(10.0 * (i + 1))))
+    val out = TimeSeries.doubleEwma(archive(rows), window = w)
+      .orderBy("attribute_id", "timestamp").collect()
+    val const = out.filter(_.getInt(0) == 1)
+    val ramp = out.filter(_.getInt(0) == 2)
+    // warm-up: rows before index 2w-2 have NULL s1/s2/forecast
+    assert(const.take(2 * w - 2).forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+    assert(const.drop(2 * w - 2).forall(r => !r.isNullAt(5)))
+    // a constant series is a fixed point of both passes and the forecast
+    assert(const.drop(2 * w - 2).forall(r =>
+      r.getDouble(3) === 8.0 && r.getDouble(4) === 8.0 && r.getDouble(5) === 8.0))
+    // on a rising ramp the trend term pushes the forecast ABOVE both
+    // smoothed levels, and s1 (less lagged) above s2
+    ramp.drop(2 * w - 2).foreach { r =>
+      assert(r.getDouble(3) > r.getDouble(4), s"s1 <= s2 on a ramp: $r")
+      assert(r.getDouble(5) > r.getDouble(3), s"forecast <= s1 on a ramp: $r")
+    }
+    // exact reference at the last ramp row: fold quantized values
+    def fold(vs: Seq[Double]): Long =
+      vs.map(v => math.round(v * 1024.0)).reverse.foldLeft(0L)((a, x) => a * 2 + x)
+    val den = (1L << w) - 1
+    val last3 = Seq(80.0, 90.0, 100.0)
+    val n1s = (5 until 10).map(i => fold(Seq(10.0 * (i - 1), 10.0 * i, 10.0 * (i + 1))))
+    val n2 = n1s.takeRight(3).reverse.foldLeft(0L)((a, x) => a * 2 + x)
+    val n1 = fold(last3)
+    val lastRow = ramp.last
+    assert(lastRow.getDouble(3) === n1.toDouble / (den * 1024.0))
+    assert(lastRow.getDouble(4) === n2.toDouble / (den.toDouble * den * 1024.0))
+    assert(lastRow.getDouble(5) ===
+      (3L * n1 * den - 2L * n2).toDouble / (den.toDouble * den * 1024.0))
+  }
+
   test("meanShift peaks exactly at a level step; flat regions score zero") {
     // 10,10,10,10,10,10 | 20,20,20,20,20,20 with window 3
     val rows = (0 until 12).map(i =>
