@@ -94,6 +94,23 @@ object DevSpot {
                 .otherwise(col("event_type")))
           graft.ops.Relational.snapshotDiff(v1, v2, Seq("event_id"),
             Seq("event_type", "value")).count()
+        case Array("phashvol", r) =>
+          // pair volume + bucket skew of the hamming band join at a
+          // given radius — the m_phash_cluster plan diagnosis
+          val media = graft.multimodal.Multimodal.aHash(
+            graft.multimodal.Multimodal.fromDocuments(Tables.documents(spark, sfDir)))
+          println("  media=" + media.count())
+          graft.dedup.Dedup.hammingPairs(media, "media_id", "ahash",
+            r.toInt, 64).count()
+        case Array("phashreps", r) =>
+          // the collapsed generator: distinct hashes only
+          val media = graft.multimodal.Multimodal.aHash(
+            graft.multimodal.Multimodal.fromDocuments(Tables.documents(spark, sfDir)))
+          val reps = media.groupBy(col("ahash"))
+            .agg(min(col("media_id")).as("media_id"))
+          println("  distinct_hashes=" + reps.count())
+          graft.dedup.Dedup.hammingPairs(reps, "media_id", "ahash",
+            r.toInt, 64).count()
         case other => sys.error(s"unknown spec ${other.mkString(":")}")
       }
       println(f"SPOT $spec rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")

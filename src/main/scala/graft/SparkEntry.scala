@@ -1507,6 +1507,22 @@ object SparkEntry {
         "media_id", "ahash", maxHamming = 10, bits = 64)
         .orderBy("id_a", "id_b")),
 
+    // Near-dup MEDIA clusters: connected components over the pHash
+    // hamming graph (the image face of d_cluster — re-encoded copies,
+    // resizes, and format shifts share a perceptual hash within the
+    // radius; label-prop collapses them to one asset id). Radius 4,
+    // not m_phash_pairs's 10: banding pigeonholes radius r into r+1
+    // chunks, so 64-bit hashes at r=10 leave 6-bit chunks (64 bucket
+    // values — quadratic once media ≫ 64·√bucket); and via
+    // hammingClusters identical hashes collapse to ONE representative
+    // before any banding — low-entropy perceptual hashes make that
+    // collapse the whole game (100× spot: 80.2M raw pairs → 7.3k).
+    "m_phash_cluster" -> ((s, d) =>
+      Dedup.hammingClusters(
+          Multimodal.aHash(Multimodal.fromDocuments(Tables.documents(s, d))),
+          "media_id", "ahash", maxHamming = 4, bits = 64)
+        .orderBy("id")),
+
     // The mapPartitions decode stage end-to-end: byte-level features
     // (checksum/header bytes) are SQL-expressible on the ASCII fixture,
     // so the typed-Dataset batch path itself is oracle-checked.
@@ -2110,6 +2126,14 @@ object SparkEntry {
     // the end.
     "ts_ewma" -> ((s, d) =>
       graft.ops.TimeSeries.ewma(archiveDim(s, d))
+        .orderBy("attribute_id", "timestamp")),
+
+    // Classical additive decomposition: centered-moving-average trend,
+    // per-(series, hour) seasonal profile of the DETRENDED values
+    // (exact BIGINT q·n − Σq — no double subtraction), residual —
+    // ts_seasonal with the drift separated out first.
+    "ts_decompose" -> ((s, d) =>
+      graft.ops.TimeSeries.decompose(archiveDim(s, d))
         .orderBy("attribute_id", "timestamp")),
 
     // Brown's double exponential smoothing (α = 1/2): level + trend +
@@ -4677,6 +4701,19 @@ object SparkEntry {
         "FROM __ah a JOIN __ah b ON a.media_id < b.media_id " +
         "WHERE bit_count(xor(a.ahash, b.ahash)) <= 10 ORDER BY id_a, id_b"),
 
+    "m_phash_cluster" ->
+      (s"WITH RECURSIVE __ah AS (${Multimodal.aHashSql()}), " +
+        "__pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b " +
+        "FROM __ah a JOIN __ah b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 4), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs " +
+        "UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT media_id, media_id FROM __ah " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
+        "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
+
     "m_decode_features" ->
       ("SELECT doc_id AS media_id, 'text' AS kind, " +
         "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
@@ -5001,6 +5038,11 @@ object SparkEntry {
     "ts_holt" ->
       (s"WITH $archiveSqlCte SELECT * FROM (" +
         s"${graft.ops.TimeSeries.doubleEwmaSql("SELECT * FROM archive")}) " +
+        "ORDER BY attribute_id, timestamp"),
+
+    "ts_decompose" ->
+      (s"WITH $archiveSqlCte SELECT * FROM (" +
+        s"${graft.ops.TimeSeries.decomposeSql("SELECT * FROM archive")}) " +
         "ORDER BY attribute_id, timestamp"),
 
     "ts_seasonal" ->

@@ -1550,6 +1550,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Hamming-≤τ connected components over a signature column — the
+    * CLUSTER face of [[hammingPairs]], scalable where the pair list is
+    * not: identical signatures collapse to ONE representative (min id
+    * per signature) BEFORE the band join, so a g-way identical-hash
+    * group costs g rows instead of g²/2 pairs, and banding runs over
+    * DISTINCT signatures only. On low-entropy perceptual hashes the
+    * collapse is the whole game — the 100× media fixture has 500k
+    * assets but 13.8k distinct aHashes: 80.2M raw radius-4 pairs
+    * collapse to 7.3k representative pairs (a 10⁴× reduction) with
+    * IDENTICAL components and labels (a component's min id is attained
+    * at some member, every member's id ≥ its signature's rep, so
+    * min-label propagation over reps reaches the same global min).
+    * Emits (id, cluster) exactly like [[clusters]]. */
+  def hammingClusters(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
+    val reps = sigs.groupBy(col(sigCol)).agg(min(col(idCol)).as("__rep"))
+    val pairs = hammingPairs(reps.select(col("__rep").as(idCol), col(sigCol)),
+      idCol, sigCol, maxHamming, bits)
+    val repClusters = clusters(reps.select(col("__rep").as(idCol)), pairs,
+      idCol).withColumnRenamed("id", "__rep")
+    sigs.select(col(idCol), col(sigCol))
+      .join(reps, Seq(sigCol))
+      .join(repClusters, Seq("__rep"))
+      .select(col(idCol).as("id"), col("cluster"))
+  }
+
   /** Oracle twin for [[simhashPairs]]. */
   def simhashPairsSql(table: String, idCol: String, textCol: String,
       maxHamming: Int, bits: Int = SimhashBits): String =

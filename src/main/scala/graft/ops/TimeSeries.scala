@@ -766,6 +766,82 @@ object TimeSeries {
 
   /** Oracle twin of [[seasonalResiduals]]: same quantized-integer slot
     * sums, same single division and subtraction. */
+  /** Classical additive decomposition (trend + seasonal + residual) —
+    * the [[seasonalResiduals]] profile with the TREND separated first,
+    * so a drifting series doesn't smear its drift into the hourly
+    * profile: trend = centered moving average over ±`halfWindow`
+    * points, seasonal = per-(series, hour-of-day) mean of the
+    * DETRENDED values, residual = value − trend − seasonal. (True STL
+    * iterates loess fits — a sequential recursion no engine-portable
+    * window expresses; one decomposition pass is the standard
+    * first-order form.)
+    *
+    * Exactness: the detrended value is kept as the exact BIGINT
+    * q·n − Σq (scale n·Q — never a double subtraction), so the
+    * seasonal mean is an order-free integer sum with ONE double
+    * division; trend likewise. Rows without a FULL centered window
+    * emit NULL trend/residual (visible edges, and it keeps the
+    * detrended scale constant — partial windows would mix scales).
+    * Scale shape: one hash shuffle per series + a linear window pass +
+    * a catalog-sized (series × 24) broadcast profile. */
+  def decompose(archive: DataFrame, halfWindow: Int = 12): DataFrame = {
+    require(halfWindow >= 1 && halfWindow <= 512, "halfWindow out of range")
+    val n = 2 * halfWindow + 1
+    val qd = ZScoreQ.toDouble
+    val w = Window.partitionBy("attribute_id").orderBy("timestamp")
+      .rowsBetween(-halfWindow, halfWindow)
+    val pts = archive.filter(col("value").isNotNull)
+      .groupBy("attribute_id", "timestamp").agg(min(col("value")).as("value"))
+      .withColumn("hod", hour(col("timestamp")))
+      .withColumn("__q", round(col("value") * ZScoreQ).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__sum", sum(col("__q")).over(w))
+    val seasonal = pts.filter(col("__cnt") === n)
+      .withColumn("__det", col("__q") * n - col("__sum"))
+      .groupBy("attribute_id", "hod")
+      .agg(sum(col("__det")).as("__sd"), count(lit(1)).as("__sn"))
+    pts.join(broadcast(seasonal), Seq("attribute_id", "hod"), "left")
+      .withColumn("trend",
+        when(col("__cnt") === n, col("__sum").cast("double") / (n * qd)))
+      .withColumn("seasonal_mean",
+        col("__sd").cast("double") / (col("__sn").cast("double") * n * qd))
+      .withColumn("residual",
+        col("value") - col("trend") - col("seasonal_mean"))
+      .select("attribute_id", "timestamp", "hod", "value", "trend",
+        "seasonal_mean", "residual")
+  }
+
+  /** Oracle twin of [[decompose]]: same dedup, quantization, centered
+    * frame, integer detrending, and division order. */
+  def decomposeSql(archiveSql: String, halfWindow: Int = 12): String = {
+    val n = 2 * halfWindow + 1
+    s"""WITH __pts AS (
+       |  SELECT attribute_id, timestamp, min(value) AS value
+       |  FROM ($archiveSql) WHERE value IS NOT NULL
+       |  GROUP BY attribute_id, timestamp
+       |), __w AS (
+       |  SELECT attribute_id, timestamp, value, hour(timestamp) AS hod,
+       |         CAST(round(value * $ZScoreQ) AS BIGINT) AS q,
+       |         count(*) OVER __f AS cnt,
+       |         sum(CAST(round(value * $ZScoreQ) AS BIGINT)) OVER __f AS s
+       |  FROM __pts
+       |  WINDOW __f AS (PARTITION BY attribute_id ORDER BY timestamp
+       |                 ROWS BETWEEN $halfWindow PRECEDING AND $halfWindow FOLLOWING)
+       |), __sea AS (
+       |  SELECT attribute_id, hod, CAST(sum(q * $n - s) AS BIGINT) AS sd,
+       |         CAST(count(*) AS BIGINT) AS sn
+       |  FROM __w WHERE cnt = $n GROUP BY 1, 2
+       |)
+       |SELECT w.attribute_id, w.timestamp, w.hod, w.value,
+       |       CASE WHEN w.cnt = $n
+       |            THEN CAST(w.s AS DOUBLE) / ($n * CAST($ZScoreQ AS DOUBLE)) END AS trend,
+       |       CAST(sd AS DOUBLE) / (CAST(sn AS DOUBLE) * $n * $ZScoreQ) AS seasonal_mean,
+       |       w.value - (CASE WHEN w.cnt = $n
+       |            THEN CAST(w.s AS DOUBLE) / ($n * CAST($ZScoreQ AS DOUBLE)) END)
+       |         - (CAST(sd AS DOUBLE) / (CAST(sn AS DOUBLE) * $n * $ZScoreQ)) AS residual
+       |FROM __w w LEFT JOIN __sea USING (attribute_id, hod)""".stripMargin
+  }
+
   def seasonalResidualsSql(archiveSql: String): String =
     s"""WITH __pts AS (
        |  SELECT attribute_id, timestamp, min(value) AS value

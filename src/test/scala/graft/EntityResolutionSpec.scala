@@ -173,6 +173,41 @@ class EntityResolutionSpec extends SparkSpec {
     assert(merges === Set((20L, 10L), (20L, 5L)))
   }
 
+  test("goldenRecords composes with the streaming registry: golden from live state = batch golden") {
+    val sess = spark
+    import sess.implicits._
+    import graft.streaming.StreamingEr
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_gold").toString
+    val all = Seq(
+      (10L, "aaaa", 3, 100L), (20L, "aabb", 9, 40L),
+      (15L, "aaab", 5, 70L), (5L, "abbb", 1, 990L),
+      (40L, "zzzz", 2, 20L))
+    def step(rows: Seq[(Long, String, Int, Long)], i: Long) =
+      StreamingEr.batchStep(spark, s"$dir/reg", s"$dir/merge",
+        "id", "name", Seq("blk"), maxDist = 1)(
+        rows.map { case (id, nm, _, _) => (id, nm, "b") }.toDF("id", "name", "blk"), i)
+    step(all.take(2), 0L); step(all.slice(2, 3), 1L); step(all.drop(3), 2L)
+    val recs = all.toDF("id", "name", "sz", "cents")
+    val fromStream = EntityResolution.goldenRecords(recs, "id",
+      StreamingEr.resolveEntities(spark, s"$dir/reg", s"$dir/merge", "id"),
+      "name", Seq("sz", "cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).sortBy(_._1).toSeq
+    val fromBatch = EntityResolution.goldenRecords(recs, "id",
+      EntityResolution.entities(
+        recs.withColumn("blk", lit("b")), "id",
+        EntityResolution.matchPairs(recs.withColumn("blk", lit("b")),
+          "id", "name", Seq("blk"), 1)),
+      "name", Seq("sz", "cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(fromStream === fromBatch)
+    // the bridged entity's golden row: min label 5, all 4 records,
+    // lexically-smallest mode name, MAX size and cents survive
+    assert(fromStream.find(_._1 == 5L) ===
+      Some((5L, 4L, "aaaa", 9, 990L)))
+  }
+
   test("incremental ER equals the batch operator on the part catalog; replay idempotent") {
     import graft.streaming.StreamingEr
     import graft.model.Tables

@@ -1341,6 +1341,36 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("hammingClusters equals clusters-over-hammingPairs; identical hashes never pair") {
+    val sess = spark
+    import sess.implicits._
+    // heavy identical-hash groups + a near pair bridging two groups +
+    // an isolated far signature
+    val sigs = (
+      (1L to 40L).map(i => (i, 0x0F0F0F0FL)) ++          // group A (40-way identical)
+      (41L to 70L).map(i => (i, 0x0F0F0F0DL)) ++         // group B, hamming 1 from A
+      Seq((80L, 0x7000000000000000L), (81L, 0x7000000000000003L), // pair at hamming 2
+          (99L, -1L))                                     // isolated
+    ).toDF("id", "sig")
+    val viaCollapse = graft.dedup.Dedup.hammingClusters(sigs, "id", "sig",
+      maxHamming = 2, bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = graft.dedup.Dedup.clusters(sigs.select("id"),
+      graft.dedup.Dedup.hammingPairs(sigs, "id", "sig", 2, 64), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCollapse === viaPairs)
+    // A and B chain through hamming 1: all 70 carry label 1
+    assert((1L to 70L).forall(viaCollapse(_) == 1L))
+    assert(viaCollapse(80L) === 80L && viaCollapse(81L) === 80L)
+    assert(viaCollapse(99L) === 99L)
+    // the collapsed generator's pair list is representative-only: the
+    // 40-way group contributes zero intra-group pairs
+    val repPairs = graft.dedup.Dedup.hammingPairs(
+      sigs.groupBy(col("sig")).agg(min(col("id")).as("id")), "id", "sig", 2, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repPairs === Set((1L, 41L), (80L, 81L)))
+  }
+
   test("prioritySample: exactly k kept, q >= w, unbiased max(w,tau) estimator, stable") {
     val sess = spark
     import sess.implicits._

@@ -235,6 +235,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(s1(2) === 30.0)
   }
 
+  test("decompose: linear ramp has zero residual, edges NULL, bumped hour dominates seasonal") {
+    val hw = 3 // n = 7
+    // attr 1: exact linear ramp (centered MA of a symmetric ramp IS the
+    // center, detrended integers are exactly 0)
+    val ramp = (0 until 24).map(i => (1, f"2024-01-01 $i%02d:00:00", Some(100.0 + 2.0 * i)))
+    // attr 2: constant 50 with a +70 bump every day at hour 02 over 3 days
+    val bump = (0 until 72).map { i =>
+      val hod = i % 24
+      (2, f"2024-01-${i / 24 + 1}%02d ${hod}%02d:00:00",
+        Some(if (hod == 2) 120.0 else 50.0))
+    }
+    val out = TimeSeries.decompose(archive(ramp ++ bump), halfWindow = hw)
+      .orderBy("attribute_id", "timestamp").collect()
+    val r = out.filter(_.getInt(0) == 1)
+    // edges: first/last hw rows lack a full centered window
+    assert(r.take(hw).forall(x => x.isNullAt(4) && x.isNullAt(6)))
+    assert(r.takeRight(hw).forall(x => x.isNullAt(4) && x.isNullAt(6)))
+    // interior of the ramp: trend = value exactly, residual exactly 0
+    r.drop(hw).dropRight(hw).foreach { x =>
+      assert(x.getDouble(4) === x.getDouble(3), s"trend != value on ramp: $x")
+      assert(x.getDouble(6) === 0.0, s"nonzero ramp residual: $x")
+    }
+    // the bumped hour's seasonal profile stands far above every other hour
+    val b = out.filter(_.getInt(0) == 2).filter(!_.isNullAt(5))
+      .map(x => x.getInt(2) -> x.getDouble(5)).distinct.toMap
+    val others = b.filter(_._1 != 2).values
+    assert(b(2) > others.max + 30.0,
+      s"bumped-hour seasonal ${b(2)} not separated from ${others.max}")
+  }
+
   test("doubleEwma: constants are fixed points, ramps forecast ahead, warm-up is NULL") {
     val w = 3
     // attr 1: constant 8.0; attr 2: linear ramp 10,20,30,...
