@@ -1110,6 +1110,20 @@ object SparkEntry {
       TextOps.ppsSample(Tables.documents(s, d), "doc_id", "text", n = 150)
         .orderBy("doc_id")),
 
+    // BPE merge training (Sennrich 2016): the first 6 byte-pair merges
+    // learned from the corpus — ONE corpus scan into the word-frequency
+    // vocab, then vocab-sized rounds (pair count, 1-row argmax, greedy
+    // fold rewrite); the tokenizer-training loop as a distributed job.
+    "pipe_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(Tables.documents(s, d), "text", rounds = 6)
+        .orderBy("round")),
+
+    // The learned vocab applied back: the one-row segmentation
+    // datasheet (distinct words, occurrences, subword tokens, exact
+    // subwords-per-word micro ratio) — the in-training fertility.
+    "pipe_bpe_vocab" -> ((s, d) =>
+      TextOps.bpeSegmentStats(Tables.documents(s, d), "text", rounds = 6)),
+
     // Priority sampling (Duffield–Lund–Thorup): top-k by hash-drawn
     // priority q = w·P div (h+1), τ = the (k+1)-th priority, and
     // max(w, τ) per kept doc — the unbiased subset-sum estimator; the
@@ -4480,6 +4494,12 @@ object SparkEntry {
     "pipe_priority_sample" ->
       (TextOps.prioritySampleSql("documents", "doc_id", "text", 60) +
         " ORDER BY doc_id"),
+
+    "pipe_bpe_train" ->
+      TextOps.bpeTrainSql("documents", "text", 6),
+
+    "pipe_bpe_vocab" ->
+      TextOps.bpeSegmentStatsSql("documents", "text", 6),
 
     "pipe_dataset_card" ->
       (s"WITH __f AS (SELECT source, doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok, " +

@@ -526,6 +526,140 @@ object TextOps {
        |SELECT id AS $id, w AS weight, CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
        |FROM __c CROSS JOIN __t WHERE cum // step - (cum - w) // step >= 1""".stripMargin
 
+  /** BPE merge training (Sennrich et al., ACL 2016): learn the first
+    * `rounds` byte-pair merges from the corpus — each round counts
+    * adjacent symbol pairs weighted by WORD frequency, picks the most
+    * frequent pair ((count DESC, left, right) total order, so ties are
+    * engine-deterministic), and rewrites every word's symbol sequence
+    * with the merge applied greedily left-to-right (the reference
+    * implementation's regex-replace semantics, expressed as a string
+    * fold: a merged symbol never re-merges with the following symbol in
+    * the same round). Emits one row per learned merge:
+    * (round, merge_left, merge_right, merged, pair_count).
+    *
+    * Scale shape: the corpus is scanned ONCE into the distinct-word
+    * frequency vocab; every round is vocab-sized (a pair count with
+    * map-side combine, a 1-row TakeOrdered argmax, a pure projection) —
+    * the textbook trainer's loop, distributed. The only driver traffic
+    * is the single best-pair row per round (the centroid-collect
+    * precedent); per-round localCheckpoint keeps the unrolled fold
+    * plans from nesting. Symbols join on ' ' — safe by construction,
+    * whitespace tokens contain none. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeLoop(df, textCol, rounds)._1
+      .toDF("round", "merge_left", "merge_right", "merged", "pair_count")
+  }
+
+  /** The trained vocabulary APPLIED back to the corpus it was learned
+    * from — the one-row segmentation datasheet: distinct words, total
+    * word occurrences, total subword tokens under the learned merges,
+    * and the exact subwords-per-word micro ratio (the fertility of the
+    * in-training tokenizer; 1.0 means every word became one token).
+    * Same scale shape as [[bpeTrain]] — the stats are one combinable
+    * aggregate over the vocab table. */
+  def bpeSegmentStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame =
+    bpeLoop(df, textCol, rounds)._2
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum(col("__f")).as("total_words"),
+        sum(col("__f") * size(split(col("__s"), " "))).as("total_subwords"))
+      .withColumn("subwords_per_word_micro",
+        expr("(1000000 * total_subwords) div total_words"))
+
+  /** Shared trainer loop: (merges, final vocab frame (__f, __s)). */
+  private def bpeLoop(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    def applyMerge(s: Column, l: String, r: String): Column =
+      aggregate(split(s, " "), lit(""), (acc, x) =>
+        when((acc === l || acc.endsWith(" " + l)) && x === r,
+          concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+          .when(acc === "", x)
+          .otherwise(concat(acc, lit(" "), x)))
+    var cur = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .select(col("__f"), expr(
+        "array_join(transform(sequence(1, length(__w)), i -> substring(__w, i, 1)), ' ')")
+        .as("__s"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val best = cur
+        .select(col("__f"), split(col("__s"), " ").as("__sy"))
+        .filter(size(col("__sy")) >= 2) // Spark sequence(1, 0) DESCENDS — guard, don't clamp
+        .select(col("__f"), explode(expr(
+          "transform(sequence(1, size(__sy) - 1), " +
+            "i -> struct(element_at(__sy, i) AS l, element_at(__sy, i + 1) AS r))")).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum("__f").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, l, r, l + r, c))
+        cur = cur.select(col("__f"), applyMerge(col("__s"), l, r).as("__s"))
+          .localCheckpoint(false)
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the same rounds statically unrolled
+    * as a CTE chain — per round a pair count, a 1-row argmax, and the
+    * same greedy string fold (lambda capturing the argmax row's
+    * columns through a CROSS JOIN). */
+  def bpeTrainSql(table: String, text: String, rounds: Int): String = {
+    val out = (1 to rounds).map { k =>
+      s"SELECT $k AS round, l AS merge_left, r AS merge_right, " +
+        s"l || r AS merged, c AS pair_count FROM __b$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeChainSql(table, text, rounds)}
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeSegmentStats]]: the same chain, one aggregate
+    * over the final vocab frame. */
+  def bpeSegmentStatsSql(table: String, text: String, rounds: Int): String =
+    s"""WITH ${bpeChainSql(table, text, rounds)}
+       |SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       |       CAST(sum(f) AS BIGINT) AS total_words,
+       |       CAST(sum(f * len(string_split(s, ' '))) AS BIGINT) AS total_subwords,
+       |       CAST((1000000 * CAST(sum(f * len(string_split(s, ' '))) AS BIGINT))
+       |            // CAST(sum(f) AS BIGINT) AS BIGINT) AS subwords_per_word_micro
+       |FROM __s$rounds""".stripMargin
+
+  /** The vocab + per-round (pair-count → argmax → fold-rewrite) CTE
+    * chain shared by [[bpeTrainSql]] and [[bpeSegmentStatsSql]]. */
+  private def bpeChainSql(table: String, text: String, rounds: Int): String = {
+    val fold = "list_reduce(list_prepend('', string_split(s, ' ')), (acc, x) -> " +
+      "CASE WHEN (acc = b.l OR right(acc, length(b.l) + 1) = (' ' || b.l)) AND x = b.r " +
+      "THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r " +
+      "WHEN acc = '' THEN x ELSE acc || ' ' || x END)"
+    val chain = (1 to rounds).map { k =>
+      s"""__p$k AS (
+         |  SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT f, string_split(s, ' ') AS sy FROM __s${k - 1}),
+         |       unnest(range(1, len(sy))) AS t(i)
+         |  GROUP BY 1, 2),
+         |__b$k AS (SELECT l, r, c FROM __p$k ORDER BY c DESC, l, r LIMIT 1),
+         |__s$k AS (SELECT f, $fold AS s FROM __s${k - 1} CROSS JOIN __b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""__v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(${tokensSql(text)}) AS w FROM $table) GROUP BY w),
+       |__s0 AS (
+       |  SELECT f, array_to_string(
+       |    list_transform(range(1, length(w) + 1), __ci -> substr(w, __ci, 1)), ' ') AS s
+       |  FROM __v),
+       |$chain""".stripMargin
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): each doc
     * draws priority q = w / u with u uniform on (0,1], the k highest
     * priorities are the sample, and with τ = the (k+1)-th priority,

@@ -1341,6 +1341,34 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("bpeTrain: frequency weighting, greedy left-to-right, lexical tie-break, exhaustion") {
+    val sess = spark
+    import sess.implicits._
+    // vocab: aaa ×2, b ×1 → round 1 merges (a,a) with count 4 (two
+    // positions × word freq 2); GREEDY rewrite gives 'aa a' (never
+    // 'a aa'), so round 2 merges (aa, a) — then no pairs remain and
+    // training stops early despite rounds = 5
+    val docs = Seq((1L, "aaa aaa b")).toDF("doc_id", "text")
+    val merges = graft.text.TextOps.bpeTrain(docs, "text", rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(merges === Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+    // equal counts break ties on (left, right) lexically: (x,y) beats (x,z)
+    val tie = Seq((1L, "xy xz")).toDF("doc_id", "text")
+    val first = graft.text.TextOps.bpeTrain(tie, "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(first === Seq(("x", "y")))
+    // segmentation stats: after full training every word is one token
+    // (ratio exactly 1.0); after one round 'aaa' is still 2 subwords
+    val full = graft.text.TextOps.bpeSegmentStats(docs, "text", rounds = 5)
+      .collect().head
+    assert((full.getLong(0), full.getLong(1), full.getLong(2), full.getLong(3)) ===
+      ((2L, 3L, 3L, 1000000L)))
+    val one = graft.text.TextOps.bpeSegmentStats(docs, "text", rounds = 1)
+      .collect().head
+    assert((one.getLong(2), one.getLong(3)) === ((5L, 1666666L)))
+  }
+
   test("hammingClusters equals clusters-over-hammingPairs; identical hashes never pair") {
     val sess = spark
     import sess.implicits._
