@@ -2375,6 +2375,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id")).limit(50)
     }),
 
+    // Weighted personalized PageRank: proximity to the brand seeds
+    // where co-purchase MULTIPLICITY carries the mass (w=1 per raw
+    // pair row folds to the pair count) — the related-items ranker by
+    // strength, completing the {global, personalized} × {unweighted,
+    // weighted} matrix.
+    "g_ppr_w" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w", lit(1L))
+      val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("id"))
+      graft.graph.GraphOps.personalizedPageRankWeighted(edges, "src", "dst",
+          "w", seeds, "id", iters = 3)
+        .filter(col("is_seed") === 0 && col("score") > 0)
+        .orderBy(col("score").desc, col("id")).limit(50)
+    }),
+
     // k-truss of the urgent-order co-purchase subgraph: 2 synchronous
     // peel rounds deleting edges in < k-2 triangles — the
     // triangle-cohesion community core that k-core's hub-tolerance
@@ -5212,6 +5232,14 @@ object SparkEntry {
     "g_ppr" ->
       (s"SELECT * FROM (${graft.graph.GraphOps.personalizedPageRankSql(
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+          "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+        "SELECT p_partkey AS id FROM part WHERE p_brand = 'Brand#11'",
+        iters = 3)}) WHERE is_seed = 0 AND score > 0 " +
+        "ORDER BY score DESC, id LIMIT 50"),
+
+    "g_ppr_w" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.personalizedPageRankWeightedSql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, 1 AS w FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         "SELECT p_partkey AS id FROM part WHERE p_brand = 'Brand#11'",
         iters = 3)}) WHERE is_seed = 0 AND score > 0 " +

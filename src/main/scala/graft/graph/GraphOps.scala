@@ -631,6 +631,93 @@ object GraphOps {
        |SELECT id, outdeg, CAST(seed AS INTEGER) AS is_seed, score FROM __s$iters""".stripMargin
   }
 
+  /** Weighted PERSONALIZED PageRank — [[personalizedPageRank]]'s
+    * seed-set teleport composed with [[pageRankWeighted]]'s
+    * proportional flow: rank relative to the seeds where neighbor
+    * strength (multiplicity, spend, interaction count) matters, not
+    * just adjacency. Same unnormalized-teleport argument (linearity ⇒
+    * rank-identical to the |seeds|-normalized form), same weight fold
+    * and BIGINT `(score·w) div wsum` flooring, same headroom contract
+    * (score·max(w) < 2^63). Scale shape: identical to the parents. */
+  def personalizedPageRankWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame, seedCol: String,
+      iters: Int = 3, broadcastState: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"unrolled iters must be in [1,10], got $iters")
+    def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint(false) // reused by every superstep
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outw = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("__seed", lit(1))
+    val base = nodes.join(hint(outw), Seq("id"), "left")
+      .join(hint(seedIds), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outw"), lit(0L)).as("outw"),
+        coalesce(col("__seed"), lit(0)).as("__seed"))
+      .localCheckpoint(false)
+    var state = base.withColumn("score", col("__seed") * lit(PrScale))
+    for (_ <- 1 to iters) {
+      val insum = e.join(
+        hint(state.filter(col("outw") > 0 && col("score") > 0)
+          .select(col("id").as("src"), col("score"), col("outw"))),
+        Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("(score * w) div outw")).as("__insum"))
+      state = base.join(hint(insum), Seq("id"), "left")
+        .select(col("id"), col("outw"), col("__seed"),
+          (col("__seed") * lit(PrScale * 3 / 20) +
+            expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("score"))
+        .localCheckpoint(false)
+    }
+    state.select(col("id"), col("outw"),
+      col("__seed").cast("int").as("is_seed"), col("score"))
+  }
+
+  /** Oracle twin of [[personalizedPageRankWeighted]]. `edgesSql` must
+    * yield (src, dst, w); `seedsSql` one column `id`. */
+  def personalizedPageRankWeightedSql(edgesSql: String, seedsSql: String,
+      iters: Int = 3): String = {
+    require(iters >= 1 && iters <= 10)
+    val steps = (1 to iters).map { i =>
+      s"""__s$i AS (
+         |  SELECT d.id, d.outw, d.seed,
+         |         d.seed * CAST(${PrScale * 3 / 20} AS BIGINT) + (17 * coalesce(t.insum, CAST(0 AS BIGINT))) // 20 AS score
+         |  FROM __d d LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum((s.score * e.w) // s.outw) AS BIGINT) AS insum
+         |    FROM __e e JOIN __s${i - 1} s ON e.src = s.id AND s.outw > 0 AND s.score > 0
+         |    GROUP BY e.dst) t ON d.id = t.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH __e AS (
+       |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       |         CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS w
+       |  FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
+       |  GROUP BY 1, 2
+       |), __n AS (
+       |  SELECT src AS id FROM __e UNION SELECT dst FROM __e
+       |), __seeds AS (
+       |  SELECT DISTINCT CAST(id AS BIGINT) AS id FROM ($seedsSql)
+       |  WHERE id IS NOT NULL
+       |), __d AS (
+       |  SELECT n.id, coalesce(o.c, CAST(0 AS BIGINT)) AS outw,
+       |         CASE WHEN s.id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS seed
+       |  FROM __n n
+       |  LEFT JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS c FROM __e GROUP BY src) o
+       |    ON n.id = o.src
+       |  LEFT JOIN __seeds s ON n.id = s.id
+       |), __s0 AS (
+       |  SELECT id, outw, seed, seed * CAST($PrScale AS BIGINT) AS score FROM __d
+       |), $steps
+       |SELECT id, outw, CAST(seed AS INTEGER) AS is_seed, score FROM __s$iters""".stripMargin
+  }
+
   /** WEIGHTED PageRank: [[pageRank]] with an integer edge-weight
     * column — each node distributes its score proportionally to edge
     * weight, `(score · w) div wsum` per out-edge, the first ask of a

@@ -289,6 +289,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(none === Set(0L), "no seeds must mean no mass")
   }
 
+  test("personalizedPageRankWeighted: w=1 reduces to PPR; seed mass follows the heavy edge") {
+    val sess = spark
+    import sess.implicits._
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+    val seeds = Seq(1L).toDF("id")
+    val unw = GraphOps.personalizedPageRank(edges(g), "src", "dst", seeds, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val w1 = GraphOps.personalizedPageRankWeighted(
+        wedges(g.map { case (s, d) => (s, d, 1L) }), "src", "dst", "w", seeds, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(w1 === unw, "unit weights must reduce to the unweighted PPR")
+    // seed 1 sends to 2 (w=9) and 3 (w=1): after one round the heavy
+    // neighbor holds exactly (17 * ((1e6*9) div 10)) div 20, the light
+    // one a ninth of the flow — exact integer arithmetic replicated here
+    val heavy = GraphOps.personalizedPageRankWeighted(
+        wedges(Seq((1L, 2L, 9L), (1L, 3L, 1L))), "src", "dst", "w",
+        Seq(1L).toDF("id"), "id", iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(heavy(2L) === 17L * (1000000L * 9L / 10L) / 20L)
+    assert(heavy(3L) === 17L * (1000000L * 1L / 10L) / 20L)
+    assert(heavy(1L) === 150000L) // seed teleport only — nothing points back
+  }
+
   test("kTruss: K4 is a 4-truss; weakly-shared triangles cascade away over rounds") {
     def run(rows: Seq[(Long, Long)], k: Int, rounds: Int) =
       GraphOps.kTruss(edges(rows), "src", "dst", k, rounds)
