@@ -3236,6 +3236,51 @@ object SparkEntry {
             "nullif(n * __sxx - __sx * __sx, 0) as bigint)").as("slope_micro"))
         .orderBy("l_suppkey")),
 
+    // Theil–Sen robust slope (bounded-pairs variant): the median of
+    // pairwise slopes, the outlier-proof twin of a_ols_slope (one bad
+    // point drags OLS arbitrarily; the slope MEDIAN moves only past
+    // 29% contamination). Pairs are each point with its next K=8
+    // neighbors in the per-supplier total order — generated by an
+    // EXPLODE + (key, rank) equi-join, never a range self-join — so
+    // cost is n·K per key at any scale. Slopes floor-divide via the
+    // pmod identity ((a − pmod(a,b)) div b = ⌊a/b⌋): Spark's `div`
+    // truncates toward zero but DuckDB's `//` floors, and pairwise
+    // slopes GO NEGATIVE, where the two disagree — the bandJoin
+    // lesson applied before it could become a red cell. Median = the
+    // exact lower-median rank, no interpolation.
+    "a_theilsen" -> ((s, d) => {
+      val k = 8
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey")
+        .orderBy("__x", "__y", "l_orderkey", "l_linenumber")
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("cast(floor(l_quantity) as bigint)").as("__x"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)").as("__y"))
+        .withColumn("__rn", row_number().over(w))
+        .select("l_suppkey", "__rn", "__x", "__y")
+      val probes = pts
+        .select(col("l_suppkey"), col("__rn").as("__rn1"),
+          col("__x").as("__x1"), col("__y").as("__y1"),
+          explode(expr(s"sequence(__rn + 1, __rn + $k)")).as("__rn"))
+      val slopes = probes
+        .join(pts, Seq("l_suppkey", "__rn"))
+        .filter(col("__x") =!= col("__x1"))
+        .select(col("l_suppkey"), col("__rn1"), col("__rn").as("__rn2"),
+          expr("(1000000 * (__y - __y1) - pmod(1000000 * (__y - __y1), (__x - __x1))) div (__x - __x1)")
+            .as("__slope"))
+      slopes
+        .withColumn("__sr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
+            .orderBy("__slope", "__rn1", "__rn2")))
+        .withColumn("n_pairs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")))
+        .filter(col("__sr") === expr("(n_pairs + 1) div 2"))
+        .select(col("l_suppkey"), col("n_pairs"),
+          col("__slope").as("slope_micro_med"))
+        .orderBy("l_suppkey")
+    }),
+
     // Click→purchase lag percentiles, EXACT: value-at-integer-rank
     // (the ts_winsorize convention — (q·n div 100 + 1)-th smallest) over
     // the backward-as-of lags, so no percentile interpolation
@@ -5762,6 +5807,25 @@ object SparkEntry {
         "SELECT l_suppkey, n, " +
         "CAST((1000000 * (n * sxy - sx * sy)) // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_micro " +
         "FROM __a ORDER BY l_suppkey"),
+
+    "a_theilsen" ->
+      ("WITH __pts AS (SELECT l_suppkey, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS x, " +
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS y, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY " +
+        "CAST(floor(l_quantity) AS BIGINT), CAST(floor(l_extendedprice * 100) AS BIGINT), " +
+        "l_orderkey, l_linenumber) AS rn FROM lineitem), " +
+        "__pr AS (SELECT p.l_suppkey, p.rn AS rn1, p.x AS x1, p.y AS y1, p.rn + t.k AS rn " +
+        "FROM __pts p, unnest(range(1, 9)) AS t(k)), " +
+        "__sl AS (SELECT pr.l_suppkey, pr.rn1, p2.rn AS rn2, " +
+        "(1000000 * (p2.y - pr.y1)) // (p2.x - pr.x1) AS slope " +
+        "FROM __pr pr JOIN __pts p2 ON pr.l_suppkey = p2.l_suppkey AND pr.rn = p2.rn " +
+        "WHERE p2.x <> pr.x1), " +
+        "__rk AS (SELECT l_suppkey, slope, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY slope, rn1, rn2) AS sr, " +
+        "CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS np FROM __sl) " +
+        "SELECT l_suppkey, np AS n_pairs, CAST(slope AS BIGINT) AS slope_micro_med " +
+        "FROM __rk WHERE sr = (np + 1) // 2 ORDER BY l_suppkey"),
 
     "w13_lag_quantiles" ->
       ("WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
