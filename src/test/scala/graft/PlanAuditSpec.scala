@@ -139,6 +139,27 @@ class PlanAuditSpec extends SparkSpec {
       s"Q18 degenerated:\n$p18")
   }
 
+  test("session-3 operators: equi-join pair generation, TakeOrdered sampling, no nested loops") {
+    // Theil–Sen pairs ride an explode + (key, rank) equi-join; the
+    // pHash cluster generator bands over collapsed representatives —
+    // neither may degenerate to a nested-loop join. (a_ref_integrity
+    // is exempt: its crossJoins are 1-row scalar-aggregate folds, the
+    // adjudicated broadcast-scalar pattern, which Spark plans as a
+    // 1-row BNLJ by construction.)
+    for (q <- Seq("a_theilsen", "m_phash_cluster", "er_golden")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop join:\n$p")
+    }
+    assert(!plan("a_ref_integrity").contains("CartesianProduct"),
+      "a_ref_integrity plans an unbroadcast cartesian")
+    // priority sampling's top-(k+1) must ride TakeOrdered, never a
+    // global sort of the corpus
+    val ps = plan("pipe_priority_sample")
+    assert(ps.contains("TakeOrderedAndProject"),
+      s"priority sample plans a global sort:\n$ps")
+  }
+
   test("interval overlap, phrase search, rolling actives: cell/shingle equi-joins, no nested loop") {
     for (q <- Seq("o_interval_overlap", "t_phrase_search", "w12_rolling_active")) {
       val p = plan(q)

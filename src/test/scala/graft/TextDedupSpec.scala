@@ -1369,6 +1369,51 @@ class TextDedupSpec extends SparkSpec {
     assert((one.getLong(2), one.getLong(3)) === ((5L, 1666666L)))
   }
 
+  test("bpeTrain equals an independent reference trainer on random corpora") {
+    val sess = spark
+    import sess.implicits._
+    def applyRef(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    def refTrain(words: Seq[String], rounds: Int): Seq[(Int, String, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = words.groupBy(identity)
+        .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var done = false
+      for (round <- 1 to rounds if !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          out += ((round, l, r, l + r, c))
+          vocab = vocab.toSeq
+            .map { case (syms, f) => (applyRef(syms, l, r), f) }.toMap
+        }
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 12) {
+      val words = Seq.fill(2 + rng.nextInt(7))(
+        Seq.fill(1 + rng.nextInt(5))(('a' + rng.nextInt(3)).toChar).mkString)
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.text.TextOps.bpeTrain(docs, "text", rounds = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got === refTrain(words, 4), s"trial $trial diverged on $words")
+    }
+  }
+
   test("hammingClusters equals clusters-over-hammingPairs; identical hashes never pair") {
     val sess = spark
     import sess.implicits._
