@@ -149,13 +149,15 @@ object SparkEntry {
   /** DuckDB twin of [[fkAudit]]. */
   private def fkAuditSql(label: String, childTable: String, ck: String,
       parentTable: String, pk: String): String =
+    // coalesce: SUM over an empty side is NULL where the Spark twin's
+    // anti-join count() is 0 — an empty relation must audit as 0, not NULL
     s"SELECT '$label' AS relation, o.n_child, o.n_orphans, u.n_parents, u.n_unreferenced FROM " +
       s"(SELECT CAST(count(*) AS BIGINT) AS n_child, " +
-      s"CAST(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+      s"CAST(coalesce(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans " +
       s"FROM (SELECT $ck AS __k FROM $childTable) c " +
       s"LEFT JOIN (SELECT DISTINCT $pk AS __k FROM $parentTable) p USING (__k)) o " +
       s"CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_parents, " +
-      s"CAST(sum(CASE WHEN c2.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unreferenced " +
+      s"CAST(coalesce(sum(CASE WHEN c2.__k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unreferenced " +
       s"FROM (SELECT $pk AS __k FROM $parentTable) p2 " +
       s"LEFT JOIN (SELECT DISTINCT $ck AS __k FROM $childTable) c2 USING (__k)) u"
 

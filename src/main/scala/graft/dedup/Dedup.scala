@@ -1562,13 +1562,17 @@ object Dedup {
     * IDENTICAL components and labels (a component's min id is attained
     * at some member, every member's id ≥ its signature's rep, so
     * min-label propagation over reps reaches the same global min).
-    * Emits (id, cluster) exactly like [[clusters]]. */
+    * Emits (id, cluster) exactly like [[clusters]]. CC runs as
+    * [[clustersStar]] (pointer-doubling star contraction), not plain
+    * label-prop: a gradient of near hashes can chain representatives
+    * into a component whose DIAMETER exceeds any fixed one-hop round
+    * budget, and star contraction converges in O(log diameter). */
   def hammingClusters(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
     val reps = sigs.groupBy(col(sigCol)).agg(min(col(idCol)).as("__rep"))
     val pairs = hammingPairs(reps.select(col("__rep").as(idCol), col(sigCol)),
       idCol, sigCol, maxHamming, bits)
-    val repClusters = clusters(reps.select(col("__rep").as(idCol)), pairs,
+    val repClusters = clustersStar(reps.select(col("__rep").as(idCol)), pairs,
       idCol).withColumnRenamed("id", "__rep")
     sigs.select(col(idCol), col(sigCol))
       .join(reps, Seq(sigCol))

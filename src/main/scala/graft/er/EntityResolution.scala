@@ -117,7 +117,13 @@ object EntityResolution {
     val joined = records.join(entities, records(idCol) === entities("id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("entity").orderBy(col("__cnt").desc, col(nameCol).asc)
-    val canon = joined.groupBy(col("entity"), col(nameCol))
+    // NULL names are MISSING data, never mode candidates (and Spark's
+    // asc sorts NULLs first while DuckDB defaults NULLS LAST — the
+    // filter removes the divergence along with the bad survivor); an
+    // entity whose every name is NULL keeps a NULL canonical_name
+    // through the left join
+    val canon = joined.filter(col(nameCol).isNotNull)
+      .groupBy(col("entity"), col(nameCol))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -125,7 +131,7 @@ object EntityResolution {
     val aggs = count(lit(1)).as("n_records") +:
       maxCols.map(c => max(col(c)).as(s"max_$c"))
     joined.groupBy("entity").agg(aggs.head, aggs.tail: _*)
-      .join(canon, Seq("entity"))
+      .join(canon, Seq("entity"), "left")
       .select(col("entity") +: col("n_records") +: col("canonical_name") +:
         maxCols.map(c => col(s"max_$c")): _*)
   }
@@ -252,13 +258,14 @@ object EntityResolution {
     s"""WITH __ent AS (SELECT * FROM ($entitiesSelect)),
        |__rec AS ($recordsSql),
        |__j AS (SELECT e.entity, r.* FROM __rec r JOIN __ent e ON r.$idCol = e.id),
-       |__nc AS (SELECT entity, $nameCol AS nm, count(*) AS cnt FROM __j GROUP BY 1, 2),
+       |__nc AS (SELECT entity, $nameCol AS nm, count(*) AS cnt FROM __j
+       |         WHERE $nameCol IS NOT NULL GROUP BY 1, 2),
        |__cn AS (SELECT entity, nm AS canonical_name FROM (
        |  SELECT entity, nm, row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, nm) AS rn
        |  FROM __nc) WHERE rn = 1),
        |__agg AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_records, $maxes
        |          FROM __j GROUP BY 1)
        |SELECT entity, a.n_records, c.canonical_name, $outMax
-       |FROM __agg a JOIN __cn c USING (entity)""".stripMargin
+       |FROM __agg a LEFT JOIN __cn c USING (entity)""".stripMargin
   }
 }

@@ -29,14 +29,11 @@ object StreamingSessions {
     * the w3_session shape. `gap` and `watermarkDelay` are SQL interval
     * strings (e.g. "30 minutes"). */
   def sessions(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("user_id"), col("n"))
+    sessionsBatch(events.withWatermark("ts", watermarkDelay), gap)
 
-  /** Batch twin on a static frame — the parity oracle for the stream. */
+  /** The session aggregate itself — on a static frame this IS the
+    * parity oracle for the stream; [[sessions]] is exactly this with a
+    * watermark composed in front, so the two can never drift. */
   def sessionsBatch(events: DataFrame, gap: String): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))

@@ -642,13 +642,18 @@ object TextOps {
       "THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r " +
       "WHEN acc = '' THEN x ELSE acc || ' ' || x END)"
     val chain = (1 to rounds).map { k =>
+      // LEFT JOIN ON TRUE, not CROSS JOIN: when merges exhaust before
+      // `rounds`, __b$k is EMPTY and a cross join would wipe the vocab
+      // (the Spark trainer keeps its final vocab on exhaustion) — the
+      // NULL-guarded fold passes rows through unchanged instead
       s"""__p$k AS (
          |  SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(f) AS BIGINT) AS c
          |  FROM (SELECT f, string_split(s, ' ') AS sy FROM __s${k - 1}),
          |       unnest(range(1, len(sy))) AS t(i)
          |  GROUP BY 1, 2),
          |__b$k AS (SELECT l, r, c FROM __p$k ORDER BY c DESC, l, r LIMIT 1),
-         |__s$k AS (SELECT f, $fold AS s FROM __s${k - 1} CROSS JOIN __b$k b)""".stripMargin
+         |__s$k AS (SELECT f, CASE WHEN b.l IS NULL THEN s ELSE $fold END AS s
+         |          FROM __s${k - 1} LEFT JOIN __b$k b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""__v AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f

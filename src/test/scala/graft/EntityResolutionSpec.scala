@@ -140,6 +140,22 @@ class EntityResolutionSpec extends SparkSpec {
       1L -> ((3L, "acme corp", 30, 900L)),
       5L -> ((2L, "beta co", 9, 70L)),
       9L -> ((1L, "zzz solo", 1, 11L))))
+    // NULL names are missing data, never mode candidates — even when
+    // the NULL group would win on count; an all-NULL entity keeps a
+    // NULL canonical_name instead of vanishing
+    val withNulls = Seq(
+      (1L, null.asInstanceOf[String], 1, 1L), (2L, null.asInstanceOf[String], 2, 2L),
+      (3L, "real name", 3, 3L),
+      (9L, null.asInstanceOf[String], 9, 9L))
+      .toDF("id", "name", "sz", "cents")
+    val ents2 = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("id", "entity")
+    val g2 = EntityResolution.goldenRecords(withNulls, "id", ents2,
+      "name", Seq("sz"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), r.getInt(3)))).toMap
+    assert(g2 === Map(
+      1L -> ((3L, Some("real name"), 3)),
+      9L -> ((1L, None, 9))))
     // the mode rank must plan as WindowGroupLimit (only the leading
     // candidate crosses the final shuffle)
     val plan = EntityResolution.goldenRecords(
