@@ -111,6 +111,183 @@ object DevSpot {
           println("  distinct_hashes=" + reps.count())
           graft.dedup.Dedup.hammingPairs(reps, "media_id", "ahash",
             r.toInt, 64).count()
+        case Array("lpstage", stage) =>
+          // g_linkpred kernel breakdown: where do the 12 s at sf0.1 go?
+          // Rebuilds the operator's internal frames stage by stage so
+          // each boundary can be timed in isolation.
+          val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("ok"),
+            col("l_partkey"))
+          val edges = li.select(col("ok"), col("l_partkey").as("src"))
+            .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+            .filter(col("src") =!= col("dst"))
+          val u = edges.select(least(col("src"), col("dst")).cast("long").as("a"),
+              greatest(col("src"), col("dst")).cast("long").as("b"))
+            .distinct()
+          val adj = u.select(col("a").as("v"), col("b").as("n"))
+            .union(u.select(col("b").as("v"), col("a").as("n")))
+          val deg = adj.groupBy("v").agg(count(lit(1)).as("dg"))
+          val small = adj.join(deg.filter(col("dg") <= 128), Seq("v"))
+            .select("v", "n")
+          stage match {
+            case "u"      => u.count()
+            case "adj"    => small.count()
+            case "wedges" =>
+              small.as("x").join(small.as("y"),
+                col("x.v") === col("y.v") && col("x.n") < col("y.n")).count()
+            case "agg" =>
+              small.as("x").join(small.as("y"),
+                  col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+                .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+                .groupBy("p").agg(count(lit(1)).as("common"))
+                .filter(col("common") >= 2).count()
+            case "aggconf" =>
+              // same kernel under candidate aggregation configs; spec
+              // lpstage:aggconf is preceded by lpconf:* specs that set them
+              small.as("x").join(small.as("y"),
+                  col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+                .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+                .groupBy("p").agg(count(lit(1)).as("common"))
+                .filter(col("common") >= 2).count()
+            case "aggrepart" =>
+              // pre-shuffle the RAW wedge stream on p so the groupBy's
+              // distribution is already satisfied: one shuffle, one
+              // complete aggregation pass, no 60M-key partial map
+              small.as("x").join(small.as("y"),
+                  col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+                .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+                .repartition(256, col("p"))
+                .groupBy("p").agg(count(lit(1)).as("common"))
+                .filter(col("common") >= 2).count()
+            case "arragg" =>
+              // alternate kernel: per-center sorted neighbor array, pairs
+              // generated by higher-order functions — kills the wedge
+              // self-join shuffle AND feeds partial agg in the same stage
+              small.groupBy("v").agg(sort_array(collect_list("n")).as("ns"))
+                .select(explode(expr("flatten(transform(ns, (x, i) -> " +
+                  "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+                  "y -> shiftleft(x, 32) + y)))")).as("p"))
+                .groupBy("p").agg(count(lit(1)).as("common"))
+                .filter(col("common") >= 2).count()
+            case "full" =>
+              graft.graph.GraphOps.linkPrediction(edges, "src", "dst",
+                maxDeg = 128, k = 50, minCommon = 2, broadcastGraph = true).count()
+            case "front" =>
+              // the operator's front half: canonical edge set through the
+              // checkpoint (what precedes the wedge kernel)
+              u.localCheckpoint(false).count()
+            case "tail" =>
+              // post-agg half: anti-join + degree joins + top-k over a
+              // synthetic candidate table the size of the real one
+              val cand = spark.range(11180214L)
+                .select((col("id") % 200000).as("a"), ((col("id") * 7919) % 200000).as("b"),
+                  lit(2L).as("common"))
+              val dg = spark.range(200000L).select(col("id").as("v"),
+                (col("id") % 64 + 64).as("dg"))
+              cand.join(broadcast(dg.select(col("v").as("a"), col("dg").as("da"))), Seq("a"))
+                .join(broadcast(dg.select(col("v").as("b"), col("dg").as("db"))), Seq("b"))
+                .withColumn("jaccard", col("common").cast("double") /
+                  (col("da") + col("db") - col("common")).cast("double"))
+                .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50).count()
+          }
+        case Array("lpiso", variant, reps) =>
+          // isolate the candidate-count aggregation: materialize the
+          // packed wedge stream once (localCheckpoint), then time ONLY
+          // the groupBy(p).count >= 2 under each variant, reps times
+          val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("ok"),
+            col("l_partkey"))
+          val edges = li.select(col("ok"), col("l_partkey").as("src"))
+            .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+            .filter(col("src") =!= col("dst"))
+          val u = edges.select(least(col("src"), col("dst")).cast("long").as("a"),
+              greatest(col("src"), col("dst")).cast("long").as("b"))
+            .distinct()
+          val adj = u.select(col("a").as("v"), col("b").as("n"))
+            .union(u.select(col("b").as("v"), col("a").as("n")))
+          val deg = adj.groupBy("v").agg(count(lit(1)).as("dg"))
+          val small = adj.join(deg.filter(col("dg") <= 128), Seq("v"))
+            .select("v", "n")
+          val wedges = small.as("x").join(small.as("y"),
+              col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+            .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+            .localCheckpoint()
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            val ti = System.nanoTime()
+            out = (variant match {
+              case "plain" =>
+                wedges.groupBy("p").agg(count(lit(1)).as("common"))
+                  .filter(col("common") >= 2)
+              case "repart" =>
+                wedges.repartition(256, col("p"))
+                  .groupBy("p").agg(count(lit(1)).as("common"))
+                  .filter(col("common") >= 2)
+              case "repart64" =>
+                wedges.repartition(64, col("p"))
+                  .groupBy("p").agg(count(lit(1)).as("common"))
+                  .filter(col("common") >= 2)
+            }).count()
+            println(f"  lpiso:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
+          }
+          out
+        case Array("lpk", variant, reps) =>
+          // wedge-gen + count kernel A/B over a checkpointed `small`
+          // (center-capped adjacency): join vs array pair-gen, partial
+          // agg vs pre-repartitioned complete agg
+          val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("ok"),
+            col("l_partkey"))
+          val edges = li.select(col("ok"), col("l_partkey").as("src"))
+            .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+            .filter(col("src") =!= col("dst"))
+          val u = edges.select(least(col("src"), col("dst")).cast("long").as("a"),
+              greatest(col("src"), col("dst")).cast("long").as("b"))
+            .distinct()
+          val adj = u.select(col("a").as("v"), col("b").as("n"))
+            .union(u.select(col("b").as("v"), col("a").as("n")))
+          val deg = adj.groupBy("v").agg(count(lit(1)).as("dg"))
+          val small = adj.join(deg.filter(col("dg") <= 128), Seq("v"))
+            .select("v", "n").localCheckpoint()
+          def joinPairs = small.as("x").join(small.as("y"),
+              col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+            .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+          def arrPairs = small.groupBy("v")
+            .agg(sort_array(collect_list("n")).as("ns"))
+            .select(explode(expr("flatten(transform(ns, (x, i) -> " +
+              "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+              "y -> shiftleft(x, 32) + y)))")).as("p"))
+          def agg(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy("p").agg(count(lit(1)).as("common"))
+              .filter(col("common") >= 2)
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            val ti = System.nanoTime()
+            out = (variant match {
+              case "joinplain"   => agg(joinPairs)
+              case "joinrepart"  => agg(joinPairs.repartition(64, col("p")))
+              case "joinshj" =>
+                agg(small.as("x").hint("SHUFFLE_HASH").join(small.as("y"),
+                    col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+                  .select((shiftleft(col("x.n"), 32) + col("y.n")).as("p"))
+                  .repartition(256, col("p")))
+              case "joinrep256"  => agg(joinPairs.repartition(256, col("p")))
+              case "joinrepaqe"  => agg(joinPairs.repartition(col("p")))
+              case "arrplain"    => agg(arrPairs)
+              case "arrrepart"   => agg(arrPairs.repartition(64, col("p")))
+            }).count()
+            println(f"  lpk:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
+          }
+          out
+        case Array("lpconf", key, value) =>
+          // set a session conf for subsequent lpstage probes; returns 0
+          val full = key match {
+            case "cap"    => "spark.sql.codegen.aggregate.fastHashMap.capacityBit"
+            case "vec"    => "spark.sql.codegen.aggregate.map.vectorized.enable"
+            case "coal"   => "spark.sql.adaptive.coalescePartitions.enabled"
+            case "twolvl" => "spark.sql.codegen.aggregate.map.twolevel.enabled"
+            case "adv"    => "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            case k        => k
+          }
+          spark.conf.set(full, value)
+          0L
         case other => sys.error(s"unknown spec ${other.mkString(":")}")
       }
       println(f"SPOT $spec rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")

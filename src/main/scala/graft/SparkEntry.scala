@@ -2532,9 +2532,14 @@ object SparkEntry {
     "g_linkpred" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
         col("l_partkey"))
+      // src < dst (not <>): linkPrediction canonicalizes to (least,
+      // greatest) + DISTINCT anyway, so emitting each unordered pair
+      // once instead of twice halves the self-join output and the
+      // distinct's shuffle with an identical canonical edge set (the
+      // oracle twin keeps <>; both collapse to the same DISTINCT set)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
-        .filter(col("src") =!= col("dst"))
+        .filter(col("src") < col("dst"))
       // maxDeg is THE cost lever: wedge volume is Σ min(deg, cap)², and
       // on this co-purchase graph cap 128 (vs 256) cuts the wedge join
       // ~4× while still admitting every meaningfully-connectable center
