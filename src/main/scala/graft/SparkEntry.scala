@@ -129,8 +129,11 @@ object SparkEntry {
   /** One FK relation's two-directional integrity row for a_ref_integrity:
     * orphan children (FK value with no parent — NULL keys count as
     * orphans, they reference nothing) and unreferenced parents. Scale
-    * shape: child keys aggregate/distinct BEFORE the anti joins (the
-    * fact never crosses a join at full width), small dims broadcast. */
+    * shape: the fact never crosses a join at full width — both probes
+    * project the child to its ONE key column first. The orphan probe
+    * deliberately keeps duplicate keys (orphans are counted per
+    * occurrence); only the unreferenced-parent side distincts the child
+    * keys before its anti join. Small dims broadcast. */
   private def fkAudit(label: String, child: DataFrame, ck: String,
       parent: DataFrame, pk: String, smallParent: Boolean): DataFrame = {
     val ckeys = child.select(col(ck).as("__k"))
@@ -3053,7 +3056,10 @@ object SparkEntry {
         .agg(sum("__rev").as("total_cents"),
           sum(when(col("supp_nation") === "NATION_3", col("__rev"))
             .otherwise(0L)).as("nation_cents"))
-        .withColumn("share_bp", expr("(10000 * nation_cents) div total_cents"))
+        // nullif: a zero-revenue group would throw under ANSI while the
+        // oracle errors differently — the a_ols_slope guard convention
+        .withColumn("share_bp",
+          expr("(10000 * nation_cents) div nullif(total_cents, 0)"))
         .orderBy("order_year")
     }),
 
@@ -3100,7 +3106,8 @@ object SparkEntry {
         .agg(sum("__rev").as("total_cents"),
           sum(when(col("p_type") === "PROMO", col("__rev")).otherwise(0L))
             .as("promo_cents"))
-        .withColumn("promo_bp", expr("(10000 * promo_cents) div total_cents"))),
+        .withColumn("promo_bp",
+          expr("(10000 * promo_cents) div nullif(total_cents, 0)"))),
 
     // Q15 top supplier(s): agg → scalar MAX → equality filter — the
     // argmax-by-scalar-subquery shape. The max broadcasts back onto
@@ -5717,7 +5724,7 @@ object SparkEntry {
         "SELECT order_year, CAST(sum(rev) AS BIGINT) AS total_cents, " +
         "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) AS nation_cents, " +
         "CAST((10000 * CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)) " +
-        "// CAST(sum(rev) AS BIGINT) AS BIGINT) AS share_bp " +
+        "// CAST(nullif(sum(rev), 0) AS BIGINT) AS BIGINT) AS share_bp " +
         "FROM b GROUP BY 1 ORDER BY 1"),
 
     "q9_profit" ->
@@ -5743,7 +5750,7 @@ object SparkEntry {
         "SELECT CAST(sum(rev) AS BIGINT) AS total_cents, " +
         "CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents, " +
         "CAST((10000 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)) " +
-        "// CAST(sum(rev) AS BIGINT) AS BIGINT) AS promo_bp FROM b"),
+        "// CAST(nullif(sum(rev), 0) AS BIGINT) AS BIGINT) AS promo_bp FROM b"),
 
     "q15_top_supplier" ->
       ("WITH rev AS (SELECT l_suppkey, " +

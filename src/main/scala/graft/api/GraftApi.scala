@@ -19,11 +19,16 @@ final class GraftApi(spark: SparkSession, root: String) {
 
   def catalog(database: String): Catalog = new Catalog(spark, root, database)
 
-  // GET /api/databases (web_app.py:57-67): config sections -> namespaces
+  // GET /api/databases (web_app.py:57-67): config sections -> namespaces.
+  // Hadoop FS, not java.io.File: the namespace root may live on HDFS/S3,
+  // where a local-File walk would silently return an empty catalog (the
+  // same defect class ArchiveStore was cured of — its hadoopFs pattern).
   def databases(): Seq[String] = {
-    val dirs = new java.io.File(root).listFiles()
-    if (dirs == null) Seq.empty
-    else dirs.filter(_.isDirectory).map(_.getName).toSeq.sorted
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
   }
 
   // GET /api/elements/<db> (web_app.py:70-84): leaf elements, name-sorted

@@ -1569,15 +1569,25 @@ object Dedup {
     * budget, and star contraction converges in O(log diameter). */
   def hammingClusters(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
-    val reps = sigs.groupBy(col(sigCol)).agg(min(col(idCol)).as("__rep"))
+    // A NULL signature carries no similarity evidence: those rows skip
+    // the rep/banding machinery entirely and come out as singleton
+    // clusters (cluster = own id), matching the oracle face, which
+    // emits every id. Previously the equi-join back on the signature
+    // silently DROPPED them (null-unequal). Unreachable via aHash
+    // (NULL text hashes to 0), but the operator API is general.
+    val nullSingletons = sigs.filter(col(sigCol).isNull)
+      .select(col(idCol).as("id"), col(idCol).as("cluster"))
+    val nn = sigs.filter(col(sigCol).isNotNull)
+    val reps = nn.groupBy(col(sigCol)).agg(min(col(idCol)).as("__rep"))
     val pairs = hammingPairs(reps.select(col("__rep").as(idCol), col(sigCol)),
       idCol, sigCol, maxHamming, bits)
     val repClusters = clustersStar(reps.select(col("__rep").as(idCol)), pairs,
       idCol).withColumnRenamed("id", "__rep")
-    sigs.select(col(idCol), col(sigCol))
+    nn.select(col(idCol), col(sigCol))
       .join(reps, Seq(sigCol))
       .join(repClusters, Seq("__rep"))
       .select(col(idCol).as("id"), col("cluster"))
+      .union(nullSingletons)
   }
 
   /** Oracle twin for [[simhashPairs]]. */

@@ -764,8 +764,6 @@ object TimeSeries {
        |       arg_max(value, timestamp) AS v_last
        |FROM __pts GROUP BY attribute_id, bucket_start""".stripMargin
 
-  /** Oracle twin of [[seasonalResiduals]]: same quantized-integer slot
-    * sums, same single division and subtraction. */
   /** Classical additive decomposition (trend + seasonal + residual) —
     * the [[seasonalResiduals]] profile with the TREND separated first,
     * so a drifting series doesn't smear its drift into the hourly
@@ -842,6 +840,8 @@ object TimeSeries {
        |FROM __w w LEFT JOIN __sea USING (attribute_id, hod)""".stripMargin
   }
 
+  /** Oracle twin of [[seasonalResiduals]]: same quantized-integer slot
+    * sums, same single division and subtraction. */
   def seasonalResidualsSql(archiveSql: String): String =
     s"""WITH __pts AS (
        |  SELECT attribute_id, timestamp, min(value) AS value

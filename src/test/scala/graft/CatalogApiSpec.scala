@@ -258,4 +258,20 @@ class CatalogApiSpec extends SparkSpec {
       exact = Some("1")).count() === 2)
     assert(api.databases() === Seq("site1"))
   }
+
+  test("api: databases() lists namespaces through the Hadoop FS API " +
+      "(scheme-qualified root, non-directory entries skipped)") {
+    // the defect class this guards: a java.io.File walk silently returns
+    // an empty catalog for any remote filesystem URI; driving the listing
+    // through a scheme-qualified file: root proves the Hadoop path
+    val root = Files.createTempDirectory("graft_dbs")
+    Files.createDirectory(root.resolve("siteB"))
+    Files.createDirectory(root.resolve("siteA"))
+    Files.writeString(root.resolve("notes.txt"), "not a namespace")
+    val api = new GraftApi(spark, "file:" + root.toString)
+    assert(api.databases() === Seq("siteA", "siteB"))
+    // missing root: empty listing, no throw (fresh deployment)
+    assert(new GraftApi(spark, "file:" + root.resolve("absent"))
+      .databases() === Seq.empty)
+  }
 }

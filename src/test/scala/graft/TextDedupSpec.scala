@@ -1444,6 +1444,21 @@ class TextDedupSpec extends SparkSpec {
     assert(repPairs === Set((1L, 41L), (80L, 81L)))
   }
 
+  test("hammingClusters: NULL signatures come out as singleton clusters, not dropped") {
+    val sess = spark
+    import sess.implicits._
+    // the oracle face seeds every id with (id, id) and NULL xor NULL is
+    // NULL (never <= tau), so NULL-sig rows are singletons there; the
+    // operator must emit them too (an equi-join back on the signature
+    // would silently drop them)
+    val sigs = Seq((1L, Some(7L)), (2L, Some(7L)), (3L, None),
+      (4L, None), (5L, Some(-1L))).toDF("id", "sig")
+    val got = graft.dedup.Dedup.hammingClusters(sigs, "id", "sig",
+      maxHamming = 1, bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("prioritySample: exactly k kept, q >= w, unbiased max(w,tau) estimator, stable") {
     val sess = spark
     import sess.implicits._
