@@ -164,6 +164,39 @@ object SparkEntry {
       s"FROM (SELECT $pk AS __k FROM $parentTable) p2 " +
       s"LEFT JOIN (SELECT DISTINCT $ck AS __k FROM $childTable) c2 USING (__k)) u"
 
+  /** lineitem augmented with the three shipping columns the fixture
+    * lacks (`l_commitdate`, `l_receiptdate`, `l_shipmode`), derived
+    * deterministically from (l_orderkey, l_linenumber, l_shipdate) with
+    * the IDENTICAL expression in the DuckDB twin
+    * ([[lineitemShippingSqlFrag]]) — the t_redact injected-suffix
+    * pattern. Commit lag ∈ [−30, 30] days and receipt lag ∈ [1, 30]
+    * days, so the TPC-H Q4/Q12/Q21 late-delivery predicates
+    * (commit < receipt, ship < commit, receipt > commit) are all
+    * selectively satisfiable; ship mode cycles the 7 classic modes.
+    * All operands are positive, so Spark's and DuckDB's truncating `%`
+    * agree. */
+  private def lineitemShipping(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("l_commitdate", expr("timestampadd(DAY, " +
+        "cast((l_orderkey * 31 + l_linenumber * 7) % 61 - 30 as int), l_shipdate)"))
+      .withColumn("l_receiptdate", expr("timestampadd(DAY, " +
+        "cast((l_orderkey * 17 + l_linenumber * 11) % 30 + 1 as int), l_shipdate)"))
+      .withColumn("l_shipmode", expr(
+        "case cast((l_orderkey * 13 + l_linenumber) % 7 as int) " +
+          "when 0 then 'AIR' when 1 then 'FOB' when 2 then 'MAIL' " +
+          "when 3 then 'RAIL' when 4 then 'REG AIR' when 5 then 'SHIP' " +
+          "else 'TRUCK' end"))
+
+  /** DuckDB twin of [[lineitemShipping]] (identical lag/mode formulas). */
+  private val lineitemShippingSqlFrag: String =
+    "SELECT l.*, " +
+      "l_shipdate + to_days(CAST((l_orderkey * 31 + l_linenumber * 7) % 61 - 30 AS INTEGER)) AS l_commitdate, " +
+      "l_shipdate + to_days(CAST((l_orderkey * 17 + l_linenumber * 11) % 30 + 1 AS INTEGER)) AS l_receiptdate, " +
+      "CASE CAST((l_orderkey * 13 + l_linenumber) % 7 AS INTEGER) " +
+      "WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL' WHEN 3 THEN 'RAIL' " +
+      "WHEN 4 THEN 'REG AIR' WHEN 5 THEN 'SHIP' ELSE 'TRUCK' END AS l_shipmode " +
+      "FROM lineitem l"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.2 projections / filters ------------------------------------
     "p1_projection" -> ((s, d) =>
@@ -3229,6 +3262,80 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Q4 order-priority checking: EXISTS over late lines — a LEFT SEMI
+    // join probed by the date-windowed orders, with the fact projected
+    // to its ONE key column before the join (late-line set is
+    // fact-sized; nothing crosses the semi at width).
+    "q4_priority" -> ((s, d) => {
+      val late = lineitemShipping(s, d)
+        .filter(col("l_commitdate") < col("l_receiptdate"))
+        .select("l_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q12 shipmode priority split: the lineitem side takes every
+    // selective predicate (mode IN-list + the three date comparisons +
+    // the receipt-year window) BEFORE the orders join, so the join input
+    // is the small filtered fact, and the CASE aggregate runs post-join.
+    "q12_shipmode" -> ((s, d) => {
+      val li = lineitemShipping(s, d)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_receiptdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipmode")
+      li.join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    }),
+
+    // Q21 suppliers who kept orders waiting — the classic correlated
+    // EXISTS / NOT-EXISTS self-join stress, decorrelated to ONE
+    // per-(order, supplier) collapse: EXISTS(other supplier) ⇔ the
+    // order has ≥2 distinct suppliers; NOT EXISTS(other LATE supplier)
+    // ⇔ the order has exactly 1 late supplier (necessarily l1's, since
+    // l1 is late). numwait then sums l1's late LINES per qualifying
+    // (order, supplier) — the fact never self-joins at line grain, and
+    // the oracle twin keeps the textbook double-EXISTS form, so the
+    // gate independently checks the decorrelation.
+    "q21_waiting" -> ((s, d) => {
+      val perSupp = lineitemShipping(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_receiptdate") > col("l_commitdate")).as("__late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(col("__late"), 1L).otherwise(0L)).as("n_late_lines"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      perSupp.filter(col("n_late_lines") > 0)
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+          Seq("l_orderkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum("n_late_lines").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+
     // Per-supplier OLS price-vs-quantity slope as ONE combinable
     // aggregate: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over integer
     // units (quantity, price cents), exact decimal/hugeint sums, one
@@ -5811,6 +5918,41 @@ object SparkEntry {
         "AND c_custkey NOT IN (SELECT o_custkey FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1999-01-01') " +
         "GROUP BY 1 ORDER BY 1"),
+
+    "q4_priority" ->
+      (s"WITH ls AS ($lineitemShippingSqlFrag) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count " +
+        "FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-06-01' " +
+        "AND EXISTS (SELECT 1 FROM ls WHERE ls.l_orderkey = orders.o_orderkey " +
+        "AND l_commitdate < l_receiptdate) " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q12_shipmode" ->
+      (s"WITH ls AS ($lineitemShippingSqlFrag) " +
+        "SELECT l_shipmode, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN ls ON o_orderkey = l_orderkey " +
+        "WHERE l_shipmode IN ('MAIL','SHIP') AND l_commitdate < l_receiptdate " +
+        "AND l_shipdate < l_commitdate " +
+        "AND l_receiptdate >= TIMESTAMP '1997-01-01' AND l_receiptdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    // textbook double-EXISTS form on purpose: independently checks the
+    // Spark side's per-(order, supplier) decorrelation
+    "q21_waiting" ->
+      (s"WITH ls AS ($lineitemShippingSqlFrag) " +
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+        "FROM supplier, ls l1, orders, nation " +
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey " +
+        "AND o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate " +
+        "AND EXISTS (SELECT 1 FROM ls l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM ls l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_receiptdate > l3.l_commitdate) " +
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
 
     "a_ols_slope" ->
       ("WITH __b AS (SELECT l_suppkey, CAST(floor(l_quantity) AS BIGINT) AS x, " +

@@ -139,6 +139,35 @@ class PlanAuditSpec extends SparkSpec {
       s"Q18 degenerated:\n$p18")
   }
 
+  test("TPC-H wave (r9): Q4 semi gate, Q12 pre-join filters, Q21 decorrelated EXISTS pair") {
+    // Q4: EXISTS(late line) is a LEFT SEMI probe; the date window is
+    // pushed to the orders scan
+    val p4 = plan("q4_priority")
+    assert(p4.contains("LeftSemi"), s"Q4 EXISTS is not a semi join:\n$p4")
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate") &&
+      p4.contains("LessThan(o_orderdate"),
+      s"Q4 order-date window not pushed:\n$p4")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      s"Q4 degenerated:\n$p4")
+    // Q12: every lineitem predicate evaluates BEFORE the orders join —
+    // in plan terms, no nested loop and exactly one equi-join
+    val p12 = plan("q12_shipmode")
+    assert(!p12.contains("CartesianProduct") && !p12.contains("BroadcastNestedLoopJoin"),
+      s"Q12 degenerated:\n$p12")
+    // Q21: the correlated EXISTS / NOT-EXISTS pair must decorrelate to
+    // per-(order, supplier) aggregates — never a line-grain self-join:
+    // no cartesian/BNLJ anywhere, the status-F gate stays a semi join,
+    // the nation-filtered supplier dim broadcasts, and the final top-k
+    // is TakeOrdered
+    val p21 = plan("q21_waiting")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"Q21 degenerated to a nested-loop self-join:\n$p21")
+    assert(p21.contains("LeftSemi"), s"Q21 status-F gate is not a semi join:\n$p21")
+    assert(p21.contains("BroadcastHashJoin"), s"Q21 supplier dim not broadcast:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"),
+      s"Q21 top-k sorts globally instead of TakeOrdered:\n$p21")
+  }
+
   test("session-3 operators: equi-join pair generation, TakeOrdered sampling, no nested loops") {
     // Theil–Sen pairs ride an explode + (key, rank) equi-join; the
     // pHash cluster generator bands over collapsed representatives —
