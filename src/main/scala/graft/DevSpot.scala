@@ -276,6 +276,12 @@ object DevSpot {
             println(f"  lpk:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
           }
           out
+        case Array("bpek", k, b) =>
+          // batched BPE training depth probe: K merges at batch size b
+          // over the documents corpus (the "train a real tokenizer"
+          // path; b=1 is the sequential one-job-per-merge baseline)
+          graft.text.TextOps.bpeTrain(
+            Tables.documents(spark, sfDir), "text", k.toInt, b.toInt).count()
         case Array("lpconf", key, value) =>
           // set a session conf for subsequent lpstage probes; returns 0
           val full = key match {

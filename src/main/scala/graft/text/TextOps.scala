@@ -546,10 +546,10 @@ object TextOps {
     * plans from nesting. Symbols join on ' ' — safe by construction,
     * whitespace tokens contain none. */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      rounds: Int, batch: Int = 1): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeLoop(df, textCol, rounds)._1
+    bpeLoop(df, textCol, rounds, batch)._1
       .toDF("round", "merge_left", "merge_right", "merged", "pair_count")
   }
 
@@ -561,18 +561,46 @@ object TextOps {
     * Same scale shape as [[bpeTrain]] — the stats are one combinable
     * aggregate over the vocab table. */
   def bpeSegmentStats(df: org.apache.spark.sql.DataFrame, textCol: String,
-      rounds: Int): org.apache.spark.sql.DataFrame =
-    bpeLoop(df, textCol, rounds)._2
+      rounds: Int, batch: Int = 1): org.apache.spark.sql.DataFrame =
+    bpeLoop(df, textCol, rounds, batch)._2
       .agg(count(lit(1)).as("n_distinct_words"),
         sum(col("__f")).as("total_words"),
         sum(col("__f") * size(split(col("__s"), " "))).as("total_subwords"))
       .withColumn("subwords_per_word_micro",
         expr("(1000000 * total_subwords) div total_words"))
 
-  /** Shared trainer loop: (merges, final vocab frame (__f, __s)). */
+  /** Shared trainer loop: (merges, final vocab frame (__f, __s)).
+    *
+    * `batch` > 1 turns on SUPERSTEP training: one pair-count job learns
+    * up to `batch` merges instead of one, so a K-merge vocabulary costs
+    * ~K/batch Spark jobs instead of K — the lever that makes a real
+    * (32k-merge) tokenizer trainable on this engine. The batched result
+    * is EXACTLY the sequential greedy result, guaranteed by a
+    * conservative acceptance rule built on count monotonicity: applying
+    * a merge (l, r)→m only (a) zeroes the merged pair, (b) DECREASES
+    * pairs sharing l or r, and (c) CREATES pairs involving m whose
+    * counts are bounded by the pre-merge counts of the pairs they morph
+    * from (count(x, m) ≤ count(x, l); count(m, y) ≤ count(r, y)) — so a
+    * candidate that shares no symbol with any accepted merge keeps its
+    * exact count, and it remains the next sequential argmax iff it
+    * STRICTLY beats every pair that interferes with the accepted set
+    * (ties are not safe: a morphed pair keeps its bound count but takes
+    * a NEW name, which can win the (count, l, r) tie-break — e.g. a
+    * skipped (zz, q) morphing into (azz, q) outranks (b, b) at equal
+    * count). The scan therefore collects a horizon of top pairs plus
+    * the first count BELOW the horizon (`cutoff`, bounding every unseen
+    * pair) and accepts a disjoint candidate only while its count >
+    * max(maxInterfererCount, cutoff); the first merge of each superstep
+    * is the global argmax and is always accepted. Merges within a
+    * superstep are pairwise symbol-disjoint, so the fold rewrites
+    * commute and compose in ONE projection. Worst case (adversarial
+    * ties everywhere) a superstep still learns 1 merge — never slower
+    * than sequential by more than the horizon collect (catalog-sized:
+    * 4·batch+64 rows). */
   private def bpeLoop(df: org.apache.spark.sql.DataFrame, textCol: String,
-      rounds: Int): (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+      rounds: Int, batch: Int = 1): (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    require(rounds >= 1 && rounds <= 4096, s"rounds must be in [1,4096], got $rounds")
+    require(batch >= 1 && batch <= 64, s"batch must be in [1,64], got $batch")
     def applyMerge(s: Column, l: String, r: String): Column =
       aggregate(split(s, " "), lit(""), (acc, x) =>
         when((acc === l || acc.endsWith(" " + l)) && x === r,
@@ -586,10 +614,11 @@ object TextOps {
         "array_join(transform(sequence(1, length(__w)), i -> substring(__w, i, 1)), ' ')")
         .as("__s"))
       .localCheckpoint(false)
+    val horizon = if (batch == 1) 1 else math.max(batch * 4, 64)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
-    for (round <- 1 to rounds if !exhausted) {
-      val best = cur
+    while (merges.size < rounds && !exhausted) {
+      val top = cur
         .select(col("__f"), split(col("__s"), " ").as("__sy"))
         .filter(size(col("__sy")) >= 2) // Spark sequence(1, 0) DESCENDS — guard, don't clamp
         .select(col("__f"), explode(expr(
@@ -597,13 +626,45 @@ object TextOps {
             "i -> struct(element_at(__sy, i) AS l, element_at(__sy, i + 1) AS r))")).as("__p"))
         .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
         .agg(sum("__f").as("c"))
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(horizon + 1)
         .collect()
-      if (best.isEmpty) exhausted = true
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round, l, r, l + r, c))
-        cur = cur.select(col("__f"), applyMerge(col("__s"), l, r).as("__s"))
+        // every pair NOT collected has count <= cutoff
+        val cutoff = if (top.length > horizon) top(horizon).getLong(2) else -1L
+        val cand = top.take(horizon)
+          .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        val used = scala.collection.mutable.Set.empty[String]
+        val acceptedPairs = scala.collection.mutable.Set.empty[(String, String)]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        // candidate with count c is the true next argmax iff EVERY pair
+        // whose count could change (= interferes with an accepted merge,
+        // wherever it ranks — a tied interferer BELOW the candidate can
+        // morph into a renamed pair that wins the (count, l, r)
+        // tie-break) has count STRICTLY below c, including the unseen
+        // tail via cutoff
+        def safe(c: Long): Boolean = c > cutoff && cand.forall { case (pl, pr, pc) =>
+          acceptedPairs((pl, pr)) || pc < c || !(used(pl) || used(pr))
+        }
+        var stopped = false
+        for ((l, r, c) <- cand
+             if !stopped && merges.size + accepted.size < rounds
+             if !(used(l) || used(r))) {
+          if (accepted.isEmpty || safe(c)) {
+            accepted += ((l, r, c))
+            acceptedPairs += ((l, r))
+            used ++= Seq(l, r, l + r)
+          } else stopped = true // a rejected EXACT candidate still
+          // outranks everything below it in sequential order — nothing
+          // later in this superstep may be accepted over it
+        }
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1, l, r, l + r, c))
+        }
+        val rewritten = accepted.foldLeft(col("__s")) { case (s, (l, r, _)) =>
+          applyMerge(s, l, r)
+        }
+        cur = cur.select(col("__f"), rewritten.as("__s"))
           .localCheckpoint(false)
       }
     }

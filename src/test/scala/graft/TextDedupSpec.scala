@@ -1412,6 +1412,46 @@ class TextDedupSpec extends SparkSpec {
           r.getString(3), r.getLong(4))).toSeq
       assert(got === refTrain(words, 4), s"trial $trial diverged on $words")
     }
+
+    // ---- batched supersteps: EXACTLY the sequential greedy result ----
+    def batchedEq(words: Seq[String], rounds: Int, batch: Int): Unit = {
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.text.TextOps.bpeTrain(docs, "text", rounds, batch)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got === refTrain(words, rounds),
+        s"batch=$batch diverged from sequential on $words")
+    }
+    // morph-rename hazard: after r1=(a,b), the SKIPPED interferer (w,a)
+    // morphs into (w,ab) which wins round 2 at count parity — a naive
+    // top-M disjoint batch would wrongly take (c,c)/(x,x) instead; the
+    // strict-inequality rule must stop the batch at the tie
+    batchedEq(Seq.fill(95)("wab") ++ Seq.fill(90)("cc"), rounds = 3, batch = 8)
+    batchedEq(Seq.fill(90)("wab") ++ Seq.fill(90)("xx"), rounds = 3, batch = 8)
+    // clean disjoint corpus: one superstep should learn several merges
+    batchedEq(Seq.fill(9)("aabb") ++ Seq.fill(7)("ccdd") ++ Seq.fill(5)("eeff"),
+      rounds = 6, batch = 8)
+    // random small-alphabet corpora (dense ties + interference)
+    for (trial <- 0 until 12) {
+      val words = Seq.fill(3 + rng.nextInt(8))(
+        Seq.fill(1 + rng.nextInt(6))(('a' + rng.nextInt(3)).toChar).mkString)
+      batchedEq(words, rounds = 8, batch = 8)
+    }
+    // binary alphabet: EVERY pair interferes with every other and count
+    // ties are the norm — the batch selector's worst case
+    for (trial <- 0 until 8) {
+      val words = Seq.fill(3 + rng.nextInt(6))(
+        Seq.fill(2 + rng.nextInt(5))(('a' + rng.nextInt(2)).toChar).mkString)
+      batchedEq(words, rounds = 8, batch = 8)
+    }
+    // segment stats ride the same loop: batched == sequential datasheet
+    val statDocs = (Seq.fill(9)("aabb cdcd") ++ Seq.fill(4)("abab ee"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seqStats = graft.text.TextOps.bpeSegmentStats(statDocs, "text", 6)
+      .collect().head.toSeq
+    val batStats = graft.text.TextOps.bpeSegmentStats(statDocs, "text", 6, batch = 8)
+      .collect().head.toSeq
+    assert(batStats === seqStats)
   }
 
   test("hammingClusters equals clusters-over-hammingPairs; identical hashes never pair") {
