@@ -33,8 +33,13 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"BENCHQ $name rows=$n%d sec=$dt%.2f")
       // queries are independent measurements: drop any cache/persist the
-      // operator pinned so it doesn't distort later queries' memory
+      // operator pinned so it doesn't distort later queries' memory.
+      // clearCache only drops the SQL cache — localCheckpoint blocks
+      // (every unrolled graph/dedup superstep) otherwise linger until
+      // the ContextCleaner's GC-driven sweep catches up, and hundreds of
+      // queries × passes of them squeeze the storage pool mid-suite
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       dt
     }
     // n passes (default 3, SPARK_GRAFT_BENCH_RUNS): this VM sees bursty

@@ -282,6 +282,42 @@ object DevSpot {
           // path; b=1 is the sequential one-job-per-merge baseline)
           graft.text.TextOps.bpeTrain(
             Tables.documents(spark, sfDir), "text", k.toInt, b.toInt).count()
+        case Array("princ", m) =>
+          // incremental-PageRank scale probe: bootstrap the full
+          // order→part bipartite graph as batch 0, then append m
+          // synthetic new orders as batch 1 — the realistic append shape
+          // (new orders arrive; parts are sinks, so the affected closure
+          // is the appended neighborhood). Reports bootstrap, append,
+          // and the from-scratch batch recompute for comparison.
+          val li = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+          val root = java.nio.file.Files.createTempDirectory("princ").toString
+          val step = graft.streaming.StreamingGraph.batchStep(
+            spark, s"$root/e", s"$root/s", "src", "dst", 3) _
+          val tb0 = System.nanoTime()
+          step(li, 0L)
+          val tBoot = (System.nanoTime() - tb0) / 1e9
+          val append = li.limit(m.toInt * 7)
+            .select((col("src") + 10000000000L).as("src"), col("dst"))
+          val ta0 = System.nanoTime()
+          step(append, 1L)
+          val tApp = (System.nanoTime() - ta0) / 1e9
+          val append2 = li.limit(m.toInt * 7)
+            .select((col("src") + 20000000000L).as("src"), col("dst"))
+          val tb1 = System.nanoTime()
+          step(append2, 2L)
+          val tApp2 = (System.nanoTime() - tb1) / 1e9
+          val tf0 = System.nanoTime()
+          val full = graft.graph.GraphOps.pageRank(
+            li.union(append).union(append2), "src", "dst", 3).count()
+          val tFull = (System.nanoTime() - tf0) / 1e9
+          println(f"SPOTX princ:$m boot=$tBoot%.2f append=$tApp%.2f " +
+            f"append2=$tApp2%.2f fullRerun=$tFull%.2f nodes=$full")
+          graft.streaming.StreamingGraph.readScores(spark, s"$root/s", 3).count()
+        case Array("q", name) =>
+          // run one SparkEntry query under whatever confs were set by
+          // earlier lpconf specs — the conf-sensitivity A/B harness
+          SparkEntry.queries(name)(spark, sfDir).count()
         case Array("lpconf", key, value) =>
           // set a session conf for subsequent lpstage probes; returns 0
           val full = key match {

@@ -2341,6 +2341,28 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id")).limit(50)
     }),
 
+    // Incremental-maintenance face of PageRank: three edge appends
+    // through the StreamingGraph registry (supplier→nation ∪
+    // nation→region, suppliers split by key mod 3), then the maintained
+    // state. The oracle twin is the BATCH operator on the union, so the
+    // driver gate itself verifies incremental ≡ batch — the registry
+    // recomputes only each append's affected out-closure, never the
+    // whole graph.
+    "g_pagerank_inc" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("gprinc").toString
+      val step = graft.streaming.StreamingGraph.batchStep(s, s"$root/e",
+        s"$root/s", "src", "dst", 2) _
+      val sup = Tables.supplier(s, d).select(
+        (col("s_suppkey") + 1000L).as("src"), col("s_nationkey").as("dst"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey").as("src"),
+        (col("n_regionkey") + 100L).as("dst"))
+      step(sup.filter(col("src") % 3 === 0).union(nat), 0L)
+      step(sup.filter(col("src") % 3 === 1), 1L)
+      step(sup.filter(col("src") % 3 === 2), 2L)
+      graft.streaming.StreamingGraph.readScores(s, s"$root/s", 2)
+        .select("id", "outdeg", "score").orderBy("id")
+    }),
+
     // Market-basket association rules over order baskets: directed part
     // pairs co-bought in >= 2 orders with support/confidence/lift from
     // exact counts; strongest 50 associations. Pair volume is bounded
@@ -5371,6 +5393,14 @@ object SparkEntry {
         "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
           "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
         iters = 3)}) ORDER BY score DESC, id LIMIT 50"),
+
+    // the batch operator on the appended union — the incremental ≡ batch
+    // contract checked by the gate itself
+    "g_pagerank_inc" ->
+      (s"SELECT * FROM (${graft.graph.GraphOps.pageRankSql(
+        "SELECT s_suppkey + 1000 AS src, s_nationkey AS dst FROM supplier " +
+          "UNION ALL SELECT n_nationkey, n_regionkey + 100 FROM nation",
+        iters = 2)}) ORDER BY id"),
 
     "a_assoc" ->
       (s"SELECT * FROM (${Relational.associationRulesSql(

@@ -52,11 +52,13 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(false) // reused by every superstep
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(hint(outdeg), Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    // the node frame with out-degrees in ONE union-aggregate pass (src
+    // rows carry 1, dst rows 0, so pure sinks sum to outdeg 0) — the
+    // separate distinct-nodes + outdeg-agg + left-join it replaces cost
+    // an extra shuffle and an extra codegen shape per operator
+    val base = e.select(col("src").as("id"), lit(1L).as("__one"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("__one")))
+      .groupBy("id").agg(sum("__one").as("outdeg"))
       .localCheckpoint(false) // reused as every superstep's node frame
     var state = base.withColumn("score", lit(PrScale))
     for (_ <- 1 to iters) {
@@ -567,15 +569,16 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(false) // reused by every superstep
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // node frame + out-degrees fused into one union-aggregate (the
+    // [[pageRank]] base shape); only the seed flag still joins
     val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("__seed", lit(1))
-    val base = nodes.join(hint(outdeg), Seq("id"), "left")
+    val base = e.select(col("src").as("id"), lit(1L).as("__one"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("__one")))
+      .groupBy("id").agg(sum("__one").as("outdeg"))
       .join(hint(seedIds), Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+      .select(col("id"), col("outdeg"),
         coalesce(col("__seed"), lit(0)).as("__seed"))
       .localCheckpoint(false)
     var state = base.withColumn("score", col("__seed") * lit(PrScale))
@@ -650,15 +653,16 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .localCheckpoint(false) // reused by every superstep
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val outw = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
+    // node frame + out-weights fused into one union-aggregate (the
+    // [[pageRankWeighted]] base shape); only the seed flag still joins
     val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("__seed", lit(1))
-    val base = nodes.join(hint(outw), Seq("id"), "left")
+    val base = e.select(col("src").as("id"), col("w").as("__w"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("__w")))
+      .groupBy("id").agg(sum("__w").as("outw"))
       .join(hint(seedIds), Seq("id"), "left")
-      .select(col("id"), coalesce(col("outw"), lit(0L)).as("outw"),
+      .select(col("id"), col("outw"),
         coalesce(col("__seed"), lit(0)).as("__seed"))
       .localCheckpoint(false)
     var state = base.withColumn("score", col("__seed") * lit(PrScale))
@@ -745,11 +749,11 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .localCheckpoint(false) // reused by every superstep
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val outw = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
-    val base = nodes.join(hint(outw), Seq("id"), "left")
-      .select(col("id"), coalesce(col("outw"), lit(0L)).as("outw"))
+    // node frame + out-weights in ONE union-aggregate pass (dst rows
+    // carry weight 0) — same fusion as [[pageRank]]'s base
+    val base = e.select(col("src").as("id"), col("w").as("__w"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("__w")))
+      .groupBy("id").agg(sum("__w").as("outw"))
       .localCheckpoint(false)
     var state = base.withColumn("score", lit(PrScale))
     for (_ <- 1 to iters) {

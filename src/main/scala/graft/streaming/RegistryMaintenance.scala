@@ -29,6 +29,8 @@ import graft.sketch.Sketches
   *     as the merge log's own base)
   *   - attribution clicks: [[StreamingAttribution.compactRegistry]]
   *     (latest click per user)
+  *   - incremental PageRank state: [[StreamingGraph.compactRegistry]]
+  *     (latest row per node; edge log relayed out distinct)
   *
   * All folds install through the loss-safe [[RegistryFs.swapBase]]
   * choreography (stage → park → rename-checked → prune), and a crashed
@@ -59,6 +61,10 @@ object RegistryMaintenance {
       idCol: String) extends RegistrySpec
   /** Attribution click registry — `StreamingAttribution.batchStep`. */
   final case class AttributionClicks(dir: String) extends RegistrySpec
+  /** Incremental PageRank state (edge log + per-node score registry) —
+    * `StreamingGraph.batchStep`. */
+  final case class PageRankState(edgesDir: String, scoresDir: String,
+      iters: Int) extends RegistrySpec
 
   /** Compact every listed registry up to the shared frontier. Skips
     * dirs with nothing to fold; safe to run on any cadence.
@@ -89,6 +95,10 @@ object RegistryMaintenance {
       case AttributionClicks(dir) =>
         if (hasPartitions(spark, dir))
           StreamingAttribution.compactRegistry(spark, dir, upToBatchId)
+      case PageRankState(edgesDir, scoresDir, iters) =>
+        if (hasPartitions(spark, edgesDir) && hasPartitions(spark, scoresDir))
+          StreamingGraph.compactRegistry(spark, edgesDir, scoresDir, iters,
+            upToBatchId)
     }
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, HPath) = {

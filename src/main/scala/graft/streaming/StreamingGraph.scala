@@ -1,0 +1,309 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.graph.GraphOps.PrScale
+
+/** INCREMENTAL PageRank maintenance over edge appends — the graph
+  * family's rung on the registry discipline every other stateful family
+  * (dedup, ER, sketches, sessions, attribution, drift) already has.
+  *
+  * State is two `batch_id=*`-partitioned parquet registries:
+  *
+  *   - `edgesDir`: each batch's PREVIOUSLY-UNSEEN edges (src, dst) —
+  *     unique across batches by construction (every batch anti-joins the
+  *     prior log), so the accumulated union IS the distinct edge set the
+  *     batch operator would dedupe to.
+  *   - `scoresDir`: rows (id, outdeg, s1..sK) for every node whose
+  *     outdeg or any per-iteration score changed in that batch; the read
+  *     discipline is LATEST BATCH WINS per id.
+  *
+  * Why per-iteration scores (s1..sK) and not just the final one: the
+  * batch operator is FIXED-ITERATION PageRank, so node v's round-i score
+  * is a function of its in-neighbors' round-(i−1) scores. An appended
+  * edge (u, w) changes u's outdeg — every contribution u sends, at every
+  * round — so exactly the nodes within K out-hops of {changed-outdeg
+  * sources ∪ brand-new nodes} can move. Recomputing THOSE rounds needs
+  * the round-(i−1) scores of their unaffected in-neighbors, which only
+  * exist if the registry kept them. K extra BIGINT columns per node buy
+  * an affected-neighborhood recompute instead of a full-graph rerun.
+  *
+  * Exactness (spec-pinned parity with [[graft.graph.GraphOps.pageRank]]
+  * on the accumulated union after EVERY batch): the affected set A is
+  * the K-hop out-closure of the seeds, a superset of every node whose
+  * round-i score can differ; recomputing a node that did not actually
+  * move reproduces its stored value (its inputs are all correct by
+  * induction), so over-approximation costs work, never correctness.
+  * Scores of nodes outside A are untouched and their registry rows are
+  * not rewritten — the batch's write volume is O(|affected
+  * neighborhood|), not O(|V|).
+  *
+  * Replay safety (the library-wide exactly-once discipline): both writes
+  * are per-batch-partition OVERWRITEs and every read excludes the
+  * current batch id, so a replayed batch recomputes from the identical
+  * prior state and rewrites both partitions identically.
+  *
+  * 100 TB shape: per batch, the K-hop frontier expansion and the K
+  * recompute supersteps are equi-joins keyed by node id over the
+  * accumulated edge log (bucket it by dst to make the in-edge probe
+  * exchange-free); the recompute joins touch only in-edges OF AFFECTED
+  * NODES (a semi-join slice of the log), so batch cost scales with the
+  * disturbed neighborhood — the whole point of the incremental form.
+  * Registry growth is one row per CHANGED node per batch; fold it back
+  * to one row per node with [[compactRegistry]] (wired into
+  * [[RegistryMaintenance.maintainAll]]).
+  */
+object StreamingGraph {
+
+  private def scoreCols(iters: Int): Seq[String] = (1 to iters).map(i => s"s$i")
+
+  /** All batches of the edge log ((src, dst, batch_id); empty frame with
+    * the right columns when nothing has been written yet). */
+  def readEdges(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.option("basePath", dir).parquet(dir)
+    else
+      spark.range(0).select(lit(0L).as("src"), lit(0L).as("dst"),
+        lit(0L).as("batch_id")).limit(0)
+  }
+
+  private def readScoresRaw(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.option("basePath", dir).parquet(dir)
+    else {
+      val base = spark.range(0)
+        .select(lit(0L).as("id"), lit(0L).as("outdeg"))
+      scoreCols(iters).foldLeft(base)((df, c) => df.withColumn(c, lit(0L)))
+        .withColumn("batch_id", lit(0L)).limit(0)
+    }
+  }
+
+  /** Latest registry row per node (the maintained state): (id, outdeg,
+    * s1..sK, score) with `score` = the final iteration's value — the
+    * exact (id, outdeg, score) frame the batch operator returns. */
+  def readScores(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    latestPerId(readScoresRaw(spark, dir, iters), iters)
+      .withColumn("score", col(s"s$iters"))
+
+  private def latestPerId(rows: DataFrame, iters: Int): DataFrame = {
+    val payload = Seq("outdeg") ++ scoreCols(iters)
+    rows.groupBy("id")
+      .agg(max(struct((col("batch_id") +: payload.map(col)): _*)).as("__m"))
+      .select(col("id") +: payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** One idempotent micro-batch step (also the unit the spec drives):
+    * log the batch's new edges, expand the affected K-hop out-closure,
+    * recompute its per-iteration scores against the patched registry,
+    * and overwrite this batch's edge + score partitions. */
+  def batchStep(spark: SparkSession, edgesDir: String, scoresDir: String,
+      srcCol: String, dstCol: String, iters: Int,
+      broadcastAffected: Boolean = true)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    // broadcastAffected: ship the (append-sized) frontier/affected/work
+    // id sets into every probe of the edge log and score registry
+    // instead of shuffling those tables — right whenever appends disturb
+    // a bounded neighborhood (the operator's whole premise; measured
+    // at the 100× fixture the log would otherwise SHUFFLE once per
+    // closure hop). Set false only for appends that rewire most of the
+    // graph — at which point a batch rerun is the better tool anyway.
+    def hint(df: DataFrame): DataFrame = if (broadcastAffected) broadcast(df) else df
+    val sc = scoreCols(iters)
+    val prevEdges = readEdges(spark, edgesDir)
+      .filter(col("batch_id") =!= batchId).select("src", "dst")
+    val prevRaw = readScoresRaw(spark, scoresDir, iters)
+      .filter(col("batch_id") =!= batchId)
+    // dedupe against the log WITHOUT shuffling it: slice the log to the
+    // batch's own src keys first (broadcast semi — a scan, not an
+    // exchange), then anti-join small-vs-small; equivalent because an
+    // anti match must share the src key
+    val cand = batch
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val logSlice = prevEdges
+      .join(hint(cand.select("src").distinct()), Seq("src"), "left_semi")
+    val newE = cand.join(logSlice, Seq("src", "dst"), "left_anti")
+      .localCheckpoint(false)
+    newE.write.mode("overwrite").parquet(s"$edgesDir/batch_id=$batchId")
+    if (newE.isEmpty) {
+      // nothing new: the batch still owns (and must rewrite) its scores
+      // partition so a replay converges to the same bytes
+      latestPerId(prevRaw, iters).limit(0).write.mode("overwrite")
+        .parquet(s"$scoresDir/batch_id=$batchId")
+      return
+    }
+    if (prevRaw.isEmpty) {
+      // bootstrap (empty registry): every node is affected, so the
+      // closure/slice machinery is pure overhead — and at 100 TB its
+      // full-edge-set checkpoints are a memory hazard. Run the lean
+      // full-graph supersteps (the batch operator's plan shape) and
+      // record each round's scores.
+      bootstrapScores(newE, iters)
+        .write.mode("overwrite").parquet(s"$scoresDir/batch_id=$batchId")
+      return
+    }
+    // NOT checkpointed: each use re-scans the parquet log + the small
+    // checkpointed newE — at scale a (bucketed) log re-read beats
+    // caching the full edge set
+    val allE = prevEdges.union(newE)
+    // seeds: sources whose outdeg changed + brand-new nodes (no registry
+    // row yet — includes tail-only nodes the closure would miss)
+    val dOut = newE.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
+      .localCheckpoint(false)
+    // new-node probe: slice the registry's id column to the batch's
+    // nodes (broadcast semi — scan, not shuffle), then anti-join
+    // small-vs-small; raw duplicates don't change anti semantics
+    val nodeCand = newE.select(col("src").as("id"))
+      .union(newE.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
+    val newNodes = nodeCand.join(
+      prevRaw.select("id").join(hint(nodeCand), Seq("id"), "left_semi"),
+      Seq("id"), "left_anti")
+    // affected = K-hop out-closure of the seeds ∪ new nodes: a superset
+    // of every node whose fixed-iteration score can move
+    var frontier = dOut.select("id").union(newNodes).distinct()
+      .localCheckpoint(false)
+    var affected = frontier
+    var hop = 0
+    var drained = false
+    while (hop < iters && !drained) {
+      frontier = allE.join(hint(frontier.select(col("id").as("src"))), Seq("src"))
+        .select(col("dst").as("id")).distinct().localCheckpoint(false)
+      // an empty frontier has converged — every remaining hop would
+      // re-scan the log to produce nothing (a DAG shallower than K
+      // otherwise pays K scans; the order→part bipartite log drains
+      // after ONE hop)
+      drained = frontier.isEmpty
+      if (!drained) affected = affected.union(frontier).distinct()
+      hop += 1
+    }
+    affected = affected.localCheckpoint(false)
+    // recompute working set: affected nodes + their in-neighbors (whose
+    // stored per-round scores feed the supersteps); eA = the in-edge
+    // slice of the log that lands on an affected node
+    val eA = allE.join(hint(affected.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+      .localCheckpoint(false)
+    val workIds = affected.union(eA.select(col("src").as("id"))).distinct()
+      .localCheckpoint(false)
+    // latest registry rows ONLY for the work-set slice — the full
+    // registry is never aggregated on the append path
+    val prevScores = latestPerId(
+      prevRaw.join(hint(workIds), Seq("id"), "left_semi"), iters)
+    val work = workIds
+      .join(prevScores, Seq("id"), "left")
+      .join(dOut, Seq("id"), "left")
+      .join(affected.withColumn("__aff", lit(true)), Seq("id"), "left")
+      .select(Seq(col("id"),
+        (coalesce(col("outdeg"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("outdeg"),
+        coalesce(col("__aff"), lit(false)).as("__aff")) ++ sc.map(col): _*)
+      .localCheckpoint(false)
+    // K supersteps over the affected slice; `__cur` carries each round's
+    // patched score (recomputed where affected, stored otherwise)
+    var cur = work.select(col("id"), col("outdeg"), lit(PrScale).as("__cur"))
+    var patch = affected
+    for (i <- 1 to iters) {
+      val insum = eA.join(
+        cur.filter(col("outdeg") > 0)
+          .select(col("id").as("src"), expr("__cur div outdeg").as("__c")),
+        Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("__c").as("__insum"))
+      val siAff = affected.join(insum, Seq("id"), "left")
+        .select(col("id"), (lit(PrScale * 3 / 20) +
+          expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as(s"__n$i"))
+        .localCheckpoint(false)
+      patch = patch.join(siAff, Seq("id"))
+      cur = work.join(siAff, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          coalesce(col(s"__n$i"), col(s"s$i")).as("__cur"))
+        .localCheckpoint(false)
+    }
+    // rows to (re)write: affected nodes (scores moved or node is new) +
+    // changed-outdeg sources (scores intact, outdeg column moved)
+    val out = affected.union(dOut.select("id")).distinct()
+      .join(work.drop("__aff"), Seq("id"))
+      .join(patch, Seq("id"), "left")
+      .select(Seq(col("id"), col("outdeg")) ++
+        sc.zipWithIndex.map { case (c, i) =>
+          coalesce(col(s"__n${i + 1}"), col(c)).as(c)
+        }: _*)
+    out.write.mode("overwrite").parquet(s"$scoresDir/batch_id=$batchId")
+  }
+
+  /** Bootstrap scores: the [[graft.graph.GraphOps.pageRank]] supersteps
+    * (identical integer math) over the first batch's edge set, keeping
+    * every round's scores. The node/outdeg frame folds the usual
+    * distinct-nodes + outdeg-agg + join into ONE union-aggregate pass. */
+  private def bootstrapScores(e: DataFrame, iters: Int): DataFrame = {
+    val base = e.select(col("src").as("id"), lit(1L).as("__one"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("__one")))
+      .groupBy("id").agg(sum("__one").as("outdeg"))
+      .localCheckpoint(false)
+    var cur = base.withColumn("__cur", lit(PrScale))
+    var acc = base
+    for (i <- 1 to iters) {
+      val insum = e.join(
+        cur.filter(col("outdeg") > 0)
+          .select(col("id").as("src"), expr("__cur div outdeg").as("__c")),
+        Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("__c").as("__insum"))
+      cur = base.join(insum, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit(PrScale * 3 / 20) +
+            expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("__cur"))
+        .localCheckpoint(false)
+      acc = acc.join(cur.select(col("id"), col("__cur").as(s"s$i")), Seq("id"))
+    }
+    acc
+  }
+
+  /** Table maintenance, IN PLACE: fold every `batch_id < upToBatchId`
+    * score partition into one latest-wins row per node as the
+    * `batch_id=-1` base (and the edge log into one distinct-relayout
+    * base), via the loss-safe [[RegistryFs]] choreography. Same frontier
+    * caveat as every registry: `upToBatchId` must not exceed the
+    * stream's checkpoint frontier. */
+  def compactRegistry(spark: SparkSession, edgesDir: String,
+      scoresDir: String, iters: Int, upToBatchId: Long): Unit = {
+    val sPath = new org.apache.hadoop.fs.Path(scoresDir)
+    val sFs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryFs.recover(sFs, sPath)
+    latestPerId(
+      readScoresRaw(spark, scoresDir, iters).filter(col("batch_id") < upToBatchId),
+      iters)
+      .write.mode("overwrite").parquet(RegistryFs.staging(sPath).toString)
+    RegistryFs.swapBase(sFs, sPath, upToBatchId)
+    val ePath = new org.apache.hadoop.fs.Path(edgesDir)
+    val eFs = ePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryFs.recover(eFs, ePath)
+    readEdges(spark, edgesDir).filter(col("batch_id") < upToBatchId)
+      .select("src", "dst").distinct()
+      .write.mode("overwrite").parquet(RegistryFs.staging(ePath).toString)
+    RegistryFs.swapBase(eFs, ePath, upToBatchId)
+  }
+
+  /** Continuous form: foreachBatch over the two registries. */
+  def start(edges: DataFrame, edgesDir: String, scoresDir: String,
+      srcCol: String, dstCol: String, iters: Int, checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = edges.sparkSession
+    edges.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batchStep(spark, edgesDir, scoresDir, srcCol, dstCol, iters)(batch, batchId)
+        ()
+      }
+      .start()
+  }
+}
