@@ -29,6 +29,15 @@ object GraftSession {
         (cores * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // generated-class cache sized to the WORKLOAD, not the 100-entry
+      // default: a 270-query sweep compiles a few thousand codegen
+      // units, so at 100 entries every repeated run re-Janinos AND
+      // re-JITs classes the JVM had already optimized — measured as the
+      // 3× median/min spread on the unrolled graph cells (each query is
+      // stable in isolation, where 100 entries suffice). Class metadata
+      // is KBs per entry; the compiled code budget is the code cache.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
 
   /** A local session with the recommended configuration (the harness
     * shape: `local[cores]`, UI off). */

@@ -187,6 +187,33 @@ object SparkEntry {
           "when 3 then 'RAIL' when 4 then 'REG AIR' when 5 then 'SHIP' " +
           "else 'TRUCK' end"))
 
+  /** Derived `partsupp`: the fixture lacks the table, so each part gets
+    * 4 supplier rows picked deterministically from the live supplier key
+    * domain (modulo the supplier COUNT via a broadcast scalar — the a3
+    * pattern — so the derivation is SF-independent), with availqty and
+    * supplycost from the same hash-formula family as
+    * [[lineitemShipping]], IDENTICAL in the DuckDB twin. Unlocks
+    * TPC-H Q2/Q11/Q20 — with Q4/Q12/Q21 this completes all 22 shapes. */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(Tables.supplier(s, d).agg(count(lit(1)).as("__ns"))))
+      .select(col("p_partkey"), col("__ns"),
+        explode(expr("array(0L, 1L, 2L, 3L)")).as("__k"))
+      .select(col("p_partkey").as("ps_partkey"),
+        expr("(p_partkey * 7 + __k * 13 + 3) % __ns").as("ps_suppkey"),
+        expr("(p_partkey * 31 + __k * 17) % 9999 + 1").as("ps_availqty"),
+        expr("(p_partkey * 53 + __k * 29) % 99900 + 100").as("ps_supplycost_cents"))
+
+  /** DuckDB twin of [[partsupp]] (identical formulas). */
+  private val partsuppSqlFrag: String =
+    "SELECT p_partkey AS ps_partkey, " +
+      "(p_partkey * 7 + k * 13 + 3) % ns AS ps_suppkey, " +
+      "(p_partkey * 31 + k * 17) % 9999 + 1 AS ps_availqty, " +
+      "(p_partkey * 53 + k * 29) % 99900 + 100 AS ps_supplycost_cents " +
+      "FROM part " +
+      "CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ns FROM supplier) " +
+      "CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k)"
+
   /** DuckDB twin of [[lineitemShipping]] (identical lag/mode formulas). */
   private val lineitemShippingSqlFrag: String =
     "SELECT l.*, " +
@@ -3358,6 +3385,89 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
     }),
 
+    // Q2 minimum-cost supplier: the correlated min-subquery decorrelates
+    // to ONE per-part min over the region-filtered candidates, joined
+    // back on (part, cost) — the region-filtered supplier dim broadcasts
+    // into both sides, and the p_type gate broadcasts onto the ps rows.
+    "q2_min_cost" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          expr("cast(floor(s_acctbal * 100) as bigint)").as("bal_cents"),
+          col("n_name"))
+      val cand = partsupp(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
+            .select("p_partkey", "p_type")),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = cand.groupBy("ps_partkey")
+        .agg(min("ps_supplycost_cents").as("__min_cost"))
+      cand.join(minCost, Seq("ps_partkey"))
+        .filter(col("ps_supplycost_cents") === col("__min_cost"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("bal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"))
+        .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q11 important stock: integer value = availqty · cost_cents; the
+    // HAVING-fraction threshold cross-multiplies against a broadcast
+    // scalar total (exact, no float fraction).
+    "q11_stock_value" -> ((s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val rows = partsupp(s, d)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("ps_partkey"),
+          (col("ps_availqty") * col("ps_supplycost_cents")).as("__v"))
+      val grouped = rows.groupBy("ps_partkey").agg(sum("__v").as("value_cents"))
+      val total = grouped.agg(sum("value_cents").as("__total"))
+      grouped.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 1000 > col("__total"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // Q20 excess stock: availqty > half the year's shipped quantity for
+    // that (part, supplier) — the correlated scalar decorrelates to one
+    // (partkey, suppkey) aggregate of the shipped lines; a missing
+    // shipment row means the classic NULL-comparison excludes the ps
+    // row, hence the INNER join. Suppliers distinct AFTER the gate.
+    "q20_excess_stock" -> ((s, d) => {
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("cast(floor(l_quantity) as bigint)")).as("__sq"))
+      val excess = partsupp(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select("p_partkey")),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("__sq"))
+        .select("ps_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"),
+          expr("cast(floor(s_acctbal * 100) as bigint)").as("bal_cents"))
+        .orderBy("s_name")
+    }),
+
     // Per-supplier OLS price-vs-quantity slope as ONE combinable
     // aggregate: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over integer
     // units (quantity, price cents), exact decimal/hugeint sums, one
@@ -5983,6 +6093,44 @@ object SparkEntry {
         "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_receiptdate > l3.l_commitdate) " +
         "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
+
+    // textbook correlated-min form on purpose: checks the Spark side's
+    // per-part decorrelation independently
+    "q2_min_cost" ->
+      (s"WITH ps AS ($partsuppSqlFrag), " +
+        "sup AS (SELECT s_suppkey, s_name, CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents, n_name " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE') " +
+        "SELECT bal_cents, s_name, n_name, p_partkey, p_type " +
+        "FROM part, ps, sup " +
+        "WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey AND p_type = 'LARGE' " +
+        "AND ps_supplycost_cents = (SELECT min(ps2.ps_supplycost_cents) " +
+        "FROM ps ps2, sup s2 WHERE ps2.ps_partkey = p_partkey AND ps2.ps_suppkey = s2.s_suppkey) " +
+        "ORDER BY bal_cents DESC, n_name, s_name, p_partkey LIMIT 100"),
+
+    "q11_stock_value" ->
+      (s"WITH ps AS ($partsuppSqlFrag), " +
+        "rows_ AS (SELECT ps_partkey, ps_availqty * ps_supplycost_cents AS v FROM ps " +
+        "JOIN supplier ON ps_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'), " +
+        "grouped AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents FROM rows_ GROUP BY 1) " +
+        "SELECT ps_partkey, value_cents FROM grouped " +
+        "WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM grouped) " +
+        "ORDER BY value_cents DESC, ps_partkey"),
+
+    // textbook correlated scalar (NULL comparison excludes unshipped
+    // (part, supplier) pairs) — the Spark side's INNER-join
+    // decorrelation must agree
+    "q20_excess_stock" ->
+      (s"WITH ps AS ($partsuppSqlFrag) " +
+        "SELECT s_name, CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
+        "WHERE s_suppkey IN (SELECT ps_suppkey FROM ps " +
+        "WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO') " +
+        "AND ps_availqty * 2 > (SELECT CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) " +
+        "FROM lineitem WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey " +
+        "AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')) " +
+        "ORDER BY s_name"),
 
     "a_ols_slope" ->
       ("WITH __b AS (SELECT l_suppkey, CAST(floor(l_quantity) AS BIGINT) AS x, " +

@@ -168,6 +168,29 @@ class PlanAuditSpec extends SparkSpec {
       s"Q21 top-k sorts globally instead of TakeOrdered:\n$p21")
   }
 
+  test("TPC-H wave (r9): Q2 decorrelated min, Q11 scalar threshold, Q20 decorrelated scalar") {
+    // Q2: the correlated min-subquery must decorrelate to one per-part
+    // aggregate + join-back; dims broadcast; top-k is TakeOrdered. The
+    // only nested loop allowed is the broadcast 1-row supplier-count
+    // scalar feeding the derived partsupp (the a3 pattern).
+    val p2 = plan("q2_min_cost")
+    assert(!p2.contains("CartesianProduct"), s"Q2 went cartesian:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"Q2 dims not broadcast:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"), s"Q2 sorts globally:\n$p2")
+    // Q11 and Q20: no cartesians beyond the 1-row scalar broadcasts
+    // (supplier count, stock-value total), every real join an equi-join
+    for (q <- Seq("q11_stock_value", "q20_excess_stock")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q dims not broadcast:\n$p")
+      // Q11's supplier-count scalar appears once per partsupp lineage
+      // (grouped + total), plus the stock-value total: 3 one-row
+      // broadcasts, zero data-sized nested loops
+      val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+      assert(bnlj <= 3, s"$q has $bnlj nested loops (only 1-row scalars allowed):\n$p")
+    }
+  }
+
   test("session-3 operators: equi-join pair generation, TakeOrdered sampling, no nested loops") {
     // Theil–Sen pairs ride an explode + (key, rank) equi-join; the
     // pHash cluster generator bands over collapsed representatives —
