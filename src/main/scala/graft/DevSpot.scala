@@ -175,6 +175,17 @@ object DevSpot {
               // the operator's front half: canonical edge set through the
               // checkpoint (what precedes the wedge kernel)
               u.localCheckpoint(false).count()
+            case "front2" =>
+              // alternate front: per-order sorted item set + in-row pair
+              // lambda replaces the lineitem self-join
+              li.groupBy("ok")
+                .agg(sort_array(collect_set("l_partkey")).as("ps"))
+                .select(explode(expr("flatten(transform(ps, (x, i) -> " +
+                  "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+                  "y -> struct(x AS a, y AS b))))")).as("p"))
+                .select(col("p.a").as("a"), col("p.b").as("b"))
+                .distinct()
+                .localCheckpoint(false).count()
             case "tail" =>
               // post-agg half: anti-join + degree joins + top-k over a
               // synthetic candidate table the size of the real one

@@ -2617,14 +2617,20 @@ object SparkEntry {
     "g_linkpred" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
         col("l_partkey"))
-      // src < dst (not <>): linkPrediction canonicalizes to (least,
-      // greatest) + DISTINCT anyway, so emitting each unordered pair
-      // once instead of twice halves the self-join output and the
-      // distinct's shuffle with an identical canonical edge set (the
-      // oracle twin keeps <>; both collapse to the same DISTINCT set)
-      val edges = li.select(col("ok"), col("l_partkey").as("src"))
-        .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
+      // per-order sorted item set + in-row pair lambda instead of the
+      // lineitem self-join: one groupBy(order) shuffle replaces the SMJ
+      // (~1 s of the sf0.1 cell), and the canonical src<dst pairs come
+      // out directly — linkPrediction's least/greatest + DISTINCT then
+      // collapse cross-order duplicates to the IDENTICAL canonical edge
+      // set the oracle twin (which keeps the <> self-join) produces.
+      // Basket sizes are small, so the per-order pair lambda is
+      // catalog-bounded work per row.
+      val edges = li.groupBy("ok")
+        .agg(sort_array(collect_set("l_partkey")).as("ps"))
+        .select(explode(expr("flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
       // maxDeg is THE cost lever: wedge volume is Σ min(deg, cap)², and
       // on this co-purchase graph cap 128 (vs 256) cuts the wedge join
       // ~4× while still admitting every meaningfully-connectable center
