@@ -575,28 +575,16 @@ object TextOps {
     * up to `batch` merges instead of one, so a K-merge vocabulary costs
     * ~K/batch Spark jobs instead of K — the lever that makes a real
     * (32k-merge) tokenizer trainable on this engine. The batched result
-    * is EXACTLY the sequential greedy result, guaranteed by a
-    * conservative acceptance rule built on count monotonicity: applying
-    * a merge (l, r)→m only (a) zeroes the merged pair, (b) DECREASES
-    * pairs sharing l or r, and (c) CREATES pairs involving m whose
-    * counts are bounded by the pre-merge counts of the pairs they morph
-    * from (count(x, m) ≤ count(x, l); count(m, y) ≤ count(r, y)) — so a
-    * candidate that shares no symbol with any accepted merge keeps its
-    * exact count, and it remains the next sequential argmax iff it
-    * STRICTLY beats every pair that interferes with the accepted set
-    * (ties are not safe: a morphed pair keeps its bound count but takes
-    * a NEW name, which can win the (count, l, r) tie-break — e.g. a
-    * skipped (zz, q) morphing into (azz, q) outranks (b, b) at equal
-    * count). The scan therefore collects a horizon of top pairs plus
-    * the first count BELOW the horizon (`cutoff`, bounding every unseen
-    * pair) and accepts a disjoint candidate only while its count >
-    * max(maxInterfererCount, cutoff); the first merge of each superstep
-    * is the global argmax and is always accepted. Merges within a
-    * superstep are pairwise symbol-disjoint, so the fold rewrites
-    * commute and compose in ONE projection. Worst case (adversarial
-    * ties everywhere) a superstep still learns 1 merge — never slower
-    * than sequential by more than the horizon collect (catalog-sized:
-    * 4·batch+64 rows). */
+    * is EXACTLY the sequential greedy result: each superstep collects a
+    * horizon of top pairs plus the first count BELOW it (`cutoff`,
+    * bounding every unseen pair) and hands them to [[selectBatch]],
+    * whose acceptance rule (and its soundness argument — the 4×
+    * interferer margin and the self-pair batch stop) is documented and
+    * unit-fuzzed there. Accepted merges are pairwise symbol-disjoint,
+    * so the fold rewrites commute and compose in ONE projection. Worst
+    * case (adversarial ties) a superstep still learns 1 merge — never
+    * slower than sequential by more than the horizon collect
+    * (catalog-sized: 4·batch+64 rows). */
   private def bpeLoop(df: org.apache.spark.sql.DataFrame, textCol: String,
       rounds: Int, batch: Int = 1): (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     require(rounds >= 1 && rounds <= 4096, s"rounds must be in [1,4096], got $rounds")
@@ -634,30 +622,8 @@ object TextOps {
         val cutoff = if (top.length > horizon) top(horizon).getLong(2) else -1L
         val cand = top.take(horizon)
           .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
-        val used = scala.collection.mutable.Set.empty[String]
-        val acceptedPairs = scala.collection.mutable.Set.empty[(String, String)]
-        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        // candidate with count c is the true next argmax iff EVERY pair
-        // whose count could change (= interferes with an accepted merge,
-        // wherever it ranks — a tied interferer BELOW the candidate can
-        // morph into a renamed pair that wins the (count, l, r)
-        // tie-break) has count STRICTLY below c, including the unseen
-        // tail via cutoff
-        def safe(c: Long): Boolean = c > cutoff && cand.forall { case (pl, pr, pc) =>
-          acceptedPairs((pl, pr)) || pc < c || !(used(pl) || used(pr))
-        }
-        var stopped = false
-        for ((l, r, c) <- cand
-             if !stopped && merges.size + accepted.size < rounds
-             if !(used(l) || used(r))) {
-          if (accepted.isEmpty || safe(c)) {
-            accepted += ((l, r, c))
-            acceptedPairs += ((l, r))
-            used ++= Seq(l, r, l + r)
-          } else stopped = true // a rejected EXACT candidate still
-          // outranks everything below it in sequential order — nothing
-          // later in this superstep may be accepted over it
-        }
+        val accepted = selectBatch(cand, cutoff,
+          math.min(batch, rounds - merges.size))
         accepted.foreach { case (l, r, c) =>
           merges += ((merges.size + 1, l, r, l + r, c))
         }
@@ -669,6 +635,72 @@ object TextOps {
       }
     }
     (merges.toSeq, cur)
+  }
+
+  /** The superstep batch selector — pure and driver-side (unit-fuzzed
+    * against a sequential reference in `TextDedupSpec` without a Spark
+    * job). Given the top pairs of ONE count (`cand`, in (count DESC, l,
+    * r) order) plus `cutoff` (an upper bound on every uncollected
+    * pair's count), returns the longest prefix-consistent merge batch
+    * that provably reproduces sequential greedy BPE:
+    *
+    *  - the first merge is the global argmax — always exact;
+    *  - a later candidate (count c) is accepted only while c >
+    *    u_max + 3·maxMCap. u_max bounds every NON-accepted pair that
+    *    shares a symbol with the accepted set (seen interferers and the
+    *    unseen tail via cutoff). Applying an accepted merge (l,r)→m can
+    *    only (a) zero its own pair, (b) decrease pairs sharing l or r,
+    *    or (c) create/boost pairs involving m, each bounded by a SUM:
+    *    count(x,m) ≤ pre(x,m) + pre(x,l) — the name m may collide with
+    *    a pre-existing symbol, so the created and pre-existing
+    *    populations POOL — and a chain pair (m_j, m_k) across accepted
+    *    merges sums four such terms (pre(r_j,l_k) + pre(m_j,l_k) +
+    *    pre(r_j,m_k) + pre(m_j,m_k)). Every pre(·,m) term is capped by
+    *    mCap(m): u_max when m is VISIBLE as a symbol of some collected
+    *    pair, else cutoff (an invisible symbol's pairs all sit below
+    *    the horizon), clamped at 0 — so the margin stays tight in the
+    *    common fresh-name case instead of a blanket 4×. The bound keeps
+    *    every changed pair STRICTLY below the candidate, so no rename
+    *    can win the (count, l, r) tie-break;
+    *  - accepting a SELF-PAIR (l == r) ends the batch: its greedy
+    *    application chains ("llll" → "ll ll"), creating pairs like
+    *    (m, m)/(m, l) bounded only by the accepted pair's OWN count,
+    *    which no interferer-based margin covers (the (bb,bb)→(bbbb,bb)
+    *    counterexample a review fuzz found against the first draft of
+    *    this rule, which wrongly exempted accepted pairs outright);
+    *  - the first rejected exact candidate ends the batch (it still
+    *    outranks everything below it in sequential order).
+    *
+    * Worst case (dense ties) a superstep still learns 1 merge — never
+    * wrong, at most un-batched. */
+  private[graft] def selectBatch(cand: Seq[(String, String, Long)],
+      cutoff: Long, maxAccept: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val acceptedPairs = scala.collection.mutable.Set.empty[(String, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val visible = cand.flatMap(p => Seq(p._1, p._2)).toSet
+    def safe(c: Long): Boolean = {
+      val uMax = math.max(0L, cand.foldLeft(cutoff) { case (m, (pl, pr, pc)) =>
+        if (!acceptedPairs((pl, pr)) && (used(pl) || used(pr))) math.max(m, pc)
+        else m
+      })
+      val maxMCap = accepted.foldLeft(0L) { case (m, (l, r, _)) =>
+        math.max(m, if (visible(l + r)) uMax else math.max(cutoff, 0L))
+      }
+      c > uMax + 3 * maxMCap
+    }
+    var stopped = false
+    for ((l, r, c) <- cand
+         if !stopped && accepted.size < maxAccept
+         if !(used(l) || used(r))) {
+      if (accepted.isEmpty || safe(c)) {
+        accepted += ((l, r, c))
+        acceptedPairs += ((l, r))
+        used ++= Seq(l, r, l + r)
+        if (l == r) stopped = true // self-chaining merge: see doc
+      } else stopped = true
+    }
+    accepted.toSeq
   }
 
   /** DuckDB twin of [[bpeTrain]]: the same rounds statically unrolled

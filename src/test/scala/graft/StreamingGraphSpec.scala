@@ -12,9 +12,10 @@ import graft.streaming.{RegistryMaintenance, StreamingGraph}
   * the registry state equals the batch operator run from scratch on the
   * accumulated edge union — for the final scores AND every intermediate
   * iteration (the per-round columns are the state that makes the
-  * affected-neighborhood recompute exact). Plus: replayed batches are
-  * byte-stable, untouched components are never rewritten, and registry
-  * compaction through the shared maintenance sweep changes nothing. */
+  * affected-neighborhood recompute exact). Plus: replayed batches leave
+  * the registry row-identical, untouched components are never
+  * rewritten, and registry compaction through the shared maintenance
+  * sweep changes nothing. */
 class StreamingGraphSpec extends SparkSpec {
 
   private val Iters = 3

@@ -1372,36 +1372,7 @@ class TextDedupSpec extends SparkSpec {
   test("bpeTrain equals an independent reference trainer on random corpora") {
     val sess = spark
     import sess.implicits._
-    def applyRef(syms: Vector[String], l: String, r: String): Vector[String] = {
-      val b = Vector.newBuilder[String]; var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          b += (l + r); i += 2
-        } else { b += syms(i); i += 1 }
-      }
-      b.result()
-    }
-    def refTrain(words: Seq[String], rounds: Int): Seq[(Int, String, String, String, Long)] = {
-      var vocab: Map[Vector[String], Long] = words.groupBy(identity)
-        .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      var done = false
-      for (round <- 1 to rounds if !done) {
-        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-          .withDefaultValue(0L)
-        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
-          counts((syms(i), syms(i + 1))) += f
-        if (counts.isEmpty) done = true
-        else {
-          val ((l, r), c) = counts.toSeq
-            .sortBy { case ((l, r), c) => (-c, l, r) }.head
-          out += ((round, l, r, l + r, c))
-          vocab = vocab.toSeq
-            .map { case (syms, f) => (applyRef(syms, l, r), f) }.toMap
-        }
-      }
-      out.toSeq
-    }
+    import TextDedupSpec.refTrain
     val rng = new scala.util.Random(42)
     for (trial <- 0 until 12) {
       val words = Seq.fill(2 + rng.nextInt(7))(
@@ -1428,6 +1399,11 @@ class TextDedupSpec extends SparkSpec {
     // strict-inequality rule must stop the batch at the tie
     batchedEq(Seq.fill(95)("wab") ++ Seq.fill(90)("cc"), rounds = 3, batch = 8)
     batchedEq(Seq.fill(90)("wab") ++ Seq.fill(90)("xx"), rounds = 3, batch = 8)
+    // self-chaining hazard (review counterexample): accepted (bb,bb)
+    // spawns (bbbb,bb) bounded by its OWN count — the batch must stop
+    // at a self-pair instead of accepting (a,b) over the unseen child
+    batchedEq(Seq.fill(11)("bbbbbb") ++ Seq.fill(6)("ab"), rounds = 3, batch = 8)
+    batchedEq(Seq.fill(20)("bababa") ++ Seq.fill(7)("xy"), rounds = 4, batch = 8)
     // clean disjoint corpus: one superstep should learn several merges
     batchedEq(Seq.fill(9)("aabb") ++ Seq.fill(7)("ccdd") ++ Seq.fill(5)("eeff"),
       rounds = 6, batch = 8)
@@ -1444,6 +1420,25 @@ class TextDedupSpec extends SparkSpec {
         Seq.fill(2 + rng.nextInt(5))(('a' + rng.nextInt(2)).toChar).mkString)
       batchedEq(words, rounds = 8, batch = 8)
     }
+    // pure fuzz at volume: the REAL selectBatch inside an exact
+    // in-memory replica of the driver loop vs the sequential reference
+    // — thousands of corpora (runs, repeats, binary and ternary
+    // alphabets) in seconds, no Spark job per trial. This harness is
+    // what falsified the first draft of the acceptance rule (the
+    // self-chaining and name-collision holes); keep it hostile.
+    val frng = new scala.util.Random(1234)
+    for (trial <- 0 until 4000) {
+      val alpha = 2 + frng.nextInt(2)
+      val words = Seq.fill(2 + frng.nextInt(5)) {
+        val w = Seq.fill(1 + frng.nextInt(8))(('a' + frng.nextInt(alpha)).toChar).mkString
+        w
+      }
+      val weighted = words.flatMap(w => Seq.fill(1 + frng.nextInt(20))(w))
+      val got = TextDedupSpec.simBatched(weighted, rounds = 10, batch = 8)
+      val want = TextDedupSpec.refTrain(weighted, rounds = 10)
+      assert(got === want, s"fuzz trial $trial diverged on $weighted")
+    }
+
     // segment stats ride the same loop: batched == sequential datasheet
     val statDocs = (Seq.fill(9)("aabb cdcd") ++ Seq.fill(4)("abab ee"))
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -1653,5 +1648,82 @@ class TextDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.text.TextOps.groupKFold(col("user"), k = 1)
     }
+  }
+}
+
+/** Pure BPE references shared by the trainer tests: the independent
+  * sequential greedy trainer, and an in-memory simulator of the BATCHED
+  * trainer that reuses the REAL `TextOps.selectBatch` (the Spark loop's
+  * only decision logic) with the exact horizon/cutoff semantics — so
+  * the batch-selection rule can be fuzzed over thousands of corpora
+  * without a Spark job per trial. */
+object TextDedupSpec {
+
+  def applyRef(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]; var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def pairCounts(vocab: Map[Vector[String], Long]): Seq[(String, String, Long)] = {
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+      counts((syms(i), syms(i + 1))) += f
+    counts.toSeq.map { case ((l, r), c) => (l, r, c) }
+      .sortBy { case (l, r, c) => (-c, l, r) }
+  }
+
+  private def toVocab(words: Seq[String]): Map[Vector[String], Long] =
+    words.groupBy(identity)
+      .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+
+  def refTrain(words: Seq[String], rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab = toVocab(words)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    for (round <- 1 to rounds if !done) {
+      val counts = pairCounts(vocab)
+      if (counts.isEmpty) done = true
+      else {
+        val (l, r, c) = counts.head
+        out += ((round, l, r, l + r, c))
+        vocab = vocab.toSeq
+          .map { case (syms, f) => (applyRef(syms, l, r), f) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  /** The batched trainer's exact driver loop, minus Spark: same horizon
+    * (4·batch floor 64), same cutoff (first below-horizon count), same
+    * `selectBatch`, merges applied in rank order. */
+  def simBatched(words: Seq[String], rounds: Int,
+      batch: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab = toVocab(words)
+    val horizon = if (batch == 1) 1 else math.max(batch * 4, 64)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    while (out.size < rounds && !exhausted) {
+      val counts = pairCounts(vocab)
+      if (counts.isEmpty) exhausted = true
+      else {
+        val cutoff = if (counts.length > horizon) counts(horizon)._3 else -1L
+        val accepted = graft.text.TextOps.selectBatch(
+          counts.take(horizon), cutoff, math.min(batch, rounds - out.size))
+        for ((l, r, c) <- accepted) {
+          out += ((out.size + 1, l, r, l + r, c))
+          vocab = vocab.toSeq
+            .map { case (syms, f) => (applyRef(syms, l, r), f) }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+    }
+    out.toSeq
   }
 }
