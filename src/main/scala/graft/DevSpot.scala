@@ -303,6 +303,12 @@ object DevSpot {
           val li = Tables.lineitem(spark, sfDir)
             .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
           val root = java.nio.file.Files.createTempDirectory("princ").toString
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(new java.io.File(root))
+          }
           val step = graft.streaming.StreamingGraph.batchStep(
             spark, s"$root/e", s"$root/s", "src", "dst", 3) _
           val tb0 = System.nanoTime()

@@ -2376,7 +2376,16 @@ object SparkEntry {
     // recomputes only each append's affected out-closure, never the
     // whole graph.
     "g_pagerank_inc" -> ((s, d) => {
+      // fresh registry per invocation (a reused dir would leak earlier
+      // invocations' later batches into batch 0's registry read), swept
+      // on JVM exit so repeated bench/verify runs don't accumulate tmp
       val root = java.nio.file.Files.createTempDirectory("gprinc").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }
       val step = graft.streaming.StreamingGraph.batchStep(s, s"$root/e",
         s"$root/s", "src", "dst", 2) _
       val sup = Tables.supplier(s, d).select(
@@ -3349,10 +3358,14 @@ object SparkEntry {
       li.join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_shipmode")
+        // low = NOT IN, not otherwise(1): a NULL priority must count in
+        // NEITHER bucket, exactly like the twin's CASE over NOT IN
+        // (NULL → ELSE 0) — latent on the NULL-free fixture, but the
+        // schema is nullable and the pair is written for NULL parity
         .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("high_line_count"),
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
-            .otherwise(1L)).as("low_line_count"))
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
         .orderBy("l_shipmode")
     }),
 

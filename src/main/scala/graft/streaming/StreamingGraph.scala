@@ -129,11 +129,11 @@ object StreamingGraph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val logSlice = prevEdges
       .join(hint(cand.select("src").distinct()), Seq("src"), "left_semi")
     val newE = cand.join(logSlice, Seq("src", "dst"), "left_anti")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     newE.write.mode("overwrite").parquet(s"$edgesDir/batch_id=$batchId")
     if (newE.isEmpty) {
       // nothing new: the batch still owns (and must rewrite) its scores
@@ -159,26 +159,26 @@ object StreamingGraph {
     // seeds: sources whose outdeg changed + brand-new nodes (no registry
     // row yet — includes tail-only nodes the closure would miss)
     val dOut = newE.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // new-node probe: slice the registry's id column to the batch's
     // nodes (broadcast semi — scan, not shuffle), then anti-join
     // small-vs-small; raw duplicates don't change anti semantics
     val nodeCand = newE.select(col("src").as("id"))
       .union(newE.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val newNodes = nodeCand.join(
       prevRaw.select("id").join(hint(nodeCand), Seq("id"), "left_semi"),
       Seq("id"), "left_anti")
     // affected = K-hop out-closure of the seeds ∪ new nodes: a superset
     // of every node whose fixed-iteration score can move
     var frontier = dOut.select("id").union(newNodes).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var affected = frontier
     var hop = 0
     var drained = false
     while (hop < iters && !drained) {
       frontier = allE.join(hint(frontier.select(col("id").as("src"))), Seq("src"))
-        .select(col("dst").as("id")).distinct().localCheckpoint(false)
+        .select(col("dst").as("id")).distinct().localCheckpoint(true)
       // an empty frontier has converged — every remaining hop would
       // re-scan the log to produce nothing (a DAG shallower than K
       // otherwise pays K scans; the order→part bipartite log drains
@@ -187,14 +187,14 @@ object StreamingGraph {
       if (!drained) affected = affected.union(frontier).distinct()
       hop += 1
     }
-    affected = affected.localCheckpoint(false)
+    affected = affected.localCheckpoint(true)
     // recompute working set: affected nodes + their in-neighbors (whose
     // stored per-round scores feed the supersteps); eA = the in-edge
     // slice of the log that lands on an affected node
     val eA = allE.join(hint(affected.select(col("id").as("dst"))), Seq("dst"), "left_semi")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val workIds = affected.union(eA.select(col("src").as("id"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // latest registry rows ONLY for the work-set slice — the full
     // registry is never aggregated on the append path
     val prevScores = latestPerId(
@@ -206,7 +206,7 @@ object StreamingGraph {
       .select(Seq(col("id"),
         (coalesce(col("outdeg"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("outdeg"),
         coalesce(col("__aff"), lit(false)).as("__aff")) ++ sc.map(col): _*)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // K supersteps over the affected slice; `__cur` carries each round's
     // patched score (recomputed where affected, stored otherwise)
     var cur = work.select(col("id"), col("outdeg"), lit(PrScale).as("__cur"))
@@ -220,16 +220,17 @@ object StreamingGraph {
       val siAff = affected.join(insum, Seq("id"), "left")
         .select(col("id"), (lit(PrScale * 3 / 20) +
           expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as(s"__n$i"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       patch = patch.join(siAff, Seq("id"))
       cur = work.join(siAff, Seq("id"), "left")
         .select(col("id"), col("outdeg"),
           coalesce(col(s"__n$i"), col(s"s$i")).as("__cur"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
-    // rows to (re)write: affected nodes (scores moved or node is new) +
-    // changed-outdeg sources (scores intact, outdeg column moved)
-    val out = affected.union(dOut.select("id")).distinct()
+    // rows to (re)write: the affected set — it already contains every
+    // changed-outdeg source (dOut seeds the first frontier) and every
+    // node whose scores moved or that is new
+    val out = affected
       .join(work.drop("__aff"), Seq("id"))
       .join(patch, Seq("id"), "left")
       .select(Seq(col("id"), col("outdeg")) ++
@@ -247,7 +248,7 @@ object StreamingGraph {
     val base = e.select(col("src").as("id"), lit(1L).as("__one"))
       .union(e.select(col("dst").as("id"), lit(0L).as("__one")))
       .groupBy("id").agg(sum("__one").as("outdeg"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var cur = base.withColumn("__cur", lit(PrScale))
     var acc = base
     for (i <- 1 to iters) {
@@ -260,7 +261,7 @@ object StreamingGraph {
         .select(col("id"), col("outdeg"),
           (lit(PrScale * 3 / 20) +
             expr("(17 * coalesce(__insum, CAST(0 AS BIGINT))) div 20")).as("__cur"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       acc = acc.join(cur.select(col("id"), col("__cur").as(s"s$i")), Seq("id"))
     }
     acc
