@@ -331,6 +331,196 @@ object DevSpot {
           println(f"SPOTX princ:$m boot=$tBoot%.2f append=$tApp%.2f " +
             f"append2=$tApp2%.2f fullRerun=$tFull%.2f nodes=$full")
           graft.streaming.StreamingGraph.readScores(spark, s"$root/s", 3).count()
+        case Array("assoc", variant, reps) =>
+          // a_assoc pair-count kernel A/B over a checkpointed distinct
+          // (basket, item) set: self-join + partial agg (r9 shipped) vs
+          // self-join + pre-repartitioned agg vs in-row pair-gen +
+          // pre-repartitioned complete agg (the linkpred discipline)
+          val b = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+            .distinct().localCheckpoint()
+          def joinP = b.select(col("__bk"), col("__it").as("item_a"))
+            .join(b.select(col("__bk"), col("__it").as("item_b")), Seq("__bk"))
+            .filter(col("item_a") =!= col("item_b"))
+          def collP = b.groupBy("__bk").agg(collect_set(col("__it")).as("__is"))
+            .select(explode(col("__is")).as("item_a"), col("__is"))
+            .select(col("item_a"),
+              explode(filter(col("__is"), x => x =!= col("item_a"))).as("item_b"))
+          def agg2(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+              .filter(col("n_ab") >= 2)
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            val ti = System.nanoTime()
+            out = (variant match {
+              case "joinplain"  => agg2(joinP)
+              case "joinrep"    => agg2(joinP.repartition(256, col("item_a"), col("item_b")))
+              case "collplain"  => agg2(collP)
+              case "collrep"    => agg2(collP.repartition(256, col("item_a"), col("item_b")))
+              case "collrep64"  => agg2(collP.repartition(64, col("item_a"), col("item_b")))
+            }).count()
+            println(f"  assoc:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
+          }
+          out
+        case Array("assocfull", variant, reps) =>
+          // full a_assoc cell A/B (distinct + checkpoint + pair count +
+          // joins + top-50), old self-join shape vs shipped in-row shape
+          def bDf = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+            .distinct().localCheckpoint(false)
+          def cell(pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+            val b = bDf
+            val nBaskets = b.agg(countDistinct(col("__bk")).as("__n"))
+            val itemCounts = b.groupBy(col("__it").as("item")).agg(count(lit(1)).as("n_item"))
+            val pairs = pairsOf(b)
+              .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+              .filter(col("n_ab") >= 2)
+            pairs
+              .join(itemCounts.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+              .join(itemCounts.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+              .crossJoin(broadcast(nBaskets))
+              .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+                (col("n_ab").cast("double") / col("__n").cast("double")).as("support"),
+                (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+                ((col("n_ab") * col("__n")).cast("double") /
+                  (col("n_a") * col("n_b")).cast("double")).as("lift"))
+              .orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(50)
+          }
+          def joinPairs(b: org.apache.spark.sql.DataFrame) =
+            b.select(col("__bk"), col("__it").as("item_a"))
+              .join(b.select(col("__bk"), col("__it").as("item_b")), Seq("__bk"))
+              .filter(col("item_a") =!= col("item_b"))
+          def collPairs(b: org.apache.spark.sql.DataFrame) =
+            b.filter(col("__bk").isNotNull)
+              .groupBy("__bk").agg(collect_set(col("__it")).as("__is"))
+              .select(explode(col("__is")).as("item_a"), col("__is"))
+              .select(col("item_a"),
+                explode(filter(col("__is"), x => x =!= col("item_a"))).as("item_b"))
+              .repartition(256, col("item_a"), col("item_b"))
+          // single-shuffle front: collect_set dedupes in-agg, so ONE
+          // groupBy(bk) replaces distinct + groupBy; nBaskets/itemCounts
+          // derive from the basket-set frame (checkpointed or via
+          // AQE exchange reuse)
+          def cell2(checkpoint: Boolean, repart: Int) = {
+            val ba0 = Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+              .groupBy("__bk").agg(collect_set(col("__it")).as("__is"))
+            val ba = if (checkpoint) ba0.localCheckpoint(false) else ba0
+            val nBaskets = ba.agg(count(col("__bk")).as("__n"))
+            val itemCounts = ba.select(explode(col("__is")).as("item"))
+              .groupBy("item").agg(count(lit(1)).as("n_item"))
+            val praw = ba.filter(col("__bk").isNotNull)
+              .select(explode(col("__is")).as("item_a"), col("__is"))
+              .select(col("item_a"),
+                explode(filter(col("__is"), x => x =!= col("item_a"))).as("item_b"))
+            val pairs = (if (repart > 0) praw.repartition(repart, col("item_a"), col("item_b")) else praw)
+              .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+              .filter(col("n_ab") >= 2)
+            pairs
+              .join(itemCounts.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+              .join(itemCounts.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+              .crossJoin(broadcast(nBaskets))
+              .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+                (col("n_ab").cast("double") / col("__n").cast("double")).as("support"),
+                (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+                ((col("n_ab") * col("__n")).cast("double") /
+                  (col("n_a") * col("n_b")).cast("double")).as("lift"))
+              .orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(50)
+          }
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            val ti = System.nanoTime()
+            out = (variant match {
+              case "join"    => cell(joinPairs)
+              case "coll"    => cell(collPairs)
+              case "one"     => cell2(checkpoint = true, repart = 256)
+              case "onenock" => cell2(checkpoint = false, repart = 256)
+              case "onenorp" => cell2(checkpoint = false, repart = 0)
+              case "onenoaqe" =>
+                // count inside the arm: AQE flag is read when the
+                // QueryExecution is created, i.e. at action time
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                try { val c = cell2(checkpoint = false, repart = 0).count()
+                  spark.range(c).filter(lit(false)) }
+                finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+            }).count()
+            println(f"  assocfull:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
+          }
+          out
+        case Array("assocplan", reps) =>
+          // split driver planning (analyze+optimize+physical) from
+          // execution for the single-query assoc cell
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            val li = Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+            val ba = li.groupBy("__bk").agg(collect_set(col("__it")).as("__is"))
+            val nBaskets = ba.agg(count(col("__bk")).as("__n"))
+            val itemCounts = ba.select(explode(col("__is")).as("item"))
+              .groupBy("item").agg(count(lit(1)).as("n_item"))
+            val pairs = ba.filter(col("__bk").isNotNull)
+              .select(explode(col("__is")).as("item_a"), col("__is"))
+              .select(col("item_a"),
+                explode(filter(col("__is"), x => x =!= col("item_a"))).as("item_b"))
+              .repartition(256, col("item_a"), col("item_b"))
+              .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+              .filter(col("n_ab") >= 2)
+            val fin = pairs
+              .join(itemCounts.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+              .join(itemCounts.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+              .crossJoin(broadcast(nBaskets))
+              .select(col("item_a"), col("item_b"), col("n_ab"),
+                (col("n_ab").cast("double") / col("__n").cast("double")).as("support"))
+              .orderBy(col("support").desc, col("item_a"), col("item_b")).limit(50)
+            val tp0 = System.nanoTime()
+            val _ = fin.queryExecution.executedPlan
+            val tPlan = (System.nanoTime() - tp0) / 1e9
+            val te0 = System.nanoTime()
+            out = fin.count()
+            val tExec = (System.nanoTime() - te0) / 1e9
+            println(f"  assocplan rep=$r plan=$tPlan%.2f exec=$tExec%.2f")
+          }
+          out
+        case Array("assocprof", reps) =>
+          // stage-level decomposition of the a_assoc cell
+          def t[A](tag: String)(f: => A): A = {
+            val ti = System.nanoTime(); val a = f
+            println(f"  assocprof $tag t=${(System.nanoTime() - ti) / 1e9}%.2f"); a
+          }
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            println(s"  --- rep $r")
+            val li = Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey").as("__bk"), col("l_partkey").as("__it"))
+            t("scan")(li.count())
+            val ba = li.groupBy("__bk").agg(collect_set(col("__it")).as("__is"))
+              .localCheckpoint()
+            t("ba_build")(ba.count())
+            val nB = t("nbaskets")(ba.agg(count(col("__bk"))).collect()(0).getLong(0))
+            val ic = ba.select(explode(col("__is")).as("item"))
+              .groupBy("item").agg(count(lit(1)).as("n_item")).localCheckpoint()
+            t("itemcounts")(ic.count())
+            val praw = ba.filter(col("__bk").isNotNull)
+              .select(explode(col("__is")).as("item_a"), col("__is"))
+              .select(col("item_a"),
+                explode(filter(col("__is"), x => x =!= col("item_a"))).as("item_b"))
+            t("pairgen_only")(praw.count())
+            val pairs = praw.repartition(256, col("item_a"), col("item_b"))
+              .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+              .filter(col("n_ab") >= 2).localCheckpoint()
+            t("pair_agg")(pairs.count())
+            val fin = pairs
+              .join(ic.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+              .join(ic.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+              .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+                (col("n_ab").cast("double") / lit(nB).cast("double")).as("support"),
+                (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+                ((col("n_ab") * lit(nB)).cast("double") /
+                  (col("n_a") * col("n_b")).cast("double")).as("lift"))
+              .orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(50)
+            out = t("tail")(fin.count())
+          }
+          out
         case Array("q", name) =>
           // run one SparkEntry query under whatever confs were set by
           // earlier lpconf specs — the conf-sensitivity A/B harness

@@ -540,21 +540,52 @@ object Relational {
     * float.
     *
     * Scale shape: basket dedup + item counts are combinable groupBys;
-    * the pair build is the within-basket self-equi-join whose volume
-    * the basket-size distribution bounds (Σ k_i² — the d_jaccard
-    * inverted-index arithmetic); item totals join back by single-key
+    * pair volume is bounded by the basket-size distribution (Σ k_i² —
+    * the d_jaccard inverted-index arithmetic) and generated IN-ROW
+    * from each basket's collected item set (two pipelined explodes —
+    * one groupBy(basket) shuffle instead of a within-basket self-join
+    * SMJ that shuffles the row set twice). The pair keys are
+    * near-unique (most co-bought pairs occur in few baskets), so the
+    * pair count pre-repartitions on the pair key and aggregates
+    * COMPLETE in-stage — a partial aggregate over near-unique keys
+    * does full hash-map work for ~zero reduction and overflows into
+    * the sort-based fallback (the g_linkpred r9 root cause,
+    * `GraphOps.linkPrediction`). Item totals join back by single-key
     * equi-joins against the item-count table (vocab-sized). No
-    * all-pairs across baskets, nothing collected. */
+    * all-pairs across baskets, nothing collected to the driver. */
   def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 2L): DataFrame = {
-    val b = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct()
-      .localCheckpoint(false) // reused: total, item counts, both pair sides
-    val nBaskets = b.agg(countDistinct(col("__bk")).as("__n"))
-    val itemCounts = b.groupBy(col("__it").as("item")).agg(count(lit(1)).as("n_item"))
-    val pairs = b.select(col("__bk"), col("__it").as("item_a"))
-      .join(b.select(col("__bk"), col("__it").as("item_b")), Seq("__bk"))
-      .filter(col("item_a") =!= col("item_b"))
+    // ONE shuffle builds the per-basket item SET (collect_set dedupes
+    // in-agg, so no separate distinct pass), and basket total / item
+    // counts / pair-gen all hang off it — AQE exchange reuse shuffles
+    // the raw rows once for all three consumers. Semantics parity with
+    // the former distinct() form: groupBy treats NULL baskets as one
+    // group exactly as DISTINCT does; count(col) skips it exactly as
+    // countDistinct did; collect_set drops NULL items exactly as the
+    // item_a =!= item_b pair filter did (and NULL item-count groups
+    // never survived the equi-join back anyway).
+    val ba = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .groupBy("__bk").agg(collect_set(col("__it")).as("__is"))
+    val nBaskets = ba.agg(count(col("__bk")).as("__n"))
+    val itemCounts = ba.select(explode(col("__is")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    // explicit partition count = the session's AQE initialPartitionNum
+    // (scales with the cluster; stops AQE coalescing the exchange into
+    // advisory-size partitions whose per-task maps would hold millions
+    // of near-unique keys — measured 1.5-2× slower on g_linkpred)
+    val aggParts = baskets.sparkSession.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .map(_.toInt)
+      .getOrElse(baskets.sparkSession.sessionState.conf.numShufflePartitions)
+    // NULL baskets form no pairs (the old self-join's equi-key
+    // semantics). Double explode streams the k² directed pairs through
+    // pipelined generators without materializing a k²-sized array per
+    // basket; per-row memory stays O(basket), the collect_set contract.
+    val pairs = ba.filter(col("__bk").isNotNull)
+      .select(explode(col("__is")).as("item_a"), col("__is"))
+      .select(col("item_a"),
+        explode(filter(col("__is"), x => x =!= col("item_a"))).as("item_b"))
+      .repartition(aggParts, col("item_a"), col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
     pairs
