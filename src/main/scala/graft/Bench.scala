@@ -27,6 +27,12 @@ object Bench {
     }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
+      // snapshot the RDDs persisted BEFORE the query so the post-query
+      // sweep drops only what this query created: a blanket unpersist
+      // would also drop localCheckpoint blocks of any frame retained
+      // across queries — a checkpointed frame has truncated lineage, so
+      // a later use would fail with block-not-found, not recompute
+      val preIds = spark.sparkContext.getPersistentRDDs.keySet
       val n = try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"BENCHFAIL $name: $e"); -1L
       }
@@ -39,7 +45,9 @@ object Bench {
       // the ContextCleaner's GC-driven sweep catches up, and hundreds of
       // queries × passes of them squeeze the storage pool mid-suite
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preIds.contains(id)) rdd.unpersist(false)
+      }
       dt
     }
     // n passes (default 3, SPARK_GRAFT_BENCH_RUNS): this VM sees bursty

@@ -521,6 +521,133 @@ object DevSpot {
             out = t("tail")(fin.count())
           }
           out
+        case Array("mult") =>
+          // r9 verdict #2: key-multiplicity census of every pair-keyed
+          // aggregation — mean multiplicity = rows_in / distinct keys;
+          // below ~2 the partial aggregate does full hash-map work for
+          // ~zero reduction (the linkpred/a_assoc pathology)
+          import graft.dedup.Dedup
+          def census(tag: String, rowsIn: => Long, keys: => Long): Unit = {
+            val r = rowsIn; val k = keys
+            println(f"  MULT $tag rows_in=$r keys=$k mult=${r.toDouble / k}%.2f")
+          }
+          val docs = Tables.documents(spark, sfDir)
+          val dt = Dedup.docTokens(docs, "doc_id", "text", Seq("lang", "source"), 1)
+            .localCheckpoint()
+          val jk = Seq("tok", "lang", "source").map(k => col(s"a.$k") === col(s"b.$k"))
+            .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+          def jj = dt.as("a").join(dt.as("b"), jk)
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          census("djaccard_pairagg", jj.count(),
+            jj.distinct().count())
+          census("tok_df", dt.count(),
+            dt.select("tok", "lang", "source").distinct().count())
+          val st = Dedup.docTokens(docs, "source", "text", Nil, 3).localCheckpoint()
+          def sj = st.as("a").join(st.as("b"), col("a.tok") === col("b.tok")
+              && col("a.source") < col("b.source"))
+            .select(col("a.source").as("sa"), col("b.source").as("sb"))
+          census("contam_matrix_pairagg", sj.count(), sj.distinct().count())
+          census("novelty_first", st.count(), st.select("tok").distinct().count())
+          val ev = Tables.events(spark, sfDir)
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+            .withColumn("w_start", expr("cast(p_ts as timestamp) - INTERVAL 24 HOURS"))
+          val rj = graft.ops.Relational.rangeJoin(clicks, purchases, "user_id",
+            "ts", "w_start", "p_ts", bucketSeconds = 86400).localCheckpoint()
+          census("w10_touches_per_purchase", rj.count(),
+            rj.select("p_id").distinct().count())
+          0L
+        case Array("princb", m) =>
+          // bucketed-registry append probe: bootstrap, compact into the
+          // bucketed relayout, then run the same two appends as `princ`
+          // THROUGH the GraphBase — the deployment steady state
+          val li = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+          val root = java.nio.file.Files.createTempDirectory("princb").toString
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(new java.io.File(root))
+          }
+          val step0 = graft.streaming.StreamingGraph.batchStep(
+            spark, s"$root/e", s"$root/s", "src", "dst", 3) _
+          val tb0 = System.nanoTime()
+          step0(li, 0L)
+          val tBoot = (System.nanoTime() - tb0) / 1e9
+          val tc0 = System.nanoTime()
+          val base = graft.streaming.StreamingGraph.compactRegistryBucketed(
+            spark, s"$root/e", s"$root/s", 3, upToBatchId = 1L,
+            tablePath = s"$root/t", tablePrefix = "princb", buckets = 32)
+          val tCmp = (System.nanoTime() - tc0) / 1e9
+          val stepB = graft.streaming.StreamingGraph.batchStep(
+            spark, s"$root/e", s"$root/s", "src", "dst", 3,
+            base = Some(base)) _
+          val append = li.limit(m.toInt * 7)
+            .select((col("src") + 10000000000L).as("src"), col("dst"))
+          val ta0 = System.nanoTime()
+          stepB(append, 1L)
+          val tApp = (System.nanoTime() - ta0) / 1e9
+          val append2 = li.limit(m.toInt * 7)
+            .select((col("src") + 20000000000L).as("src"), col("dst"))
+          val tb1 = System.nanoTime()
+          stepB(append2, 2L)
+          val tApp2 = (System.nanoTime() - tb1) / 1e9
+          val tf0 = System.nanoTime()
+          val full = graft.graph.GraphOps.pageRank(
+            li.union(append).union(append2), "src", "dst", 3).count()
+          val tFull = (System.nanoTime() - tf0) / 1e9
+          println(f"SPOTX princb:$m boot=$tBoot%.2f compact=$tCmp%.2f " +
+            f"append=$tApp%.2f append2=$tApp2%.2f fullRerun=$tFull%.2f nodes=$full")
+          graft.streaming.StreamingGraph.readScores(spark, s"$root/s", 3).count()
+        case Array("q21k", variant, reps) =>
+          // q21 exchange-sharing A/B: two stacked aggregates as shipped
+          // (exchange per grain) vs ONE repartition(l_orderkey) feeding
+          // perSupp, perOrder, and the join (hash(ok) satisfies the
+          // (ok, sk) clustering, so no further exchange is required)
+          def shipped = Tables.lineitem(spark, sfDir)
+            .withColumn("l_commitdate", expr("timestampadd(DAY, " +
+              "cast((l_orderkey * 31 + l_linenumber * 7) % 61 - 30 as int), l_shipdate)"))
+            .withColumn("l_receiptdate", expr("timestampadd(DAY, " +
+              "cast((l_orderkey * 17 + l_linenumber * 11) % 30 + 1 as int), l_shipdate)"))
+            .select(col("l_orderkey"), col("l_suppkey"),
+              (col("l_receiptdate") > col("l_commitdate")).as("__late"))
+          def cell(lines: org.apache.spark.sql.DataFrame) = {
+            val perSupp = lines
+              .groupBy("l_orderkey", "l_suppkey")
+              .agg(sum(when(col("__late"), 1L).otherwise(0L)).as("n_late_lines"))
+            val perOrder = perSupp.groupBy("l_orderkey")
+              .agg(count(lit(1)).as("n_supp"),
+                sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+            val natSupp = Tables.supplier(spark, sfDir)
+              .join(broadcast(Tables.nation(spark, sfDir)
+                  .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+                col("s_nationkey") === col("n_nationkey"))
+              .select("s_suppkey", "s_name")
+            perSupp.filter(col("n_late_lines") > 0)
+              .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+                Seq("l_orderkey"))
+              .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+                  .select("o_orderkey"),
+                col("l_orderkey") === col("o_orderkey"), "left_semi")
+              .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(sum("n_late_lines").as("numwait"))
+              .orderBy(col("numwait").desc, col("s_name")).limit(100)
+          }
+          var out = 0L
+          (1 to reps.toInt).foreach { r =>
+            val ti = System.nanoTime()
+            out = (variant match {
+              case "two" => cell(shipped)
+              case "one" => cell(shipped.repartition(col("l_orderkey")))
+              case "one256" => cell(shipped.repartition(256, col("l_orderkey")))
+            }).count()
+            println(f"  q21k:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
+          }
+          out
         case Array("q", name) =>
           // run one SparkEntry query under whatever confs were set by
           // earlier lpconf specs — the conf-sensitivity A/B harness

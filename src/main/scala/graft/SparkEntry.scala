@@ -52,6 +52,25 @@ object SparkEntry {
 
   /** The reference's `element` tree (site → unit) modeled from
     * region (level 0, roots) ∪ nation (level 1, element_id offset +100). */
+  /** One shared parent for the incremental-query temp registries
+    * (g_pagerank_inc, g_cc_inc) with ONE process-wide shutdown hook —
+    * repeated invocations in a long-lived session (bench passes, verify
+    * loops) each get a fresh subdirectory but never accumulate hooks,
+    * and the whole tree is swept once at JVM exit. */
+  private lazy val tmpRegistryRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_reg")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+    root
+  }
+
+  private def freshRegistryDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tmpRegistryRoot, prefix).toString
+
   private def elementDim(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(s, dir).select(
       lit(0).as("level"), col("r_regionkey").as("element_id"),
@@ -193,7 +212,14 @@ object SparkEntry {
     * pattern — so the derivation is SF-independent), with availqty and
     * supplycost from the same hash-formula family as
     * [[lineitemShipping]], IDENTICAL in the DuckDB twin. Unlocks
-    * TPC-H Q2/Q11/Q20 — with Q4/Q12/Q21 this completes all 22 shapes. */
+    * TPC-H Q2/Q11/Q20 — with Q4/Q12/Q21 this completes all 22 shapes.
+    *
+    * `% __ns` lands on live keys because THIS fixture's s_suppkey is
+    * 0-based and contiguous ([0, count) at every SF — checked against
+    * the generated parquet). On a 1-based catalog (the classic TPC-H
+    * convention) the formula would need `% __ns + 1` in BOTH engines;
+    * oracle parity is unaffected either way since the twin uses the
+    * identical expression. */
   private def partsupp(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(col("p_partkey"))
       .crossJoin(broadcast(Tables.supplier(s, d).agg(count(lit(1)).as("__ns"))))
@@ -2377,15 +2403,9 @@ object SparkEntry {
     // whole graph.
     "g_pagerank_inc" -> ((s, d) => {
       // fresh registry per invocation (a reused dir would leak earlier
-      // invocations' later batches into batch 0's registry read), swept
-      // on JVM exit so repeated bench/verify runs don't accumulate tmp
-      val root = java.nio.file.Files.createTempDirectory("gprinc").toString
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(root))
-      }
+      // invocations' later batches into batch 0's registry read), under
+      // the shared single-hook temp root
+      val root = freshRegistryDir("gprinc")
       val step = graft.streaming.StreamingGraph.batchStep(s, s"$root/e",
         s"$root/s", "src", "dst", 2) _
       val sup = Tables.supplier(s, d).select(
@@ -2397,6 +2417,27 @@ object SparkEntry {
       step(sup.filter(col("src") % 3 === 2), 2L)
       graft.streaming.StreamingGraph.readScores(s, s"$root/s", 2)
         .select("id", "outdeg", "score").orderBy("id")
+    }),
+
+    // Incremental-maintenance face of connected components: the same
+    // three appends through the StreamingCc registry, then the
+    // maintained (id, cluster) state. The oracle twin is the recursive
+    // reachability CTE on the union (d_cluster's twin shape), so the
+    // driver gate itself verifies incremental ≡ batch — each append
+    // merges touched components on the label-level graph and relabels
+    // only the losing components' members.
+    "g_cc_inc" -> ((s, d) => {
+      val root = freshRegistryDir("gccinc")
+      val step = graft.streaming.StreamingCc.batchStep(s, s"$root/e",
+        s"$root/l", "src", "dst") _
+      val sup = Tables.supplier(s, d).select(
+        (col("s_suppkey") + 1000L).as("src"), col("s_nationkey").as("dst"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey").as("src"),
+        (col("n_regionkey") + 100L).as("dst"))
+      step(sup.filter(col("src") % 3 === 0).union(nat), 0L)
+      step(sup.filter(col("src") % 3 === 1), 1L)
+      step(sup.filter(col("src") % 3 === 2), 2L)
+      graft.streaming.StreamingCc.readLabels(s, s"$root/l").orderBy("id")
     }),
 
     // Market-basket association rules over order baskets: directed part
@@ -5530,6 +5571,20 @@ object SparkEntry {
         "SELECT s_suppkey + 1000 AS src, s_nationkey AS dst FROM supplier " +
           "UNION ALL SELECT n_nationkey, n_regionkey + 100 FROM nation",
         iters = 2)}) ORDER BY id"),
+
+    // recursive reachability on the appended union (the d_cluster twin
+    // shape) — the incremental ≡ batch contract checked by the gate
+    "g_cc_inc" ->
+      ("WITH RECURSIVE __e AS (" +
+        "SELECT s_suppkey + 1000 AS src, s_nationkey AS dst FROM supplier " +
+        "UNION ALL SELECT n_nationkey, n_regionkey + 100 FROM nation), " +
+        "__sym AS (SELECT src, dst FROM __e UNION ALL SELECT dst, src FROM __e), " +
+        "__nodes AS (SELECT DISTINCT src AS id FROM __sym), " +
+        "__reach(src, dst) AS (" +
+        "SELECT id, id FROM __nodes " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
+        "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
 
     "a_assoc" ->
       (s"SELECT * FROM (${Relational.associationRulesSql(

@@ -65,6 +65,10 @@ object RegistryMaintenance {
     * `StreamingGraph.batchStep`. */
   final case class PageRankState(edgesDir: String, scoresDir: String,
       iters: Int) extends RegistrySpec
+  /** Incremental connected-components state (pair log + per-node label
+    * registry) — `StreamingCc.batchStep`. */
+  final case class CcState(edgesDir: String, labelsDir: String)
+    extends RegistrySpec
 
   /** Compact every listed registry up to the shared frontier. Skips
     * dirs with nothing to fold; safe to run on any cadence.
@@ -99,6 +103,9 @@ object RegistryMaintenance {
         if (hasPartitions(spark, edgesDir) && hasPartitions(spark, scoresDir))
           StreamingGraph.compactRegistry(spark, edgesDir, scoresDir, iters,
             upToBatchId)
+      case CcState(edgesDir, labelsDir) =>
+        if (hasPartitions(spark, edgesDir) && hasPartitions(spark, labelsDir))
+          StreamingCc.compactRegistry(spark, edgesDir, labelsDir, upToBatchId)
     }
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, HPath) = {

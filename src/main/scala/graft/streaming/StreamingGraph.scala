@@ -59,6 +59,18 @@ object StreamingGraph {
 
   private def scoreCols(iters: Int): Seq[String] = (1 to iters).map(i => s"s$i")
 
+  /** The bucketed deployment relayout of a compacted registry pair
+    * ([[compactRegistryBucketed]]): the edge base as TWO bucketed+sorted
+    * tables (one per probe direction) and the score base bucketed by id.
+    * Passing it to [[batchStep]] redirects the append path's log/registry
+    * PROBES to these tables — the batch-partition dirs stay the source
+    * of truth for writes, replay, and [[readScores]]; the tables are a
+    * read-optimized copy of the `batch_id=-1` base, so probes prune
+    * bucket files and sorted row groups instead of re-scanning the full
+    * log once per probe (the measured ~4-scan append floor). */
+  final case class GraphBase(edgesSrc: DataFrame, edgesDst: DataFrame,
+      scores: DataFrame, iters: Int)
+
   /** All batches of the edge log ((src, dst, batch_id); empty frame with
     * the right columns when nothing has been written yet). */
   def readEdges(spark: SparkSession, dir: String): DataFrame = {
@@ -105,9 +117,12 @@ object StreamingGraph {
     * and overwrite this batch's edge + score partitions. */
   def batchStep(spark: SparkSession, edgesDir: String, scoresDir: String,
       srcCol: String, dstCol: String, iters: Int,
-      broadcastAffected: Boolean = true)(
+      broadcastAffected: Boolean = true, base: Option[GraphBase] = None,
+      probeLiteralCap: Int = 100000)(
       batch: DataFrame, batchId: Long): Unit = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    base.foreach(gb => require(gb.iters == iters,
+      s"GraphBase was compacted at iters=${gb.iters}, batchStep got $iters"))
     // broadcastAffected: ship the (append-sized) frontier/affected/work
     // id sets into every probe of the edge log and score registry
     // instead of shuffling those tables — right whenever appends disturb
@@ -116,22 +131,45 @@ object StreamingGraph {
     // closure hop). Set false only for appends that rewire most of the
     // graph — at which point a batch rerun is the better tool anyway.
     def hint(df: DataFrame): DataFrame = if (broadcastAffected) broadcast(df) else df
+    // slice(log, key, ids): the log rows whose key ∈ ids — pushed
+    // In-filter (prunes the [[GraphBase]] bucket files / sorted row
+    // groups) below `probeLiteralCap`, semi join above (see
+    // [[ProbeSlice]])
+    def slice(log: DataFrame, keyCol: String, ids: DataFrame): DataFrame =
+      ProbeSlice(log, keyCol, ids, probeLiteralCap, broadcastAffected)
     val sc = scoreCols(iters)
-    val prevEdges = readEdges(spark, edgesDir)
-      .filter(col("batch_id") =!= batchId).select("src", "dst")
-    val prevRaw = readScoresRaw(spark, scoresDir, iters)
-      .filter(col("batch_id") =!= batchId)
+    // with a bucketed base the `batch_id=-1` parquet base is EXCLUDED
+    // from probe reads (the tables are its read-optimized copy); live
+    // post-compaction partitions stack on top in both probe directions
+    val livePrev = readEdges(spark, edgesDir).filter(col("batch_id") =!= batchId)
+    val (prevEdgesSrc, prevEdgesDst) = base match {
+      case Some(gb) =>
+        val live = livePrev.filter(col("batch_id") >= 0).select("src", "dst")
+        (gb.edgesSrc.select("src", "dst").union(live),
+          gb.edgesDst.select("src", "dst").union(live))
+      case None =>
+        val all = livePrev.select("src", "dst")
+        (all, all)
+    }
+    val prevRaw = base match {
+      case Some(gb) =>
+        val payload = Seq("id", "outdeg") ++ sc
+        gb.scores.select(payload.map(col): _*).withColumn("batch_id", lit(-1L))
+          .unionByName(readScoresRaw(spark, scoresDir, iters)
+            .filter(col("batch_id") >= 0 && col("batch_id") =!= batchId))
+      case None =>
+        readScoresRaw(spark, scoresDir, iters).filter(col("batch_id") =!= batchId)
+    }
     // dedupe against the log WITHOUT shuffling it: slice the log to the
-    // batch's own src keys first (broadcast semi — a scan, not an
-    // exchange), then anti-join small-vs-small; equivalent because an
-    // anti match must share the src key
+    // batch's own src keys first (pushed filter or broadcast semi — a
+    // pruned scan, not an exchange), then anti-join small-vs-small;
+    // equivalent because an anti match must share the src key
     val cand = batch
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    val logSlice = prevEdges
-      .join(hint(cand.select("src").distinct()), Seq("src"), "left_semi")
+    val logSlice = slice(prevEdgesSrc, "src", cand.select("src").distinct())
     val newE = cand.join(logSlice, Seq("src", "dst"), "left_anti")
       .localCheckpoint(true)
     newE.write.mode("overwrite").parquet(s"$edgesDir/batch_id=$batchId")
@@ -155,19 +193,21 @@ object StreamingGraph {
     // NOT checkpointed: each use re-scans the parquet log + the small
     // checkpointed newE — at scale a (bucketed) log re-read beats
     // caching the full edge set
-    val allE = prevEdges.union(newE)
+    val allESrc = prevEdgesSrc.union(newE)
+    val allEDst = prevEdgesDst.union(newE)
     // seeds: sources whose outdeg changed + brand-new nodes (no registry
     // row yet — includes tail-only nodes the closure would miss)
     val dOut = newE.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
       .localCheckpoint(true)
     // new-node probe: slice the registry's id column to the batch's
-    // nodes (broadcast semi — scan, not shuffle), then anti-join
-    // small-vs-small; raw duplicates don't change anti semantics
+    // nodes (pushed filter or broadcast semi — scan, not shuffle), then
+    // anti-join small-vs-small; raw duplicates don't change anti
+    // semantics
     val nodeCand = newE.select(col("src").as("id"))
       .union(newE.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     val newNodes = nodeCand.join(
-      prevRaw.select("id").join(hint(nodeCand), Seq("id"), "left_semi"),
+      slice(prevRaw.select("id"), "id", nodeCand),
       Seq("id"), "left_anti")
     // affected = K-hop out-closure of the seeds ∪ new nodes: a superset
     // of every node whose fixed-iteration score can move
@@ -177,7 +217,7 @@ object StreamingGraph {
     var hop = 0
     var drained = false
     while (hop < iters && !drained) {
-      frontier = allE.join(hint(frontier.select(col("id").as("src"))), Seq("src"))
+      frontier = slice(allESrc, "src", frontier)
         .select(col("dst").as("id")).distinct().localCheckpoint(true)
       // an empty frontier has converged — every remaining hop would
       // re-scan the log to produce nothing (a DAG shallower than K
@@ -190,15 +230,16 @@ object StreamingGraph {
     affected = affected.localCheckpoint(true)
     // recompute working set: affected nodes + their in-neighbors (whose
     // stored per-round scores feed the supersteps); eA = the in-edge
-    // slice of the log that lands on an affected node
-    val eA = allE.join(hint(affected.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+    // slice of the log that lands on an affected node — the probe the
+    // dst-bucketed base exists for
+    val eA = slice(allEDst, "dst", affected)
       .localCheckpoint(true)
     val workIds = affected.union(eA.select(col("src").as("id"))).distinct()
       .localCheckpoint(true)
     // latest registry rows ONLY for the work-set slice — the full
     // registry is never aggregated on the append path
     val prevScores = latestPerId(
-      prevRaw.join(hint(workIds), Seq("id"), "left_semi"), iters)
+      slice(prevRaw, "id", workIds), iters)
     val work = workIds
       .join(prevScores, Seq("id"), "left")
       .join(dOut, Seq("id"), "left")
@@ -290,6 +331,37 @@ object StreamingGraph {
       .select("src", "dst").distinct()
       .write.mode("overwrite").parquet(RegistryFs.staging(ePath).toString)
     RegistryFs.swapBase(eFs, ePath, upToBatchId)
+  }
+
+  /** [[compactRegistry]] plus the DEPLOYMENT relayout: after the
+    * in-place fold, materialize the edge base as two bucketed+sorted
+    * tables (by src for the dedup/frontier probes, by dst for the
+    * in-edge probe) and the score base bucketed by id — then pass the
+    * returned [[GraphBase]] to [[batchStep]] so appends probe pruned
+    * bucket files / sorted row groups instead of re-scanning the full
+    * log ~4× (the measured append floor; the same maintenance shape as
+    * `StreamingDedup.compactSubstringRegistry`). The `batch_id=*` dirs
+    * remain the write path and source of truth; the tables are
+    * read-optimized copies of the installed `batch_id=-1` base and are
+    * rebuilt on each maintenance sweep. */
+  def compactRegistryBucketed(spark: SparkSession, edgesDir: String,
+      scoresDir: String, iters: Int, upToBatchId: Long,
+      tablePath: String, tablePrefix: String, buckets: Int = 32): GraphBase = {
+    compactRegistry(spark, edgesDir, scoresDir, iters, upToBatchId)
+    // relayout FROM the installed base, so the tables are byte-derived
+    // from exactly the state the batch partitions fold to
+    val eBase = readEdges(spark, edgesDir)
+      .filter(col("batch_id") === -1L).select("src", "dst")
+    val sBase = readScoresRaw(spark, scoresDir, iters)
+      .filter(col("batch_id") === -1L)
+      .select(("id" +: "outdeg" +: scoreCols(iters)).map(col): _*)
+    val eSrc = graft.ops.Relational.materializeBucketed(
+      eBase, s"$tablePath/edges_src", s"${tablePrefix}_edges_src", "src", buckets)
+    val eDst = graft.ops.Relational.materializeBucketed(
+      eBase, s"$tablePath/edges_dst", s"${tablePrefix}_edges_dst", "dst", buckets)
+    val sId = graft.ops.Relational.materializeBucketed(
+      sBase, s"$tablePath/scores_id", s"${tablePrefix}_scores_id", "id", buckets)
+    GraphBase(eSrc, eDst, sId, iters)
   }
 
   /** Continuous form: foreachBatch over the two registries. */

@@ -581,10 +581,11 @@ object TextOps {
     * whose acceptance rule (and its soundness argument — the 4×
     * interferer margin and the self-pair batch stop) is documented and
     * unit-fuzzed there. Accepted merges are pairwise symbol-disjoint,
-    * so the fold rewrites commute and compose in ONE projection. Worst
-    * case (adversarial ties) a superstep still learns 1 merge — never
-    * slower than sequential by more than the horizon collect
-    * (catalog-sized: 4·batch+64 rows). */
+    * so the fold rewrites commute and compose in ONE projection. The
+    * superstep BUDGET adapts (see the loop comment): it starts at the
+    * sequential shape and widens only while supersteps consume it, so
+    * `batch` is a ceiling and the worst case (adversarial ties, early
+    * zipf rounds) pays sequential cost, not a wide horizon collect. */
   private def bpeLoop(df: org.apache.spark.sql.DataFrame, textCol: String,
       rounds: Int, batch: Int = 1): (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     require(rounds >= 1 && rounds <= 4096, s"rounds must be in [1,4096], got $rounds")
@@ -602,10 +603,21 @@ object TextOps {
         "array_join(transform(sequence(1, length(__w)), i -> substring(__w, i, 1)), ' ')")
         .as("__s"))
       .localCheckpoint(false)
-    val horizon = if (batch == 1) 1 else math.max(batch * 4, 64)
+    // ADAPTIVE superstep budget: `batch` is the ceiling, but the loop
+    // starts at 1 and widens only while supersteps actually consume
+    // their budget. A SOUND acceptance rule cannot batch early zipf
+    // rounds (adjacent counts are too close for any margin), so a fixed
+    // wide budget pays the horizon collect for nothing — measured 19.0 s
+    // vs 15.8 s sequential at K=64 on the 100× corpus (BENCH_SCALE.md).
+    // Fully-consumed budget → double (deep rounds spread out and batch
+    // well); partial → shrink to what cleared the margin. At effBatch=1
+    // the loop IS the sequential shape (2-row collect), so batched is
+    // never slower than sequential at any K beyond one superstep's lag.
+    var effBatch = 1
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     while (merges.size < rounds && !exhausted) {
+      val horizon = if (effBatch == 1) 1 else math.max(effBatch * 4, 64)
       val top = cur
         .select(col("__f"), split(col("__s"), " ").as("__sy"))
         .filter(size(col("__sy")) >= 2) // Spark sequence(1, 0) DESCENDS — guard, don't clamp
@@ -622,8 +634,8 @@ object TextOps {
         val cutoff = if (top.length > horizon) top(horizon).getLong(2) else -1L
         val cand = top.take(horizon)
           .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
-        val accepted = selectBatch(cand, cutoff,
-          math.min(batch, rounds - merges.size))
+        val want = math.min(effBatch, rounds - merges.size)
+        val accepted = selectBatch(cand, cutoff, want)
         accepted.foreach { case (l, r, c) =>
           merges += ((merges.size + 1, l, r, l + r, c))
         }
@@ -632,6 +644,9 @@ object TextOps {
         }
         cur = cur.select(col("__f"), rewritten.as("__s"))
           .localCheckpoint(false)
+        effBatch =
+          if (accepted.size >= want && want == effBatch) math.min(batch, effBatch * 2)
+          else math.max(1, accepted.size)
       }
     }
     (merges.toSeq, cur)
@@ -728,8 +743,16 @@ object TextOps {
        |FROM __s$rounds""".stripMargin
 
   /** The vocab + per-round (pair-count → argmax → fold-rewrite) CTE
-    * chain shared by [[bpeTrainSql]] and [[bpeSegmentStatsSql]]. */
+    * chain shared by [[bpeTrainSql]] and [[bpeSegmentStatsSql]].
+    *
+    * Bounded independently of the trainer's 4096-round ceiling: each
+    * round unrolls a CTE TRIO into one statement, so a deep-training
+    * depth passed here would emit a multi-thousand-CTE string the
+    * oracle engine may fail to plan. The twin exists only for
+    * gate-sized depths (the pipe_bpe_* oracles run ≤ 6 rounds). */
   private def bpeChainSql(table: String, text: String, rounds: Int): String = {
+    require(rounds >= 1 && rounds <= 16,
+      s"bpe oracle twin unrolls 3 CTEs per round; keep rounds in [1,16] (got $rounds)")
     val fold = "list_reduce(list_prepend('', string_split(s, ' ')), (acc, x) -> " +
       "CASE WHEN (acc = b.l OR right(acc, length(b.l) + 1) = (' ' || b.l)) AND x = b.r " +
       "THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r " +

@@ -12,6 +12,9 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match GraftSession: registry-relayout probes rely on bucket
+      // pruning, which the auto-disable rule strips from filter-only scans
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -117,4 +117,50 @@ class StreamingGraphSpec extends SparkSpec {
       scoresOf(GraphOps.pageRank(edgeDf(batches.flatten ++ extra),
         "src", "dst", Iters)))
   }
+
+  test("bucketed relayout: appends probe the tables exchange-free/pruned, " +
+      "exact parity in both probe modes, replay-stable") {
+    val root = Files.createTempDirectory("graft_pr_bkt").toString
+    val (eDir, sDir) = (s"$root/edges", s"$root/scores")
+    val step0 = StreamingGraph.batchStep(spark, eDir, sDir, "src", "dst", Iters) _
+    for (b <- 0 to 1) step0(edgeDf(batches(b)), b.toLong)
+
+    val base = StreamingGraph.compactRegistryBucketed(spark, eDir, sDir,
+      Iters, upToBatchId = 2L, tablePath = s"$root/tables",
+      tablePrefix = "t_pr_bkt", buckets = 4)
+
+    // the in-edge probe (the dst-direction slice batchStep issues) over
+    // the bucketed table with an append-sized key set: a pushed In
+    // filter on a bare scan — NO exchange, NO join
+    val probe = base.edgesDst.filter(col("dst").isInCollection(Seq(1L, 2L, 4L)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"in-edge probe shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"in-edge probe joined:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(dst"),
+      s"dst In-filter not pushed to the scan:\n$plan")
+    // bucket pruning: the scan reads fewer than all 4 bucket files
+    assert(plan.contains("SelectedBucketsCount"),
+      s"bucket pruning not applied:\n$plan")
+
+    // appends THROUGH the base reach exact batch parity (literal-probe
+    // mode) and replay identically
+    val stepB = StreamingGraph.batchStep(spark, eDir, sDir, "src", "dst",
+      Iters, base = Some(base)) _
+    stepB(edgeDf(batches(2)), 2L)
+    assert(scoresOf(StreamingGraph.readScores(spark, sDir, Iters)) ===
+      scoresOf(GraphOps.pageRank(edgeDf(batches.flatten), "src", "dst", Iters)))
+    val sBefore = rowSet(spark.read.option("basePath", sDir).parquet(sDir))
+    stepB(edgeDf(batches(2)), 2L)
+    assert(rowSet(spark.read.option("basePath", sDir).parquet(sDir)) === sBefore)
+
+    // semi-join fallback mode (probeLiteralCap = 0) over the same base:
+    // identical state
+    val stepSemi = StreamingGraph.batchStep(spark, eDir, sDir, "src", "dst",
+      Iters, base = Some(base), probeLiteralCap = 0) _
+    val extra = Seq((8L, 1L), (4L, 8L), (9L, 9L))
+    stepSemi(edgeDf(extra), 3L)
+    assert(scoresOf(StreamingGraph.readScores(spark, sDir, Iters)) ===
+      scoresOf(GraphOps.pageRank(edgeDf(batches.flatten ++ extra),
+        "src", "dst", Iters)))
+  }
 }
