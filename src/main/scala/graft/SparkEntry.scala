@@ -3420,9 +3420,15 @@ object SparkEntry {
     // the oracle twin keeps the textbook double-EXISTS form, so the
     // gate independently checks the decorrelation.
     "q21_waiting" -> ((s, d) => {
+      // ONE repartition(l_orderkey) feeds both stacked aggregates AND
+      // the perSupp ⋈ perOrder join: hash(ok) satisfies the (ok, sk)
+      // clustering, so neither groupBy nor the join needs a further
+      // exchange — A/B'd 1.3-1.4× over the exchange-per-grain form at
+      // sf0.1 and 100× (BENCH_SCALE round 10)
       val perSupp = lineitemShipping(s, d)
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_receiptdate") > col("l_commitdate")).as("__late"))
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(sum(when(col("__late"), 1L).otherwise(0L)).as("n_late_lines"))
       val perOrder = perSupp.groupBy("l_orderkey")
