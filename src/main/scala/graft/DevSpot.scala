@@ -648,6 +648,60 @@ object DevSpot {
             println(f"  q21k:$variant rep=$r t=${(System.nanoTime() - ti) / 1e9}%.2f")
           }
           out
+        case Array("ccinc", m, variant) =>
+          // incremental-CC scale probe: bootstrap the order→part
+          // bipartite graph as batch 0 (labels = min reachable id), then
+          // append m new orders (batch 1: new order nodes attach to
+          // existing parts — component merges via the label-level graph)
+          // and m more wired to LOW part ids (batch 2: forces relabels).
+          // variant: plain (dir probes) | bucketed (compacted relayout)
+          val li = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+          val root = java.nio.file.Files.createTempDirectory("ccinc").toString
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(new java.io.File(root))
+          }
+          val step0 = graft.streaming.StreamingCc.batchStep(
+            spark, s"$root/e", s"$root/l", "src", "dst") _
+          val tb0 = System.nanoTime()
+          step0(li, 0L)
+          val tBoot = (System.nanoTime() - tb0) / 1e9
+          var tCmp = 0.0
+          val step = variant match {
+            case "plain" => step0
+            case "bucketed" =>
+              val tc0 = System.nanoTime()
+              val base = graft.streaming.StreamingCc.compactRegistryBucketed(
+                spark, s"$root/e", s"$root/l", upToBatchId = 1L,
+                tablePath = s"$root/t", tablePrefix = "ccinc", buckets = 32)
+              tCmp = (System.nanoTime() - tc0) / 1e9
+              graft.streaming.StreamingCc.batchStep(
+                spark, s"$root/e", s"$root/l", "src", "dst",
+                base = Some(base)) _
+          }
+          val append = li.limit(m.toInt * 7)
+            .select((col("src") + 10000000000L).as("src"), col("dst"))
+          val ta0 = System.nanoTime()
+          step(append, 1L)
+          val tApp = (System.nanoTime() - ta0) / 1e9
+          val append2 = li.limit(m.toInt * 7)
+            .select((col("src") + 20000000000L).as("src"), (col("dst") % 50).as("dst"))
+          val tb1 = System.nanoTime()
+          step(append2, 2L)
+          val tApp2 = (System.nanoTime() - tb1) / 1e9
+          val unionE = li.union(append).union(append2)
+          val tf0 = System.nanoTime()
+          val full = graft.dedup.Dedup.clusters(
+            unionE.select(col("src").as("id"))
+              .union(unionE.select(col("dst").as("id"))).distinct(),
+            unionE, "id", aCol = "src", bCol = "dst").count()
+          val tFull = (System.nanoTime() - tf0) / 1e9
+          println(f"SPOTX ccinc:$m:$variant boot=$tBoot%.2f compact=$tCmp%.2f " +
+            f"append=$tApp%.2f append2=$tApp2%.2f fullRerun=$tFull%.2f nodes=$full")
+          graft.streaming.StreamingCc.readLabels(spark, s"$root/l").count()
         case Array("q", name) =>
           // run one SparkEntry query under whatever confs were set by
           // earlier lpconf specs — the conf-sensitivity A/B harness

@@ -347,7 +347,15 @@ object Relational {
     * ALL the bucket columns reads the table with no exchange. */
   def materializeBucketed(df: DataFrame, path: String, tableName: String,
       keys: Seq[String], buckets: Int): DataFrame = {
-    df.write.bucketBy(buckets, keys.head, keys.tail: _*)
+    // repartition on the bucket key FIRST: a bucketed write emits one
+    // file per (task, bucket) pair, so writing from an N-partition
+    // frame produces N×buckets small files and every later probe pays
+    // N× the footer/open cost (measured 5-6× on the 100× incremental-CC
+    // append). Spark's repartition hash IS the bucket hash (Murmur3
+    // pmod), so this aligns each task with exactly one bucket → one
+    // file per bucket.
+    df.repartition(buckets, keys.map(col): _*)
+      .write.bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path).mode("overwrite").saveAsTable(tableName)
     df.sparkSession.table(tableName)

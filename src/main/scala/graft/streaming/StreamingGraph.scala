@@ -339,11 +339,18 @@ object StreamingGraph {
     * in-edge probe) and the score base bucketed by id — then pass the
     * returned [[GraphBase]] to [[batchStep]] so appends probe pruned
     * bucket files / sorted row groups instead of re-scanning the full
-    * log ~4× (the measured append floor; the same maintenance shape as
+    * log ~4× (the same maintenance shape as
     * `StreamingDedup.compactSubstringRegistry`). The `batch_id=*` dirs
     * remain the write path and source of truth; the tables are
     * read-optimized copies of the installed `batch_id=-1` base and are
-    * rebuilt on each maintenance sweep. */
+    * rebuilt on each maintenance sweep.
+    *
+    * Honest scope (measured, BENCH_SCALE round 10): pruning pays when
+    * an append's probe keys are LOCALIZED (clustered entity ids,
+    * recent-key ranges). Probe key sets spread uniformly over the key
+    * domain intersect every block of ANY layout — on such fixtures the
+    * bucketed base ties the plain dir layout and the win is the probe
+    * PLAN (exchange-free bare scan) and write volume, not scan bytes. */
   def compactRegistryBucketed(spark: SparkSession, edgesDir: String,
       scoresDir: String, iters: Int, upToBatchId: Long,
       tablePath: String, tablePrefix: String, buckets: Int = 32): GraphBase = {

@@ -111,4 +111,35 @@ class StreamingCcSpec extends SparkSpec {
     step(edgeDf(extra), 4L)
     assert(stateOf(lDir) === batchCc(batches.flatten ++ extra))
   }
+
+  test("bucketed relayout: probes pruned, exact parity through the base, replay-stable") {
+    val root = Files.createTempDirectory("graft_cc_bkt").toString
+    val (eDir, lDir) = (s"$root/edges", s"$root/labels")
+    val step0 = StreamingCc.batchStep(spark, eDir, lDir, "src", "dst") _
+    for (b <- 0 to 2) step0(edgeDf(batches(b)), b.toLong)
+
+    val base = StreamingCc.compactRegistryBucketed(spark, eDir, lDir,
+      upToBatchId = 3L, tablePath = s"$root/tables",
+      tablePrefix = "t_cc_bkt", buckets = 4)
+
+    // the member-relabel probe (labels by label, append-sized key set):
+    // pushed In filter on a bare bucketed scan — no exchange, no join,
+    // pruned bucket files
+    val probe = base.labelsByLabel.filter(col("label").isInCollection(Seq(10L)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"label probe not a bare scan:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning:\n$plan")
+
+    val stepB = StreamingCc.batchStep(spark, eDir, lDir, "src", "dst",
+      base = Some(base)) _
+    stepB(edgeDf(batches(3)), 3L)
+    assert(stateOf(lDir) === batchCc(batches.flatten))
+    // replay through the base: row-identical
+    def rows(dir: String) = spark.read.option("basePath", dir).parquet(dir)
+      .collect().map(_.toString).toSet
+    val lBefore = rows(lDir)
+    stepB(edgeDf(batches(3)), 3L)
+    assert(rows(lDir) === lBefore)
+  }
 }
