@@ -904,6 +904,32 @@ object SparkEntry {
       kept.select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // Streaming face of d_cluster — the dedup families' clustering
+    // story completed: the REAL MinHash-LSH candidate pairs arrive as
+    // three appends through the StreamingCc registry (split by id_a mod
+    // 3, so components' pairs straddle batches and the label-level
+    // merge cascade is exercised on production pair data), then the
+    // full doc set joins back (isolated docs = own cluster —
+    // Dedup.clusters' contract). The oracle twin is d_cluster's
+    // recursive reachability CTE on ALL pairs, so the driver gate
+    // checks incremental ≡ batch on the LSH graph itself.
+    "d_stream_cluster" -> ((s, d) => {
+      val root = freshRegistryDir("dsc")
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3)
+        .localCheckpoint(false) // three batch slices of one LSH pass
+      val step = graft.streaming.StreamingCc.batchStep(s, s"$root/e",
+        s"$root/l", "id_a", "id_b") _
+      step(pairs.filter(col("id_a") % 3 === 0), 0L)
+      step(pairs.filter(col("id_a") % 3 === 1), 1L)
+      step(pairs.filter(col("id_a") % 3 === 2), 2L)
+      docs.select(col("doc_id").as("id"))
+        .join(graft.streaming.StreamingCc.readLabels(s, s"$root/l")
+            .withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
+        .orderBy("id")
+    }),
+
     // Streaming attribution, batch kernel: clicks BEFORE the split
     // collapse to the latest-per-user registry (the O(|users|) state),
     // purchases after the split attribute against registry ∪ own-batch
@@ -4680,6 +4706,17 @@ object SparkEntry {
     "d_stream_neardup" ->
       (s"SELECT * FROM (${Dedup.nearDupSuppressSql("documents", "doc_id", "text", 3,
         "doc_id % 2 = 0", "d.doc_id, d.n_chars")}) ORDER BY doc_id"),
+
+    // d_cluster's reachability statement verbatim — the incremental
+    // registry must land on the batch fixed point
+    "d_stream_cluster" ->
+      (s"WITH RECURSIVE __pairs AS (${Dedup.minhashLshCandidatesSql("documents", "doc_id", "text", 3)}), " +
+        "__sym AS (SELECT id_a AS src, id_b AS dst FROM __pairs UNION ALL SELECT id_b, id_a FROM __pairs), " +
+        "__reach(src, dst) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT r.src, s.dst FROM __reach r JOIN __sym s ON r.dst = s.src) " +
+        "SELECT src AS id, min(dst) AS cluster FROM __reach GROUP BY src ORDER BY id"),
 
     "d_contam" ->
       (s"SELECT * FROM (${Dedup.contaminationSql("documents",
