@@ -38,3 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pressure at 512m (BENCH_SCALE.md round-8 addendum).
   "-XX:ReservedCodeCacheSize=768m",
 )
+
+// Dev-probe mains (DevSpot, ProfileQuery) live in their own source set:
+// they are load-bearing A/B tooling (every BENCH_SCALE kernel table
+// comes from them) but not part of the library surface a published
+// artifact would ship. Kept on the Compile classpath so
+// `runMain graft.DevSpot ...` keeps working from one output directory;
+// excluding them from a published jar is one mappings filter away.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "tools-src" / "scala"
