@@ -38,13 +38,13 @@ object GraftSession {
       // is KBs per entry; the compiled code budget is the code cache.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
-      // the only bucketed tables in this engine are the registry
-      // relayouts (dedup gram claims, graph edge/score bases), and their
-      // read pattern is exactly the one the auto-disable rule does not
-      // credit: append-sized In-filter PROBES, where bucket pruning
-      // skips whole files. With autoBucketedScan on, a filter-only scan
-      // is "uninteresting" and reverts to a plain scan (planner marks
-      // `Bucketed: false`), losing SelectedBucketsCount pruning.
+      // this engine's bucketed tables (registry relayouts — dedup gram
+      // claims, graph edge/score/label bases — and the materialized ANN
+      // indexes) are all probed by key filters or joined on their
+      // bucket key; the auto-disable rule does not credit append-sized
+      // In-filter PROBES, so with autoBucketedScan on a filter-only
+      // scan is "uninteresting" and reverts to a plain scan (planner
+      // marks `Bucketed: false`), losing SelectedBucketsCount pruning.
       // Non-bucketed tables are unaffected by this flag.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
 

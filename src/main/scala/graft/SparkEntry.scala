@@ -50,13 +50,11 @@ object SparkEntry {
       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
       "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"
 
-  /** The reference's `element` tree (site → unit) modeled from
-    * region (level 0, roots) ∪ nation (level 1, element_id offset +100). */
   /** One shared parent for the incremental-query temp registries
-    * (g_pagerank_inc, g_cc_inc) with ONE process-wide shutdown hook —
-    * repeated invocations in a long-lived session (bench passes, verify
-    * loops) each get a fresh subdirectory but never accumulate hooks,
-    * and the whole tree is swept once at JVM exit. */
+    * (g_pagerank_inc, g_cc_inc, d_stream_cluster) with ONE process-wide
+    * shutdown hook — repeated invocations in a long-lived session
+    * (bench passes, verify loops) each get a fresh subdirectory but
+    * never accumulate hooks, and the whole tree is swept at JVM exit. */
   private lazy val tmpRegistryRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_inc_reg")
     sys.addShutdownHook {
@@ -71,6 +69,8 @@ object SparkEntry {
   private def freshRegistryDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(tmpRegistryRoot, prefix).toString
 
+  /** The reference's `element` tree (site → unit) modeled from
+    * region (level 0, roots) ∪ nation (level 1, element_id offset +100). */
   private def elementDim(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(s, dir).select(
       lit(0).as("level"), col("r_regionkey").as("element_id"),

@@ -1327,6 +1327,16 @@ object Dedup {
       labels = next.select("id", "cluster")
       it += 1
     }
+    // min-label propagation needs DIAMETER-many hops; exiting the loop
+    // with moves still in flight would return wrong labels SILENTLY
+    // (caught by the StreamingCcSpec deep-chain test: a 41-component
+    // merge path mislabels at the 30-round cap). Components deeper than
+    // maxIters are a real workload shape — fail loudly and point at the
+    // O(log n) kernel instead of corrupting downstream state.
+    require(changed == 0L,
+      s"clusters did not converge in $maxIters min-label rounds (component " +
+        "diameter exceeds the cap) — raise maxIters or use clustersStar, " +
+        "which converges in O(log n) rounds regardless of diameter")
     nodes.select(col(idCol).as("id"))
       .join(hint(labels.withColumnRenamed("cluster", "__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))

@@ -346,16 +346,31 @@ object Relational {
     * registry's (band, k0, k1) bucket id): a join or aggregate keyed on
     * ALL the bucket columns reads the table with no exchange. */
   def materializeBucketed(df: DataFrame, path: String, tableName: String,
-      keys: Seq[String], buckets: Int): DataFrame = {
-    // repartition on the bucket key FIRST: a bucketed write emits one
-    // file per (task, bucket) pair, so writing from an N-partition
-    // frame produces N×buckets small files and every later probe pays
-    // N× the footer/open cost (measured 5-6× on the 100× incremental-CC
-    // append). Spark's repartition hash IS the bucket hash (Murmur3
-    // pmod), so this aligns each task with exactly one bucket → one
-    // file per bucket.
-    df.repartition(buckets, keys.map(col): _*)
-      .write.bucketBy(buckets, keys.head, keys.tail: _*)
+      keys: Seq[String], buckets: Int): DataFrame =
+    materializeBucketed(df, path, tableName, keys, buckets,
+      onePerBucket = false)
+
+  /** [[materializeBucketed]] with the file-count lever explicit.
+    *
+    * `onePerBucket = true` repartitions on the bucket key FIRST: a
+    * bucketed write emits one file per (task, bucket) pair, so writing
+    * from an N-partition frame produces N×buckets small files and every
+    * later probe pays N× the footer/open cost (measured 4× on the 100×
+    * incremental-CC append). Spark's repartition hash IS the bucket
+    * hash (Murmur3 pmod), so this aligns each task with exactly one
+    * bucket → one file per bucket. Use it for PROBE-shaped registries
+    * (a maintenance sweep writing compact state).
+    *
+    * Leave it false for corpus-sized tables bucketed on LOW-CARDINALITY
+    * keys (the ANN indexes bucket by "cluster" with ≤ nCentroids
+    * distinct values): there the repartition would funnel the whole
+    * corpus through ≤ cardinality write tasks — one task external-sorts
+    * 1/k of the corpus — where the plain write keeps all upstream
+    * tasks in parallel. */
+  def materializeBucketed(df: DataFrame, path: String, tableName: String,
+      keys: Seq[String], buckets: Int, onePerBucket: Boolean): DataFrame = {
+    val src = if (onePerBucket) df.repartition(buckets, keys.map(col): _*) else df
+    src.write.bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path).mode("overwrite").saveAsTable(tableName)
     df.sparkSession.table(tableName)

@@ -134,6 +134,21 @@ object StreamingCc {
       empty.write.mode("overwrite").parquet(s"$labelsDir/batch_id=$batchId")
       return
     }
+    if (prevRawById.isEmpty) {
+      // bootstrap (empty registry): every node is new, so the probe
+      // machinery is pure overhead — and its O(|V|) broadcasts and
+      // eager checkpoints are a driver hazard at corpus scale (the
+      // StreamingGraph bootstrap hazard, mirrored). Run the batch
+      // kernel directly; star contraction converges in O(log n) rounds
+      // regardless of component diameter.
+      val nodes = newE.select(col("src").as("id"))
+        .union(newE.select(col("dst").as("id"))).distinct()
+      graft.dedup.Dedup.clustersStar(nodes, newE, "id",
+          aCol = "src", bCol = "dst")
+        .select(col("id"), col("cluster").as("label"))
+        .write.mode("overwrite").parquet(s"$labelsDir/batch_id=$batchId")
+      return
+    }
     // batch endpoints and their CURRENT labels (own id when new)
     val nodeCand = newE.select(col("src").as("id"))
       .union(newE.select(col("dst").as("id"))).distinct()
@@ -151,13 +166,24 @@ object StreamingCc {
       .join(lblOf.select(col("id").as("src"), col("label").as("__la")), Seq("src"))
       .join(lblOf.select(col("id").as("dst"), col("label").as("__lb")), Seq("dst"))
       .select(col("__la").as("id_a"), col("__lb").as("id_b"))
-    val labelMap = graft.dedup.Dedup.clusters(
+    // clustersStar, NOT min-label clusters: star contraction converges
+    // in O(log n) rounds regardless of diameter, so its 30-round cap
+    // covers any realizable merge chain, where min-label propagation
+    // would SILENTLY stop at diameter 30 and write wrong labels into
+    // the registry forever. The fixpoint check below makes any residual
+    // non-convergence loud instead of corrupting state.
+    val labelMap = graft.dedup.Dedup.clustersStar(
         mergeEdges.select(col("id_a").as("label"))
           .union(mergeEdges.select(col("id_b").as("label"))).distinct(),
         mergeEdges, "label")
       .filter(col("cluster") =!= col("id"))
       .select(col("id").as("label"), col("cluster").as("__new"))
       .localCheckpoint(true)
+    // converged ⟺ no remap target is itself remapped (cluster values
+    // are fixpoints); one tiny self-join on the append-sized map
+    require(labelMap.as("a").join(labelMap.as("b"),
+        col("a.__new") === col("b.label"), "left_semi").isEmpty,
+      "StreamingCc merge CC did not converge — label map is not a fixpoint")
     // members of the losing components: raw rows whose label is being
     // remapped are a SUPERSET of the current members (stale rows carry
     // old labels) — latest-per-id over those ids' full histories, then
@@ -215,11 +241,11 @@ object StreamingCc {
     val lBase = readLabelsRaw(spark, labelsDir)
       .filter(col("batch_id") === -1L).select("id", "label")
     val eSrc = graft.ops.Relational.materializeBucketed(
-      eBase, s"$tablePath/edges_src", s"${tablePrefix}_edges_src", "src", buckets)
+      eBase, s"$tablePath/edges_src", s"${tablePrefix}_edges_src", Seq("src"), buckets, onePerBucket = true)
     val lId = graft.ops.Relational.materializeBucketed(
-      lBase, s"$tablePath/labels_id", s"${tablePrefix}_labels_id", "id", buckets)
+      lBase, s"$tablePath/labels_id", s"${tablePrefix}_labels_id", Seq("id"), buckets, onePerBucket = true)
     val lLbl = graft.ops.Relational.materializeBucketed(
-      lBase, s"$tablePath/labels_label", s"${tablePrefix}_labels_label", "label", buckets)
+      lBase, s"$tablePath/labels_label", s"${tablePrefix}_labels_label", Seq("label"), buckets, onePerBucket = true)
     CcBase(eSrc, lId, lLbl)
   }
 

@@ -80,7 +80,7 @@ object StreamingDedup {
     val claims = readPartitioned(spark, registryDir)
       .groupBy("band", "k0", "k1").agg(min("claimed_ts").as("claimed_ts"))
     graft.ops.Relational.materializeBucketed(
-      claims, path, tableName, Seq("band", "k0", "k1"), buckets)
+      claims, path, tableName, Seq("band", "k0", "k1"), buckets, onePerBucket = true)
   }
 
   // ---- streaming exact substring dedup ----------------------------------
@@ -143,7 +143,7 @@ object StreamingDedup {
   def compactSubstringRegistry(spark: SparkSession, registryDir: String,
       path: String, tableName: String, buckets: Int = 32): DataFrame = {
     val claims = readSubstringRegistry(spark, registryDir).select("h").distinct()
-    graft.ops.Relational.materializeBucketed(claims, path, tableName, "h", buckets)
+    graft.ops.Relational.materializeBucketed(claims, path, tableName, Seq("h"), buckets, onePerBucket = true)
   }
 
   /** Wire a streaming document source through the substring suppressor:
@@ -343,7 +343,7 @@ object StreamingDedup {
       path: String, tableName: String, buckets: Int = 32): DataFrame = {
     val summed = readCountRegistry(spark, registryDir)
       .groupBy("h").agg(sum("cnt").as("cnt"))
-    graft.ops.Relational.materializeBucketed(summed, path, tableName, "h", buckets)
+    graft.ops.Relational.materializeBucketed(summed, path, tableName, Seq("h"), buckets, onePerBucket = true)
   }
 
   /** One micro-batch of streaming boilerplate removal

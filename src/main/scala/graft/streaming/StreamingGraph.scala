@@ -363,11 +363,11 @@ object StreamingGraph {
       .filter(col("batch_id") === -1L)
       .select(("id" +: "outdeg" +: scoreCols(iters)).map(col): _*)
     val eSrc = graft.ops.Relational.materializeBucketed(
-      eBase, s"$tablePath/edges_src", s"${tablePrefix}_edges_src", "src", buckets)
+      eBase, s"$tablePath/edges_src", s"${tablePrefix}_edges_src", Seq("src"), buckets, onePerBucket = true)
     val eDst = graft.ops.Relational.materializeBucketed(
-      eBase, s"$tablePath/edges_dst", s"${tablePrefix}_edges_dst", "dst", buckets)
+      eBase, s"$tablePath/edges_dst", s"${tablePrefix}_edges_dst", Seq("dst"), buckets, onePerBucket = true)
     val sId = graft.ops.Relational.materializeBucketed(
-      sBase, s"$tablePath/scores_id", s"${tablePrefix}_scores_id", "id", buckets)
+      sBase, s"$tablePath/scores_id", s"${tablePrefix}_scores_id", Seq("id"), buckets, onePerBucket = true)
     GraphBase(eSrc, eDst, sId, iters)
   }
 

@@ -23,11 +23,14 @@ class StreamingCcSpec extends SparkSpec {
     pairs.toDF("src", "dst")
   }
 
+  // clustersStar, not clusters: the deep-chain test's 81-node merge
+  // path exceeds min-label's diameter budget (writing this very test
+  // exposed clusters' silent 30-round cap — now a loud require there)
   private def batchCc(pairs: Seq[(Long, Long)]): Set[(Long, Long)] = {
     val e = edgeDf(pairs)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    Dedup.clusters(nodes, e, "id", aCol = "src", bCol = "dst")
+    Dedup.clustersStar(nodes, e, "id", aCol = "src", bCol = "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
@@ -90,6 +93,21 @@ class StreamingCcSpec extends SparkSpec {
     val extra = Seq((101L, 10L), (60L, 61L))
     stepSemi(edgeDf(extra), 5L)
     assert(stateOf(lDir) === batchCc(batches.flatten ++ extra))
+  }
+
+  test("one batch merging a 41-component chain converges exactly " +
+      "(deeper than min-label's 30-round cap — the clustersStar guarantee)") {
+    val root = Files.createTempDirectory("graft_cc_deep").toString
+    val (eDir, lDir) = (s"$root/edges", s"$root/labels")
+    val step = StreamingCc.batchStep(spark, eDir, lDir, "src", "dst") _
+    // batch 0: 41 two-node components {2i, 2i+1}, i = 0..40
+    val comps = (0 to 40).map(i => (2L * i, 2L * i + 1))
+    step(edgeDf(comps), 0L)
+    // batch 1: chain them all — the label-level merge graph is a
+    // 41-node path, diameter 40
+    val chain = (0 until 40).map(i => (2L * i + 1, 2L * i + 2))
+    step(edgeDf(chain), 1L)
+    assert(stateOf(lDir) === batchCc(comps ++ chain))
   }
 
   test("registry compaction through maintainAll: state parity, next batch unaffected") {
