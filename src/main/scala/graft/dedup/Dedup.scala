@@ -1524,40 +1524,65 @@ object Dedup {
     * signature column — the pigeonhole band kernel behind
     * [[simhashPairs]], factored out so every 64-bit fingerprint family
     * (simhash, media aHash, sign-quantized embeddings) shares one
-    * audited candidate generator. Semantics and scale shape are
-    * [[simhashPairs]]'s: band equi-join (never a theta all-pairs),
-    * hamming verified post-join, each qualifying pair emitted ONLY from
-    * its lowest matching band (a codegen'd filter instead of a distinct,
-    * so multi-band matches never shuffle duplicates). */
+    * audited candidate generator. Band equi-join (never a theta
+    * all-pairs), hamming verified post-join, each qualifying signature
+    * pair emitted ONLY from its lowest matching band (a codegen'd
+    * filter instead of a distinct, so multi-band matches never shuffle
+    * duplicates).
+    *
+    * The band join runs over DISTINCT signatures — the hammingClusters
+    * collapse, extended to exact pair emission. Identical signatures
+    * are banding's quadratic hazard: a g-member identical-hash group
+    * lands g rows in EVERY band bucket and pays g² join candidates per
+    * band (on the 100× media fixture — 500k assets, 13.8k distinct
+    * aHashes — the occurrence-level join stalled a full sweep on one
+    * hot-bucket straggler at r=10). Over distinct signatures the join
+    * volume is a function of signature ENTROPY, not corpus size; member
+    * pairs then expand through two output-proportional equi-joins, and
+    * identical-signature pairs (hamming 0) come from one inverted-index
+    * self-join — both linear in the RESULT, which is the operator's
+    * intrinsic floor (the pair list is the product; use
+    * [[hammingClusters]] when only components are needed). */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits)")
     val bands = maxHamming + 1
     val (widths, offsets) = bandLayout(bits, bands)
+    // NULL signatures carry no similarity evidence and never joined
+    // under the old null-unequal band keys either
+    val members = sigs.select(col(idCol), col(sigCol))
+      .filter(col(sigCol).isNotNull)
+      .localCheckpoint(false) // reused: both expansion sides + self pairs
     val blocks = (0 until bands).map { b =>
       struct(lit(b).as("band"), chunkAt(col(sigCol), widths, offsets, b).as("chunk"))
     }
-    // reused by both join sides; auto-released
-    val exploded = sigs
-      .select(col(idCol), col(sigCol), explode(array(blocks: _*)).as("bc"))
-      .select(col(idCol), col(sigCol),
-        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-      .localCheckpoint(false)
-    val ea = exploded.select(col("band"), col("chunk"),
-      col(idCol).as("id_a"), col(sigCol).as("sim_a"))
-    val eb = exploded.select(col("band"), col("chunk"),
-      col(idCol).as("id_b"), col(sigCol).as("sim_b"))
+    val exploded = members.select(col(sigCol)).distinct()
+      .select(col(sigCol), explode(array(blocks: _*)).as("bc"))
+      .select(col(sigCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      .localCheckpoint(false) // reused by both band-join sides
+    val ea = exploded.select(col("band"), col("chunk"), col(sigCol).as("sim_a"))
+    val eb = exploded.select(col("band"), col("chunk"), col(sigCol).as("sim_b"))
     val firstMatchOnly = (0 until bands - 1).map { bp =>
       (col("band") <= bp) ||
         (chunkAt(col("sim_a"), widths, offsets, bp) =!=
           chunkAt(col("sim_b"), widths, offsets, bp))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    ea.join(eb, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+    val sigPairs = ea.join(eb, Seq("band", "chunk"))
+      .filter(col("sim_a") < col("sim_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming && firstMatchOnly)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("sim_a"), col("sim_b"), col("hamming"))
+    val cross = sigPairs
+      .join(members.select(col(idCol).as("__ia"), col(sigCol).as("sim_a")), Seq("sim_a"))
+      .join(members.select(col(idCol).as("__ib"), col(sigCol).as("sim_b")), Seq("sim_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val selfPairs = members.select(col(sigCol), col(idCol).as("id_a"))
+      .join(members.select(col(sigCol), col(idCol).as("id_b")), Seq(sigCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(selfPairs)
   }
 
   /** Hamming-≤τ connected components over a signature column — the
