@@ -212,7 +212,8 @@ object SparkEntry {
     * pattern — so the derivation is SF-independent), with availqty and
     * supplycost from the same hash-formula family as
     * [[lineitemShipping]], IDENTICAL in the DuckDB twin. Unlocks
-    * TPC-H Q2/Q11/Q20 — with Q4/Q12/Q21 this completes all 22 shapes.
+    * TPC-H Q2/Q11/Q20 — with Q4/Q12/Q21 ([[lineitemShipping]]) and
+    * Q13 ([[ordersCommented]]) this completes all 22 shapes.
     *
     * `% __ns` lands on live keys because THIS fixture's s_suppkey is
     * 0-based and contiguous ([0, count) at every SF — checked against
@@ -239,6 +240,31 @@ object SparkEntry {
       "FROM part " +
       "CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ns FROM supplier) " +
       "CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k)"
+
+  /** Deterministic `o_comment` for TPC-H Q13: the fixture's orders
+    * table has no comment column, so one is derived from the order key
+    * (the [[lineitemShipping]] pattern) — 8 fixed phrases, IDENTICAL
+    * CASE text in both engines ([[ordersCommented]] passes this same
+    * string to Spark's `expr` and the oracle twin inlines it). Two
+    * phrases match Q13's `%special%requests%` pattern; one has the
+    * words in the WRONG order and one has `special` without a following
+    * `requests` — both adversarial non-matches, so the NOT-LIKE
+    * predicate is genuinely selective in both directions. All operands
+    * positive → truncating `%` agrees across engines. */
+  private val ordersCommentCaseSql: String =
+    "CASE CAST((o_orderkey * 19 + 5) % 8 AS INTEGER) " +
+      "WHEN 0 THEN 'special requests pending approval' " +
+      "WHEN 1 THEN 'packed for special deal requests' " +
+      "WHEN 2 THEN 'regular delivery no notes' " +
+      "WHEN 3 THEN 'expedite shipment as usual' " +
+      "WHEN 4 THEN 'requests for special handling' " +
+      "WHEN 5 THEN 'standing order instructions' " +
+      "WHEN 6 THEN 'fragile handle with care' " +
+      "ELSE 'no special instructions' END"
+
+  /** Orders plus the derived Q13 comment column. */
+  private def ordersCommented(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).withColumn("o_comment", expr(ordersCommentCaseSql))
 
   /** DuckDB twin of [[lineitemShipping]] (identical lag/mode formulas). */
   private val lineitemShippingSqlFrag: String =
@@ -1731,6 +1757,28 @@ object SparkEntry {
         .orderBy("entity")
     }),
 
+    // Incremental ER through the StreamingEr registry protocol, oracle
+    // face: the part records arrive as three installments (split by
+    // key mod 3, so match components straddle batches and the
+    // merge-log cascade is exercised), then current labels resolve
+    // through the transitive closure of the merge log. The twin is the
+    // BATCH entities closure on the full table — the driver gate
+    // checks incremental ≡ batch on the real match graph (the
+    // arrival-order-free connectivity theorem EntityResolutionSpec
+    // pins, now cell-checked against the oracle engine).
+    "er_inc" -> ((s, d) => {
+      val root = freshRegistryDir("erinc")
+      val p = Tables.part(s, d).select(col("p_partkey").as("id"),
+        col("p_name").as("name"), col("p_brand"), col("p_type"))
+      val step = graft.streaming.StreamingEr.batchStep(s, s"$root/reg",
+        s"$root/merge", "id", "name", Seq("p_brand", "p_type"), maxDist = 3) _
+      step(p.filter(col("id") % 3 === 0), 0L)
+      step(p.filter(col("id") % 3 === 1), 1L)
+      step(p.filter(col("id") % 3 === 2), 2L)
+      graft.streaming.StreamingEr.resolveEntities(s, s"$root/reg",
+        s"$root/merge", "id").orderBy("id")
+    }),
+
     // Cross-source exact-duplication matrix (provenance audit): which
     // source pairs share byte-identical content, counted by shared
     // fingerprint — the mirror-site detector. The fixture has no
@@ -2361,6 +2409,56 @@ object SparkEntry {
         .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
           col("user_id"), col("n"))
         .orderBy("user_id", "session_start")),
+
+    // Incremental sessionization, oracle face: w3's session aggregate
+    // maintained by the REAL Structured Streaming operator (file
+    // source, one installment file per micro-batch in mtime order,
+    // AvailableNow) — cross-batch sessions stitch in the state store
+    // and APPEND mode emits each session exactly once when the
+    // watermark passes its close. A far-future flush sentinel per user
+    // advances the final watermark past every real session (the
+    // sentinel's own open sessions are filtered by timestamp); the
+    // twin is w3_session's full-history gaps-and-islands SQL, so the
+    // driver gate checks stream ≡ batch on the session operator itself.
+    "w3_session_inc" -> ((s, d) => {
+      val root = freshRegistryDir("w3inc")
+      // the streaming watermark requires TIMESTAMP_LTZ; the fixture is
+      // NTZ — cast in here and back out below (identity under the
+      // engine-wide UTC session timezone)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val c0 = lit("2024-01-10").cast("timestamp")
+      val c1 = lit("2024-01-20").cast("timestamp")
+      val flush = lit("2024-06-01 00:00:00").cast("timestamp")
+      val installments = Seq(
+        ev.filter(col("ts") < c0),
+        ev.filter(col("ts") >= c0 && col("ts") < c1),
+        ev.filter(col("ts") >= c1),
+        ev.select("user_id").distinct().select(col("user_id"), flush.as("ts")))
+      val inDir = new org.apache.hadoop.fs.Path(s"$root/in")
+      val fs = inDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(inDir)
+      installments.zipWithIndex.foreach { case (b, i) =>
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/tmp$i")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new org.apache.hadoop.fs.Path(inDir, s"b$i.parquet")
+        require(fs.rename(part, dst), s"rename $part -> $dst failed")
+        // the file source replays installments oldest-mtime-first
+        fs.setTimes(dst, 1000L * (i + 1), -1L)
+      }
+      val stream = s.readStream.schema(installments.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      graft.streaming.StreamingSessions.start(stream, "2 hours", "0 seconds",
+        s"$root/out", s"$root/chk").awaitTermination()
+      s.read.parquet(s"$root/out")
+        .filter(col("session_start") < lit("2024-05-01").cast("timestamp"))
+        .select(col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("user_id"), col("n"))
+        .orderBy("user_id", "session_start")
+    }),
 
     // Conversion funnel: for every click, the NEXT purchase by the same
     // user (forward as-of — union-sort carry, never a range explosion),
@@ -3434,6 +3532,26 @@ object SparkEntry {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("low_line_count"))
         .orderBy("l_shipmode")
+    }),
+
+    // Q13 customer order-count distribution: LEFT OUTER with the
+    // NOT-LIKE predicate IN THE JOIN CONDITION (not a pre-filter in
+    // source — Catalyst pushes the right-side-only conjunct down to the
+    // orders scan itself, which PlanAuditSpec can pin), feeding the
+    // two-level aggregate: count per customer INCLUDING zero-order
+    // customers (count(o_orderkey) skips the unmatched rows' NULLs),
+    // then the histogram of counts. Both aggregates shuffle on their
+    // own key; the join shuffles on custkey — three exchanges total,
+    // the minimum for this shape at scale.
+    "q13_custdist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = ordersCommented(s, d)
+        .select("o_custkey", "o_orderkey", "o_comment")
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          !col("o_comment").like("%special%requests%"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
     // Q21 suppliers who kept orders waiting — the classic correlated
@@ -5224,6 +5342,12 @@ object SparkEntry {
             "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)),
         "p_name", Seq("p_size", "retail_cents")) + " ORDER BY entity"),
 
+    "er_inc" ->
+      (graft.er.EntityResolution.entitiesSql("part", "p_partkey",
+        graft.er.EntityResolution.matchPairsSql(
+          "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3)) +
+        " ORDER BY id"),
+
     "a_rollup" ->
       ("SELECT source, lang, count(*) AS n_docs, max(n_chars) AS max_chars " +
         "FROM documents GROUP BY ROLLUP(source, lang) " +
@@ -5540,6 +5664,13 @@ object SparkEntry {
     // a new session; session end = last event + gap (Spark's session_window
     // end semantics)
     "w3_session" ->
+      ("WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
+        "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT min(ts) AS session_start, max(ts) + INTERVAL 2 HOUR AS session_end, user_id, count(*) AS n " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    "w3_session_inc" ->
       ("WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
         "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk FROM o), " +
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
@@ -6195,6 +6326,15 @@ object SparkEntry {
         "AND l_shipdate < l_commitdate " +
         "AND l_receiptdate >= TIMESTAMP '1997-01-01' AND l_receiptdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY 1 ORDER BY 1"),
+
+    "q13_custdist" ->
+      (s"WITH oc AS (SELECT o_custkey, o_orderkey, $ordersCommentCaseSql AS o_comment FROM orders) " +
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist " +
+        "FROM (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT OUTER JOIN oc " +
+        "ON c_custkey = o_custkey AND o_comment NOT LIKE '%special%requests%' " +
+        "GROUP BY c_custkey) t " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
 
     // textbook double-EXISTS form on purpose: independently checks the
     // Spark side's per-(order, supplier) decorrelation

@@ -1272,9 +1272,13 @@ object Dedup {
     * practice). Each round is one equi-join + one aggregation — all
     * shuffle-parallel — and labels are localCheckpointed per round so
     * lineage stays flat. The driver loop only runs a convergence count.
-    * At extreme scale the same loop upgrades to the alternating
-    * large-star/small-star construction; this direct form is the exact
-    * answer whenever components are shallow.
+    * Diameter-safe: if propagation has not converged after `maxIters`
+    * rounds (component diameter exceeds the cap — gradient chains from
+    * SemDeDup buckets or ER closures), the kernel finishes by
+    * delegating to [[clustersStar]] (O(log n) star contraction, same
+    * output contract) rather than aborting or returning silently-wrong
+    * labels. Shallow components — the overwhelmingly common near-dup
+    * shape — never pay the switch.
     *
     * `broadcastMaxLabels` gates the per-hop broadcast hints: the induced
     * subgraph is counted ONCE up front, and when it exceeds the threshold
@@ -1331,13 +1335,18 @@ object Dedup {
     // with moves still in flight would return wrong labels SILENTLY
     // (caught by the StreamingCcSpec deep-chain test: a 41-component
     // merge path mislabels at the 30-round cap). Components deeper than
-    // maxIters are a real workload shape — fail loudly and point at the
-    // O(log n) kernel instead of corrupting downstream state.
-    require(changed == 0L,
-      s"clusters did not converge in $maxIters min-label rounds (component " +
-        "diameter exceeds the cap) — raise maxIters or use clustersStar, " +
-        "which converges in O(log n) rounds regardless of diameter")
-    nodes.select(col(idCol).as("id"))
+    // maxIters are a real workload shape — SemDeDup buckets and ER
+    // transitive chains produce exactly the gradient chains that exceed
+    // any fixed one-hop budget — so instead of aborting the job (the
+    // round-10 loud-failure fix) the kernel FINISHES with the
+    // diameter-independent star-contraction kernel: same output
+    // contract, O(log n) rounds, no broadcast. The maxIters min-label
+    // rounds already paid are sunk cost bounded by the cap; every
+    // caller keeps the cheap propagation path on the (overwhelmingly
+    // common) shallow-component shape and is still guaranteed to
+    // terminate with CORRECT labels on adversarial diameters.
+    if (changed != 0L) clustersStar(nodes, pairs, idCol, aCol, bCol)
+    else nodes.select(col(idCol).as("id"))
       .join(hint(labels.withColumnRenamed("cluster", "__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
@@ -1576,6 +1585,9 @@ object Dedup {
     val cross = sigPairs
       .join(members.select(col(idCol).as("__ia"), col(sigCol).as("sim_a")), Seq("sim_a"))
       .join(members.select(col(idCol).as("__ib"), col(sigCol).as("sim_b")), Seq("sim_b"))
+      // duplicate-id inputs (one id under two near signatures) would
+      // otherwise produce an (x, x) self-pair after least/greatest
+      .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
     val selfPairs = members.select(col(sigCol), col(idCol).as("id_a"))

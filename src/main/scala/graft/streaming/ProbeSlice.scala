@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   * broadcast whole to every executor, so driver-side collection is the
   * same size class. Above the cap (or cap <= 0): a semi join,
   * broadcast when `bcast` (the pre-round-10 behavior).
+  *
+  * CONTRACT: the FIRST column of `ids` must be LongType — every
+  * registry key in the tree is a 64-bit id and the literal path reads
+  * it with getLong. NULL ids are dropped at collect time, which is
+  * semantics-preserving on both paths (a NULL key matches neither an
+  * IN-list nor an equi-semi-join).
   */
 private[streaming] object ProbeSlice {
 
@@ -23,7 +29,8 @@ private[streaming] object ProbeSlice {
       if (literalCap <= 0) null
       else {
         val rows = ids.limit(literalCap + 1).collect()
-        if (rows.length > literalCap) null else rows.map(_.getLong(0))
+        if (rows.length > literalCap) null
+        else rows.filter(!_.isNullAt(0)).map(_.getLong(0))
       }
     if (keys != null && keys.isEmpty) log.filter(lit(false))
     else if (keys != null) log.filter(col(keyCol).isInCollection(keys))

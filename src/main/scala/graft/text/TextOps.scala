@@ -721,7 +721,13 @@ object TextOps {
   /** DuckDB twin of [[bpeTrain]]: the same rounds statically unrolled
     * as a CTE chain — per round a pair count, a 1-row argmax, and the
     * same greedy string fold (lambda capturing the argmax row's
-    * columns through a CROSS JOIN). */
+    * columns through a CROSS JOIN).
+    *
+    * `rounds` is capped at 16 (throws above), NOT the trainer's
+    * 4096-round ceiling: each round unrolls a CTE trio into one
+    * statement, so deep depths would emit a multi-thousand-CTE string
+    * the oracle engine may fail to plan. The twin exists for
+    * gate-sized depths only. */
   def bpeTrainSql(table: String, text: String, rounds: Int): String = {
     val out = (1 to rounds).map { k =>
       s"SELECT $k AS round, l AS merge_left, r AS merge_right, " +
@@ -732,7 +738,8 @@ object TextOps {
   }
 
   /** DuckDB twin of [[bpeSegmentStats]]: the same chain, one aggregate
-    * over the final vocab frame. */
+    * over the final vocab frame. `rounds` capped at 16 like
+    * [[bpeTrainSql]] (see its scaladoc for the unroll rationale). */
   def bpeSegmentStatsSql(table: String, text: String, rounds: Int): String =
     s"""WITH ${bpeChainSql(table, text, rounds)}
        |SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,

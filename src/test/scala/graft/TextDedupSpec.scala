@@ -1479,6 +1479,20 @@ class TextDedupSpec extends SparkSpec {
     assert(repPairs === Set((1L, 41L), (80L, 81L)))
   }
 
+  test("hammingPairs: duplicate-id input (one id under two near signatures) " +
+      "never emits a self-pair") {
+    val sess = spark
+    import sess.implicits._
+    // id 5 appears under two signatures at hamming 1 of each other —
+    // the cross expansion would join 5 (as __ia via sig A) with 5 (as
+    // __ib via sig B) and least/greatest would collapse it to (5, 5)
+    // without the id-inequality guard
+    val sigs = Seq((5L, 0x0FL), (5L, 0x0DL), (9L, 0x0FL)).toDF("id", "sig")
+    val pairs = graft.dedup.Dedup.hammingPairs(sigs, "id", "sig", 1, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((5L, 9L)))
+  }
+
   test("hammingClusters: NULL signatures come out as singleton clusters, not dropped") {
     val sess = spark
     import sess.implicits._
