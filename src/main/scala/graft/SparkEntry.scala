@@ -3713,6 +3713,22 @@ object SparkEntry {
     // exact lower-median rank, no interpolation.
     "a_theilsen" -> ((s, d) => {
       val k = 8
+      // The window partition key is the SUPPLIER — a fixed-cardinality
+      // catalog key while the fact grows, so per-supplier window
+      // volume scales linearly with SF and the default 32-partition
+      // window shuffle concentrates ~n/32 rows per task: at 100×
+      // (480M slope rows over 1000 suppliers) the per-task sort spills
+      // and the cell went super-linear (9.9 s sf1 → 126 s sf10,
+      // 12.7×/decade). Pre-repartitioning BOTH window inputs to the
+      // session's initialPartitionNum (the linkpred lever — scales
+      // with the cluster, and the explicit count keeps AQE from
+      // coalescing the exchange) spreads the fixed key set over 8×
+      // more tasks, so per-task sorts stay in memory. Hash clustering
+      // on the key alone still satisfies the window's required
+      // distribution — no extra exchange is added.
+      val wideParts = s.conf
+        .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .map(_.toInt).getOrElse(s.sessionState.conf.numShufflePartitions)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("l_suppkey")
         .orderBy("__x", "__y", "l_orderkey", "l_linenumber")
@@ -3720,6 +3736,7 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           expr("cast(floor(l_quantity) as bigint)").as("__x"),
           expr("cast(floor(l_extendedprice * 100) as bigint)").as("__y"))
+        .repartition(wideParts, col("l_suppkey"))
         .withColumn("__rn", row_number().over(w))
         .select("l_suppkey", "__rn", "__x", "__y")
       val probes = pts
@@ -3733,6 +3750,7 @@ object SparkEntry {
           expr("(1000000 * (__y - __y1) - pmod(1000000 * (__y - __y1), (__x - __x1))) div (__x - __x1)")
             .as("__slope"))
       slopes
+        .repartition(wideParts, col("l_suppkey"))
         .withColumn("__sr", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
             .orderBy("__slope", "__rn1", "__rn2")))

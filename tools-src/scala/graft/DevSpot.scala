@@ -702,6 +702,79 @@ object DevSpot {
           println(f"SPOTX ccinc:$m:$variant boot=$tBoot%.2f compact=$tCmp%.2f " +
             f"append=$tApp%.2f append2=$tApp2%.2f fullRerun=$tFull%.2f nodes=$full")
           graft.streaming.StreamingCc.readLabels(spark, s"$root/l").count()
+        case Array("locprobe", kStr, repsStr) =>
+          // ProbeSlice deployment-premise A/B (r10 verdict #7): the r10
+          // adjudication showed uniformly-DISPERSED probe ids cannot
+          // prune a bucketed+sorted registry — the id-set hash touches
+          // every bucket, and uniform ids straddle every sorted row
+          // group, so the whole log is read either way. The relayout's
+          // deployment premise is a LOCALIZED append: recent key ranges
+          // / clustered entity ids. This probe measures that premise
+          // directly: same registry, same IN-set size k, ids drawn
+          // either uniformly across the key domain (disp) or as the
+          // most recent contiguous range (loc), against (a) a plain
+          // parquet log with no layout discipline (repartitioned write
+          // = arrival order destroyed, the worst honest baseline) and
+          // (b) the bucketed+SORTED relayout. Spark pushes a >10-value
+          // IN down to parquet as a [min,max] range predicate, so the
+          // sorted layout prunes row groups exactly when the probe is
+          // range-local — the thing this A/B exists to show.
+          val k = kStr.toInt
+          val log = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+          val root = java.nio.file.Files.createTempDirectory("locprobe").toString
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(new java.io.File(root))
+          }
+          log.repartition(64).write.mode("overwrite").parquet(s"$root/plain")
+          val plain = spark.read.parquet(s"$root/plain")
+          val bucketed = graft.ops.Relational.materializeBucketed(
+            log, s"$root/btab", "locprobe_reg", Seq("l_orderkey"), 32,
+            onePerBucket = true)
+          val maxKey = log.agg(max("l_orderkey")).head().getLong(0)
+          val keysLoc = ((maxKey - k + 1) to maxKey).toSeq
+          val stride = math.max(1L, maxKey / k)
+          val keysDisp = (0 until k).map(i => i.toLong * stride + 1L)
+          // wall time at this log size is stage-latency floor; the
+          // claim under test is BYTES/RECORDS READ, captured from task
+          // input metrics (row-group pruning shows up here directly)
+          val bytesRead = new java.util.concurrent.atomic.AtomicLong
+          val recsRead = new java.util.concurrent.atomic.AtomicLong
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              if (te.taskMetrics != null) {
+                bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+                recsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+                ()
+              }
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          def probe(df: org.apache.spark.sql.DataFrame, keys: Seq[Long]): Long =
+            df.filter(col("l_orderkey").isInCollection(keys))
+              .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+              .count()
+          var out = 0L
+          (1 to repsStr.toInt).foreach { r =>
+            Seq(("plain", plain, "loc", keysLoc), ("plain", plain, "disp", keysDisp),
+              ("bucketed", bucketed, "loc", keysLoc),
+              ("bucketed", bucketed, "disp", keysDisp)).foreach {
+              case (layout, df, shape, keys) =>
+                bytesRead.set(0L); recsRead.set(0L)
+                val ti = System.nanoTime()
+                out = probe(df, keys)
+                Thread.sleep(300) // listener-bus drain (private API in 4.x)
+                println(f"  locprobe:$layout:$shape k=$k rep=$r " +
+                  f"t=${(System.nanoTime() - ti) / 1e9}%.3f " +
+                  f"mb=${bytesRead.get / 1e6}%.1f recs=${recsRead.get}")
+            }
+          }
+          spark.sparkContext.removeSparkListener(listener)
+          out
         case Array("q", name) =>
           // run one SparkEntry query under whatever confs were set by
           // earlier lpconf specs — the conf-sensitivity A/B harness
