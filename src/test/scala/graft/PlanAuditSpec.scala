@@ -210,6 +210,22 @@ class PlanAuditSpec extends SparkSpec {
     val ps = plan("pipe_priority_sample")
     assert(ps.contains("TakeOrderedAndProject"),
       s"priority sample plans a global sort:\n$ps")
+    // Theil-Sen's windows partition by the fixed-cardinality supplier
+    // key while the fact grows, so both window inputs must carry the
+    // wide explicit repartition (initialPartitionNum — the round-11
+    // spill fix); a default-width exchange here re-opens the 100×
+    // super-linear straggler. The spec pins the NUMBER of wide
+    // REPARTITION_BY_NUM exchanges, not just their presence.
+    val wideParts = spark.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .map(_.toInt).getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val ts = plan("a_theilsen")
+    val wideReparts =
+      s"hashpartitioning\\(l_suppkey#\\d+L?, $wideParts\\), REPARTITION_BY_NUM".r
+        .findAllIn(ts).length
+    assert(wideReparts >= 2,
+      s"a_theilsen lost its wide window repartitions (found $wideReparts " +
+        s"of 2 REPARTITION_BY_NUM($wideParts) hints):\n$ts")
   }
 
   test("interval overlap, phrase search, rolling actives: cell/shingle equi-joins, no nested loop") {

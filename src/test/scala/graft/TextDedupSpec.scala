@@ -1479,6 +1479,40 @@ class TextDedupSpec extends SparkSpec {
     assert(repPairs === Set((1L, 41L), (80L, 81L)))
   }
 
+  test("property: hammingPairs equals brute-force hamming enumeration " +
+      "on random signatures (dup ids and dup signatures included)") {
+    val sess = spark
+    import sess.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small signature space (4 distinct bit patterns × low ids) forces
+    // identical-signature groups, duplicate ids, and near chains — the
+    // three shapes the banded generator special-cases
+    val sig = Gen.oneOf(0x00L, 0x01L, 0x03L, 0x07L, 0x0FL, 0xF0L, -1L)
+    val genRows = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), sig)))
+    val prop = Prop.forAll(genRows, Gen.choose(0, 3)) { (rows, tau) =>
+      val df = rows.toDF("id", "sig")
+      val got = graft.dedup.Dedup.hammingPairs(df, "id", "sig", tau, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // brute force over the distinct (id, sig) relation: every id pair
+      // (a < b) whose MINIMUM cross-signature hamming is <= tau, at
+      // that minimum — matching the generator's first-match-band +
+      // distinct-expansion contract (a pair is emitted once per
+      // distinct qualifying signature combination; compare as sets of
+      // qualifying (a, b, h) triples)
+      val rel = rows.distinct
+      val want = (for {
+        (ia, sa) <- rel; (ib, sb) <- rel
+        if ia < ib || (ia == ib && sa != sb)
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= tau && ia != ib
+      } yield (math.min(ia, ib), math.max(ia, ib), h)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hammingPairs: duplicate-id input (one id under two near signatures) " +
       "never emits a self-pair") {
     val sess = spark
