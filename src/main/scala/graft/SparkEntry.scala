@@ -81,6 +81,23 @@ object SparkEntry {
     region.unionByName(nation)
   }
 
+  /** The co-purchase basket projection (order key, part key),
+    * pre-repartitioned by order key. The graph cells' basket self-join
+    * inherits its parallelism from THIS frame: without the repartition
+    * the sf fixtures' single-row-group lineitem file scans as ONE task
+    * and the whole k²-per-basket pair fan-out (plus the distinct's
+    * partial aggregate) runs serially — measured 3.7 s of g_lpa's 7 s
+    * inside a 6-task job on 32 cores. Hash-clustering on the join key
+    * means both self-join branches share the one exchange
+    * (ReuseExchange), so this adds no second shuffle; no partition
+    * count is pinned — AQE sizes the exchange (scale-adaptive, and
+    * parallelismFirst keeps it at ≥ default parallelism; the pinned
+    * initialPartitionNum variant measured the same wall-clock for 3×
+    * the task-overhead CPU at sf0.1). */
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .repartition(col("ok"))
+
   /** Tall archive analog: events on an hourly grid, event_type as
     * attribute_id (SURVEY.md §1.3: archive(attribute_id, timestamp, value)). */
   private def archiveDim(s: SparkSession, dir: String): DataFrame = {
@@ -2509,8 +2526,7 @@ object SparkEntry {
     // by network centrality, not raw counts. Scores are exact BIGINT
     // micro-units, so the ranking is engine-reproducible.
     "g_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2579,8 +2595,7 @@ object SparkEntry {
     // tie-break — each round is one thin equi-join + two combinable
     // aggregates, no window sort, the PageRank superstep shape.
     "g_lpa" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2593,8 +2608,7 @@ object SparkEntry {
     // so score flows proportionally to co-purchase COUNT — ranking by
     // strength, not presence. Same superstep shape as g_pagerank.
     "g_pagerank_w" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2607,8 +2621,7 @@ object SparkEntry {
     // co-purchase strength — a node adopts the label with the largest
     // incident multiplicity sum, (max weight, min label) tie-break.
     "g_lpa_w" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2623,8 +2636,7 @@ object SparkEntry {
     // related-items primitive. Top-50 by score (seeds excluded to
     // surface the EXPANSION, not the seeds themselves).
     "g_ppr" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2642,8 +2654,7 @@ object SparkEntry {
     // strength, completing the {global, personalized} × {unweighted,
     // weighted} matrix.
     "g_ppr_w" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2664,8 +2675,7 @@ object SparkEntry {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("ok"))
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey")).join(urgent, "ok")
+      val li = basketItems(s, d).join(urgent, "ok")
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2681,8 +2691,7 @@ object SparkEntry {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("ok"))
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey")).join(urgent, "ok")
+      val li = basketItems(s, d).join(urgent, "ok")
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2697,8 +2706,7 @@ object SparkEntry {
     // salted-hash pick over the neighbor-id-ordered adjacency — a pure
     // function of (seed, step), reproducible with no RNG state.
     "g_walks" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2713,8 +2721,7 @@ object SparkEntry {
     // join (out-degree capped at O(√m) — hub-proof) + a closure
     // semi-join; (edges, wedges, triangles) as exact BIGINTs.
     "g_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2727,8 +2734,7 @@ object SparkEntry {
     // the dense trading core; (id, core_deg) with degrees recomputed on
     // the final core so min(core_deg) >= k certifies convergence.
     "g_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
@@ -2755,8 +2761,7 @@ object SparkEntry {
     // the generic min-label CC kernel the dedup clusters use, applied
     // to an arbitrary edge table; unpaired parts stay singletons.
     "g_cc" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val pairs = li.select(col("ok"), col("l_partkey").as("id_a"))
         .join(li.select(col("ok"), col("l_partkey").as("id_b")), Seq("ok"))
         .filter(col("id_a") < col("id_b"))
@@ -2773,8 +2778,7 @@ object SparkEntry {
     // unreached — the reachability/radius probe. Pure integer min
     // relaxation, trivially engine-exact.
     "g_bfs" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey"))
+      val li = basketItems(s, d)
       val edges = li.select(col("ok"), col("l_partkey").as("src"))
         .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))

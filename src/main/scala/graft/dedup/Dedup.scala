@@ -1266,19 +1266,23 @@ object Dedup {
     * representative a keep-one dedup policy needs (pairs alone don't say
     * which of {a,b,c} to keep when a~b and b~c but a!~c).
     *
-    * Iterative min-label propagation: each round a node takes the min of
-    * its own and its neighbors' labels; converges within the component
-    * diameter (near-dup components are short-diameter cliques in
-    * practice). Each round is one equi-join + one aggregation — all
-    * shuffle-parallel — and labels are localCheckpointed per round so
-    * lineage stays flat. The driver loop only runs a convergence count.
-    * Diameter-safe: if propagation has not converged after `maxIters`
-    * rounds (component diameter exceeds the cap — gradient chains from
-    * SemDeDup buckets or ER closures), the kernel finishes by
-    * delegating to [[clustersStar]] (O(log n) star contraction, same
-    * output contract) rather than aborting or returning silently-wrong
-    * labels. Shallow components — the overwhelmingly common near-dup
-    * shape — never pay the switch.
+    * Iterative min-label propagation WITH pointer jumping: each round a
+    * node takes the min of its own and its neighbors' labels, then
+    * shortcuts through the previous round's table (cluster :=
+    * l(cluster)) — so a depth-d chain converges in O(log d) rounds, not
+    * d (near-dup components are short-diameter cliques in practice;
+    * ER/SemDeDup gradient chains are not, and the jump is what keeps
+    * their round count — i.e. their passes over the pair table — log).
+    * Each round is one equi-join + one aggregation + one label-table
+    * lookup — all shuffle-parallel — and labels are localCheckpointed
+    * per round so lineage stays flat; the convergence count is observed
+    * during the checkpoint's own job, so a round is ONE job.
+    * Diameter-safe: if propagation has somehow not converged after
+    * `maxIters` rounds (with jumping that means a component deeper than
+    * ~2^maxIters — unreachable in practice, kept as a hard guarantee),
+    * the kernel finishes by delegating to [[clustersStar]] (O(log n)
+    * star contraction, same output contract) rather than aborting or
+    * returning silently-wrong labels.
     *
     * `broadcastMaxLabels` gates the per-hop broadcast hints: the induced
     * subgraph is counted ONCE up front, and when it exceeds the threshold
@@ -1297,40 +1301,80 @@ object Dedup {
     // pair): a node with no neighbor can never change its label, and in
     // a near-dup workload touched docs are a small fraction of the
     // corpus — the full node set joins back in exactly once at the end
+    // observe-on-checkpoint: the label count rides the eager
+    // checkpoint's own materialization job (ObserveCheckpointSpec pins
+    // the mechanism), so init costs ONE job, not checkpoint + count —
+    // the loop below follows the same one-job-per-round shape. (A lazy
+    // checkpoint would save the same job but materializes inside a
+    // later query, after this plan's accumulators are GC-able —
+    // "Failed to update accumulator" spam per task; measured r11.)
+    val initObs = org.apache.spark.sql.Observation()
     var labels = sym.select(col("dst").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .observe(initObs, count(lit(1)).as("n"))
       .localCheckpoint()
-    // one count on the checkpointed subgraph decides the join strategy
-    // for every hop; the label count is invariant across rounds
-    val useBroadcast = labels.count() <= broadcastMaxLabels
+    // one observed count on the checkpointed subgraph decides the join
+    // strategy for every hop; the label count is invariant across rounds
+    val useBroadcast = initObs.get("n").asInstanceOf[Long] <= broadcastMaxLabels
     def hint(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
-    // one propagation hop: every node takes the min of its own and its
-    // neighbors' labels; extra columns (the round's __old) pass through.
+    // one propagation round: every node takes the min of its own and its
+    // neighbors' labels (one hop), then JUMPS through the previous
+    // round's label table — cluster := min(cluster, l(cluster)) — the
+    // classic pointer-doubling shortcut. Labels stay non-increasing and
+    // the fixpoint is unchanged (stable ⟺ every label equals its closed
+    // neighborhood's min AND its own label's label, which forces one
+    // label — the component min — per component), but a depth-d chain
+    // now converges in O(log d) rounds instead of d: each round a
+    // node's label reaches twice as far back as last round, so the
+    // 30-round cap covers astronomic diameters and the round count —
+    // and with it the number of passes over the pair table, the real
+    // 100 TB cost — drops from diameter-many to log-many. The jump is
+    // a second subgraph-sized lookup join against the CHECKPOINTED
+    // previous round (never against this round's uncheckpointed hop
+    // output, which would duplicate the hop's plan). Extra columns
+    // (the round's __old) pass through.
     // label/neighbor-min tables are subgraph-sized: when they fit the
-    // broadcast gate a hop is shuffle-free except the one groupBy on the
-    // pair list; past the gate the identical loop runs as shuffle joins
+    // broadcast gate a round is shuffle-free except the one groupBy on
+    // the pair list; past the gate the identical loop runs as shuffle
+    // joins
     def hop(l: DataFrame): DataFrame = {
-      val nbrMin = sym
-        .join(hint(l.select(col("id").as("dst"), col("cluster"))), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("cluster").as("nmin"))
-      l.join(hint(nbrMin), Seq("id"), "left")
-        .select(l.columns.filter(_ != "cluster").map(col) :+
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"): _*)
+      // ONE broadcast of the round's label table serves both the
+      // neighbor-min probe and the pointer jump: the two hint subtrees
+      // canonicalize identically, so ReuseExchange builds the broadcast
+      // once — a round schedules the broadcast build plus the checkpoint
+      // job, not a build per consumer
+      val lt = hint(l.select(col("id"), col("cluster"))).as("__lt")
+      val lt2 = hint(l.select(col("id"), col("cluster"))).as("__lt2")
+      val nbrMin = sym.join(lt, col("dst") === col("__lt.id"))
+        .groupBy(col("src").as("id")).agg(min(col("__lt.cluster")).as("nmin"))
+      val stepped = l.join(hint(nbrMin), Seq("id"), "left")
+        .withColumn("__c1",
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))))
+        .as("__st")
+      stepped.join(lt2, col("__st.__c1") === col("__lt2.id"), "left")
+        .select(l.columns.filter(_ != "cluster").map(c => col(s"__st.$c")) :+
+          least(col("__st.__c1"),
+            coalesce(col("__lt2.cluster"), col("__st.__c1"))).as("cluster"): _*)
     }
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      // ONE hop per materialized round, convergence checked after each:
-      // the changed-count is a single aggregate over the checkpointed
-      // subgraph-sized table — far cheaper than a hop's join+groupBy —
-      // so the final no-change confirmation costs exactly one hop
-      // (a fused two-hop round would run a second, provably idle hop)
+      // ONE job per round: the moved-count is OBSERVED during the hop's
+      // eager-checkpoint materialization (not a second count job over
+      // the checkpointed table), so the final no-change confirmation
+      // still costs exactly one hop and a round never pays a separate
+      // convergence pass (a fused two-hop round would run a second,
+      // provably idle hop)
+      val obs = org.apache.spark.sql.Observation()
       val next = hop(labels.withColumn("__old", col("cluster")))
+        .observe(obs, count(when(col("cluster") =!= col("__old"), 1)).as("moved"))
         .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("__old")).count()
+      changed = obs.get("moved").asInstanceOf[Long]
       labels = next.select("id", "cluster")
       it += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"CCDEBUG clusters rounds=$it converged=${changed == 0L}")
     // min-label propagation needs DIAMETER-many hops; exiting the loop
     // with moves still in flight would return wrong labels SILENTLY
     // (caught by the StreamingCcSpec deep-chain test: a 41-component
@@ -1375,17 +1419,23 @@ object Dedup {
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint()
     // stop when the canonical edge set stops changing; (count, xor of
     // row hashes) detects that without a full set comparison per round
-    // (xor, not sum: overflow-free under ANSI mode and order-insensitive)
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // (xor, not sum: overflow-free under ANSI mode and order-insensitive).
+    // The signature is OBSERVED during each round's eager-checkpoint
+    // materialization (ObserveCheckpointSpec pins the mechanism), so a
+    // round costs one job, not checkpoint + a separate aggregate job.
+    def sigObs(e: DataFrame): (DataFrame, () => (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = e.observe(obs, count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("x"))
+        .localCheckpoint()
+      (observed,
+        () => (obs.get("n").asInstanceOf[Long], obs.get("x").asInstanceOf[Long]))
     }
-    var prev = sig(edges)
+    val (edges0, sig0) = sigObs(canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
+    var edges = edges0
+    var prev = sig0()
     var it = 0
     var stable = false
     while (!stable && it < maxIters) {
@@ -1400,11 +1450,10 @@ object Dedup {
       // neighbors all attach to the neighborhood minimum
       val s2 = sym(ls).filter(col("v") < col("u"))
       val min2 = s2.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = canon(
+      val (ss, sigSs) = sigObs(canon(
         s2.join(min2, "u").select(col("v").as("u"), col("m").as("v"))
-          .unionByName(min2.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
-      val cur = sig(ss)
+          .unionByName(min2.select(col("u"), col("m").as("v")))))
+      val cur = sigSs()
       stable = cur == prev
       prev = cur
       edges = ss

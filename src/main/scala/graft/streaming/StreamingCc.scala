@@ -115,6 +115,14 @@ object StreamingCc {
         .unionByName(liveL.filter(col("batch_id") >= 0))
     val prevRawById = base.map(cb => withBase(cb.labelsById)).getOrElse(liveL)
     val prevRawByLabel = base.map(cb => withBase(cb.labelsByLabel)).getOrElse(liveL)
+    // checkpoints on this path are EAGER by design: a lazily-marked RDD
+    // materializes only inside a LATER query's job, by which point the
+    // originating plan's SQL-metric accumulators may be GC'd — every task
+    // then logs "Failed to update accumulator" (measured as error-spam +
+    // lost metrics on the r11 lazy experiment, with no wall-clock win
+    // outside noise). The per-round job saving lives in Dedup.clusters /
+    // clustersStar instead (observe-on-checkpoint, same job count as lazy
+    // without the GC hazard).
     val cand = batch
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

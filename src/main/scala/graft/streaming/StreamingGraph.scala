@@ -164,6 +164,9 @@ object StreamingGraph {
     // batch's own src keys first (pushed filter or broadcast semi — a
     // pruned scan, not an exchange), then anti-join small-vs-small;
     // equivalent because an anti match must share the src key
+    // eager checkpoints throughout (the StreamingCc rationale: lazy
+    // marks materialize after their plan's accumulators are GC'd —
+    // error-spam and lost metrics for no measured win)
     val cand = batch
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
