@@ -1294,8 +1294,19 @@ object Dedup {
   def clusters(nodes: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 30,
       broadcastMaxLabels: Long = 1L << 22): DataFrame = {
+    // cluster the symmetric pair table by dst ONCE before checkpointing:
+    // every round's neighbor-min join keys on dst, so at shuffle scale
+    // the rounds inherit this partitioning instead of re-exchanging the
+    // pair table per round (LogicalRDD keeps the checkpoint's output
+    // partitioning), and locally AQE sizes the exchange so the cached
+    // table holds a few right-sized blocks rather than the caller's
+    // partition count — a wide upstream pair generator (e.g. the ER
+    // blocking join's pinned fan-out) otherwise leaks its width into
+    // every one of the loop's cached scans (measured +2.5 s on er_inc's
+    // 21 rounds)
     val sym = pairs.select(col(aCol).as("dst"), col(bCol).as("src"))
       .unionByName(pairs.select(col(bCol).as("dst"), col(aCol).as("src")))
+      .repartition(col("dst"))
       .localCheckpoint(false) // reused every round
     // the loop runs ONLY on the induced subgraph (ids occurring in some
     // pair): a node with no neighbor can never change its label, and in

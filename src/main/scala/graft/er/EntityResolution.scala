@@ -53,7 +53,32 @@ object EntityResolution {
         base0.join(broadcast(sizes), blockCols, "left_semi")
       case None => base0
     }
-    base.as("a").join(base.as("b"),
+    // hash-cluster on the block key BEFORE the self-join: both branches
+    // then share one exchange (ReuseExchange) and the per-block pair
+    // fan-out runs wide instead of inheriting the record scan's task
+    // count (the sf fixtures' single-row-group part file scans as ONE
+    // task, which serialized the whole levenshtein stage downstream —
+    // measured 1.5-1.8 s of er_match's ~2 s in one task on 32 cores).
+    // The count is PINNED to spark.sql.shuffle.partitions (the
+    // cluster-scaled parallelism knob): AQE sizes coalescing by the
+    // exchange's INPUT bytes, and a catalog-sized record table under
+    // minPartitionSize coalesces to ONE partition — serializing the
+    // block² pair fan-out AQE cannot see. (The wider
+    // initialPartitionNum lever was measured here too: its 8×-cores
+    // width leaks into the downstream CC loop's checkpointed pair
+    // table, multiplying every propagation round's task count for no
+    // win — pair streams are join inputs, not near-unique-key
+    // aggregates.) At 100 TB a blocking join shuffles by block key
+    // anyway, so this pins the right plan instead of trusting the
+    // broadcast estimate.
+    // NOTE: conf.get, not sessionState.conf.numShufflePartitions — the
+    // latter returns the AQE INITIAL partition count (8× cores) when
+    // coalescing is enabled, which is the wide lever this comment just
+    // rejected.
+    val parted = base.repartition(
+      records.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      blockCols.map(col): _*)
+    parted.as("a").join(parted.as("b"),
         blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
